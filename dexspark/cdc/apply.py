@@ -1,0 +1,137 @@
+"""apply_changes — one micro-batch through the full pipeline.
+
+≙ the reference orchestrator (FnOrchestrator.kt:22-59): a driver-side
+sequencer over declarative stages, with a global error channel and
+replay-awareness. Here the stages are DataFrame transformations and
+"replay-awareness" is the batch ledger: a batch_id already present in a
+committed manifest summary makes the whole call a no-op
+(FnOrchestrator.kt:197 ``getIsReplaying()`` ≙ exactly-once).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StructType
+
+from dexspark.cdc.dedup import dedupe_latest
+from dexspark.cdc.validate import REASON_COL, ValidationConfig, validate_events
+from dexspark.lake.table import LakeTable
+
+META_COLS = ("lsn", "op", "batch_seq", REASON_COL)
+
+
+def payload_schema(events: DataFrame) -> StructType:
+    return StructType([f for f in events.schema.fields if f.name not in META_COLS])
+
+
+def maybe_evolve_schema(table: LakeTable, events: DataFrame) -> bool:
+    """North-rule schema evolution: if the incoming batch carries new
+    payload columns or widened types, evolve the table DDL before the
+    merge (additive / widening only — LakeTable validates)."""
+    incoming = payload_schema(events)
+    current = table.schema()
+    cur = {f.name: f.dataType for f in current.fields}
+    changed = False
+    fields = list(current.fields)
+    for f in incoming.fields:
+        if f.name not in cur:
+            fields.append(f)
+            changed = True
+        elif cur[f.name] != f.dataType:
+            fields = [
+                type(x)(x.name, f.dataType, True) if x.name == f.name else x
+                for x in fields
+            ]
+            changed = True
+    if not changed:
+        return False
+    return table.evolve_schema(StructType(fields))
+
+
+def apply_changes(
+    table: LakeTable,
+    events: DataFrame,
+    batch_id: str,
+    cfg: ValidationConfig | None = None,
+    quarantine: LakeTable | None = None,
+    salt_buckets: int | None = None,
+) -> dict[str, Any]:
+    """Validate → dedup → merge one batch. Idempotent on batch_id."""
+    cfg = cfg or ValidationConfig()
+    if batch_id in table.committed_batch_ids():
+        return {"batch_id": batch_id, "skipped": True, "reason": "already_committed"}
+
+    maybe_evolve_schema(table, events)
+
+    valid, rejects = validate_events(events, cfg)
+    rejects = rejects.persist()
+    try:
+        reject_stats = (
+            rejects.groupBy(REASON_COL).count().collect()
+        )
+        rejected_by_reason = {r[REASON_COL]: int(r["count"]) for r in reject_stats}
+        n_rejected = sum(rejected_by_reason.values())
+
+        deduped = dedupe_latest(
+            valid, list(cfg.key_cols), cfg.lsn_col, salt_buckets=salt_buckets
+        ).persist()
+
+        # per-bucket lineage (≙ ActivityParams per-branch lineage,
+        # ActivityDtos.kt:20-25): offset range + applied count per bucket
+        m = table.manifest()
+        bucket = F.pmod(
+            F.xxhash64(F.col(m.bucket_key)), F.lit(m.num_buckets)
+        ).cast("int")
+        lineage_rows = (
+            deduped.groupBy(bucket.alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("applied"),
+                F.min(cfg.lsn_col).alias("start_lsn"),
+                F.max(cfg.lsn_col).alias("end_lsn"),
+            )
+            .collect()
+        )
+        partitions = [
+            {
+                "bucket": int(r["bucket"]),
+                "applied": int(r["applied"]),
+                "start_lsn": int(r["start_lsn"]),
+                "end_lsn": int(r["end_lsn"]),
+                "rejected": 0,
+            }
+            for r in lineage_rows
+        ]
+
+        changes = deduped.drop("batch_seq")
+        info = table.merge(
+            changes,
+            key_cols=list(cfg.key_cols),
+            op_col=cfg.op_col,
+            delete_value=cfg.delete_op,
+            summary={
+                "batch_id": batch_id,
+                "partitions": partitions,
+                "rejected": n_rejected,
+                "rejected_by_reason": rejected_by_reason,
+            },
+        )
+
+        if quarantine is not None and n_rejected:
+            quarantine.append(
+                rejects.withColumn("batch_id", F.lit(batch_id)),
+                summary={"batch_id": batch_id},
+            )
+        deduped.unpersist()
+        return {
+            "batch_id": batch_id,
+            "skipped": False,
+            "applied": int(sum(p["applied"] for p in partitions)),
+            "rejected": n_rejected,
+            "rejected_by_reason": rejected_by_reason,
+            "merge": json.loads(json.dumps(info, default=str)),
+        }
+    finally:
+        rejects.unpersist()

@@ -1,0 +1,116 @@
+"""Per-record validation with a quarantine channel.
+
+≙ reference validation gates: event-type filter (FnRouter.kt:72-75),
+required-field checks (FnRouter.kt:80-84), per-record CSV validation
+with an error side-channel (FnCSVValidationGeneric.kt:30-48,
+FnOrchestrator.kt:95-111). There, invalid records short-circuit a
+branch and hit a custom/global error function; here, invalid rows are
+split into a rejects DataFrame (with a machine-readable reason) that
+the caller quarantines and counts in lineage.
+
+All checks are vectorized: enum / null checks are pure Catalyst
+expressions (whole-stage-codegen'd); the text well-formedness check is
+an Arrow pandas UDF (batch-vectorized, never per-row Python); the
+ts-monotonicity check is a running-max window per conv_id.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import BooleanType
+
+REASON_COL = "reject_reason"
+
+DEFAULT_ROLES = ("user", "assistant", "system", "tool")
+DEFAULT_OPS = ("I", "U", "D")
+
+
+@dataclass
+class ValidationConfig:
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    lsn_col: str = "lsn"
+    op_col: str = "op"
+    ops: tuple[str, ...] = DEFAULT_OPS
+    delete_op: str = "D"
+    role_col: str = "role"
+    roles: tuple[str, ...] = DEFAULT_ROLES
+    tool_col: str = "tool"
+    tool_required_roles: tuple[str, ...] = ("tool",)
+    text_col: str = "text"
+    ts_col: str = "ts"
+    check_ts_monotonic: bool = True
+    max_text_bytes: int = 1 << 20
+    extra: dict = field(default_factory=dict)
+
+
+@F.pandas_udf(BooleanType())
+def _text_wellformed(text: pd.Series) -> pd.Series:
+    """Arrow-vectorized text check: non-empty after strip, valid UTF-8
+    encodable, no NUL bytes. (Per input_hint: pandas/Arrow UDF, no
+    per-row Python UDF.)"""
+    s = text.fillna("")
+    stripped = s.str.strip()
+    return (stripped.str.len() > 0) & ~s.str.contains("\x00", regex=False)
+
+
+def validate_events(
+    events: DataFrame, cfg: ValidationConfig | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Split events into (valid, rejects). ``rejects`` carries
+    ``reject_reason``; ``valid`` has the input schema unchanged."""
+    cfg = cfg or ValidationConfig()
+    is_delete = F.col(cfg.op_col) == F.lit(cfg.delete_op)
+
+    required_null = F.lit(False)
+    for k in (*cfg.key_cols, cfg.lsn_col, cfg.op_col):
+        required_null = required_null | F.col(k).isNull()
+
+    reason = (
+        F.when(required_null, F.lit("missing_required_field"))
+        .when(~F.col(cfg.op_col).isin(*cfg.ops), F.lit("bad_op"))
+        .when(
+            ~is_delete & ~F.coalesce(F.col(cfg.role_col), F.lit("")).isin(*cfg.roles),
+            F.lit("bad_role"),
+        )
+        .when(
+            ~is_delete
+            & F.col(cfg.role_col).isin(*cfg.tool_required_roles)
+            & (F.coalesce(F.trim(F.col(cfg.tool_col)), F.lit("")) == ""),
+            F.lit("missing_tool"),
+        )
+        .when(
+            ~is_delete & (F.octet_length(F.col(cfg.text_col)) > cfg.max_text_bytes),
+            F.lit("text_too_large"),
+        )
+        .when(
+            ~is_delete & ~_text_wellformed(F.col(cfg.text_col)),
+            F.lit("malformed_text"),
+        )
+    )
+
+    if cfg.check_ts_monotonic:
+        # ts must be >= every STRICTLY EARLIER turn's ts within the same
+        # conv. Range frame on turn_idx (not rows) so that multiple
+        # revisions of the same turn never compare against each other —
+        # a re-update may legitimately carry any ts for its own turn.
+        # Shuffles by conv_id — the same key the dedup aggregate uses.
+        w = (
+            Window.partitionBy(*[F.col(k) for k in cfg.key_cols[:1]])
+            .orderBy(F.col(cfg.key_cols[1]).cast("long"))
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        prev_max_ts = F.max(F.col(cfg.ts_col)).over(w)
+        reason = reason.when(
+            ~is_delete
+            & prev_max_ts.isNotNull()
+            & (F.col(cfg.ts_col) < prev_max_ts),
+            F.lit("ts_not_monotonic"),
+        )
+
+    flagged = events.withColumn(REASON_COL, reason)
+    valid = flagged.filter(F.col(REASON_COL).isNull()).drop(REASON_COL)
+    rejects = flagged.filter(F.col(REASON_COL).isNotNull())
+    return valid, rejects

@@ -1,0 +1,127 @@
+"""Manifest (snapshot) files for LakeTable.
+
+Layout on disk::
+
+    <table_dir>/
+      _manifests/v00000001.json     # one JSON per committed snapshot
+      data/<commit-token>/_bucket=<i>/part-*.parquet
+
+A manifest is immutable once committed. Commit protocol: write the JSON
+to a temp name, then ``os.link`` it to its final ``v{N}.json`` name —
+link(2) fails with EEXIST if another writer won the race, giving
+optimistic-concurrency semantics with no external lock service.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+
+
+@dataclass
+class DataFile:
+    path: str  # relative to table root
+    bucket: int
+    schema_id: int
+
+    def to_json(self) -> dict[str, Any]:
+        return {"path": self.path, "bucket": self.bucket, "schema_id": self.schema_id}
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "DataFile":
+        return DataFile(path=d["path"], bucket=int(d["bucket"]), schema_id=int(d["schema_id"]))
+
+
+@dataclass
+class Manifest:
+    version: int
+    current_schema_id: int
+    schemas: dict[int, str]  # schema_id -> Spark StructType json string
+    bucket_key: str
+    num_buckets: int
+    files: list[DataFile] = field(default_factory=list)
+    summary: dict[str, Any] = field(default_factory=dict)
+    parent: int | None = None
+    properties: dict[str, str] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "format_version": 1,
+                "version": self.version,
+                "current_schema_id": self.current_schema_id,
+                "schemas": {str(k): v for k, v in self.schemas.items()},
+                "bucket_key": self.bucket_key,
+                "num_buckets": self.num_buckets,
+                "files": [f.to_json() for f in self.files],
+                "summary": self.summary,
+                "parent": self.parent,
+                "properties": self.properties,
+            },
+            indent=1,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        d = json.loads(s)
+        return Manifest(
+            version=int(d["version"]),
+            current_schema_id=int(d["current_schema_id"]),
+            schemas={int(k): v for k, v in d["schemas"].items()},
+            bucket_key=d["bucket_key"],
+            num_buckets=int(d["num_buckets"]),
+            files=[DataFile.from_json(f) for f in d["files"]],
+            summary=d.get("summary", {}),
+            parent=d.get("parent"),
+            properties=d.get("properties", {}),
+        )
+
+
+def manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def latest_version(table_dir: str) -> int | None:
+    mdir = os.path.join(table_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return None
+    versions = [
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+    ]
+    return max(versions) if versions else None
+
+
+def read_manifest(table_dir: str, version: int) -> Manifest:
+    with open(manifest_path(table_dir, version)) as fh:
+        return Manifest.from_json(fh.read())
+
+
+def commit_manifest(table_dir: str, m: Manifest) -> None:
+    """Atomically publish manifest version ``m.version``.
+
+    Raises FileExistsError on a lost optimistic-concurrency race.
+    """
+    mdir = os.path.join(table_dir, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        fh.write(m.to_json())
+        fh.flush()
+        os.fsync(fh.fileno())
+    final = manifest_path(table_dir, m.version)
+    try:
+        os.link(tmp, final)  # atomic create-if-absent
+    finally:
+        os.unlink(tmp)
+
+
+def new_commit_token() -> str:
+    return uuid.uuid4().hex[:16]

@@ -1,0 +1,366 @@
+"""LakeTable — bucketed, snapshot-isolated, copy-on-write table.
+
+Scale design (the part that matters at 10^10 events / 100 TB):
+
+- Data files are hash-bucketed on the merge key (``xxhash64 % B``).
+  A MERGE reads and rewrites **only the buckets present in the batch**
+  — file-level pruning happens in Python against the manifest, before
+  Spark ever lists a file, so merge I/O is O(affected data), not
+  O(table).
+- The change batch is normally tiny relative to the table, so the
+  anti-join that drops superseded target rows broadcasts the batch:
+  the big (target) side is never shuffled and the rewrite stays
+  partition-local. Above ``broadcast_threshold`` rows we fall back to a
+  shuffle join and let AQE handle skew.
+- ``num_buckets`` is the unit of merge parallelism AND write
+  amplification: at 100 TB you would run B=4096 so a batch touching 1%
+  of conversations rewrites ~1% of the table. Tests use B=8..32.
+
+Reference parity: MERGE ≙ the routed copy + Redis last-writer-wins
+upsert of the reference (RouteIngestedFile.kt:57-75,
+FnCacheUpdater.kt:22-46); snapshot commit ≙ Durable Functions'
+deterministic replay guarantee (FnOrchestrator.kt:194-204) — a replayed
+batch whose batch_id is already in a committed summary is a no-op.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructType,
+)
+
+from dexspark.lake import manifest as mf
+
+BUCKET_COL = "_bucket"
+
+# widenings allowed by evolve_schema (Iceberg-compatible set)
+_WIDENINGS = {
+    (IntegerType(), LongType()),
+    (IntegerType(), DoubleType()),
+    (LongType(), DoubleType()),
+    (FloatType(), DoubleType()),
+}
+
+
+class CommitConflict(Exception):
+    """Another writer committed the same version first."""
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, table_dir: str):
+        self.spark = spark
+        self.table_dir = os.path.abspath(table_dir)
+
+    # ---------------------------------------------------------------- create
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        table_dir: str,
+        schema: StructType,
+        bucket_key: str,
+        num_buckets: int = 32,
+        properties: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        if bucket_key not in schema.fieldNames():
+            raise ValueError(f"bucket_key {bucket_key!r} not in schema")
+        os.makedirs(table_dir, exist_ok=True)
+        m = mf.Manifest(
+            version=1,
+            current_schema_id=1,
+            schemas={1: schema.json()},
+            bucket_key=bucket_key,
+            num_buckets=num_buckets,
+            files=[],
+            summary={"operation": "create"},
+            parent=None,
+            properties=properties or {},
+        )
+        mf.commit_manifest(table_dir, m)
+        return LakeTable(spark, table_dir)
+
+    @staticmethod
+    def exists(table_dir: str) -> bool:
+        return mf.latest_version(table_dir) is not None
+
+    # ------------------------------------------------------------- manifests
+    def current_version(self) -> int:
+        v = mf.latest_version(self.table_dir)
+        if v is None:
+            raise FileNotFoundError(f"no manifests under {self.table_dir}")
+        return v
+
+    def manifest(self, version: int | None = None) -> mf.Manifest:
+        return mf.read_manifest(self.table_dir, version or self.current_version())
+
+    def schema(self, version: int | None = None) -> StructType:
+        m = self.manifest(version)
+        return StructType.fromJson(
+            __import__("json").loads(m.schemas[m.current_schema_id])
+        )
+
+    def history(self) -> list[mf.Manifest]:
+        return [self.manifest(v) for v in range(1, self.current_version() + 1)]
+
+    def committed_batch_ids(self) -> set[Any]:
+        return {
+            m.summary["batch_id"]
+            for m in self.history()
+            if "batch_id" in m.summary
+        }
+
+    def lineage_df(self) -> DataFrame:
+        """Per-commit, per-bucket lineage as a DataFrame (the metrics table).
+
+        Derived from manifest summaries — written atomically WITH the data,
+        so it can never disagree with table contents.
+        """
+        rows = []
+        for m in self.history():
+            s = m.summary
+            for part in s.get("partitions", []):
+                rows.append(
+                    (
+                        m.version,
+                        s.get("batch_id"),
+                        int(part["bucket"]),
+                        part.get("start_lsn"),
+                        part.get("end_lsn"),
+                        int(part.get("applied", 0)),
+                        int(part.get("rejected", 0)),
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "version long, batch_id string, bucket int, start_lsn long, "
+            "end_lsn long, applied long, rejected long",
+        )
+
+    # ------------------------------------------------------------------ read
+    def _bucket_expr(self, m: mf.Manifest):
+        return F.pmod(F.xxhash64(F.col(m.bucket_key)), F.lit(m.num_buckets)).cast("int")
+
+    def read(
+        self, version: int | None = None, buckets: Iterable[int] | None = None
+    ) -> DataFrame:
+        m = self.manifest(version)
+        current = StructType.fromJson(
+            __import__("json").loads(m.schemas[m.current_schema_id])
+        )
+        files = m.files
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f.bucket in bset]
+        if not files:
+            return self.spark.createDataFrame([], current)
+        # group by writer schema; project+cast each group to current schema
+        by_schema: dict[int, list[str]] = {}
+        for f in files:
+            by_schema.setdefault(f.schema_id, []).append(
+                os.path.join(self.table_dir, f.path)
+            )
+        parts = []
+        for sid, paths in by_schema.items():
+            writer_schema = StructType.fromJson(
+                __import__("json").loads(m.schemas[sid])
+            )
+            df = self.spark.read.schema(writer_schema).parquet(*paths)
+            parts.append(_align(df, current))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ----------------------------------------------------------------- write
+    def _write_data(self, df: DataFrame, m: mf.Manifest) -> list[mf.DataFile]:
+        """Write df (table columns) bucketed; return new DataFile entries."""
+        token = mf.new_commit_token()
+        out_rel = os.path.join(mf.DATA_DIR, token)
+        out_abs = os.path.join(self.table_dir, out_rel)
+        (
+            df.withColumn(BUCKET_COL, self._bucket_expr(m))
+            .write.partitionBy(BUCKET_COL)
+            .parquet(out_abs, mode="errorifexists")
+        )
+        new_files: list[mf.DataFile] = []
+        if os.path.isdir(out_abs):
+            for entry in os.listdir(out_abs):
+                if not entry.startswith(f"{BUCKET_COL}="):
+                    continue
+                bucket = int(entry.split("=", 1)[1])
+                bdir = os.path.join(out_abs, entry)
+                for fn in os.listdir(bdir):
+                    if fn.endswith(".parquet"):
+                        new_files.append(
+                            mf.DataFile(
+                                path=os.path.join(out_rel, entry, fn),
+                                bucket=bucket,
+                                schema_id=m.current_schema_id,
+                            )
+                        )
+        return new_files
+
+    def _commit_next(
+        self,
+        base: mf.Manifest,
+        files: list[mf.DataFile],
+        summary: dict[str, Any],
+        schemas: dict[int, str] | None = None,
+        current_schema_id: int | None = None,
+    ) -> mf.Manifest:
+        nxt = mf.Manifest(
+            version=base.version + 1,
+            current_schema_id=current_schema_id or base.current_schema_id,
+            schemas=schemas or base.schemas,
+            bucket_key=base.bucket_key,
+            num_buckets=base.num_buckets,
+            files=files,
+            summary=summary,
+            parent=base.version,
+            properties=base.properties,
+        )
+        try:
+            mf.commit_manifest(self.table_dir, nxt)
+        except FileExistsError as e:  # lost the race
+            raise CommitConflict(
+                f"version {nxt.version} already committed at {self.table_dir}"
+            ) from e
+        return nxt
+
+    def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> None:
+        m = self.manifest()
+        current = self.schema()
+        new_files = self._write_data(_align(df, current), m)
+        self._commit_next(
+            m, m.files + new_files, {"operation": "append", **(summary or {})}
+        )
+
+    def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> None:
+        m = self.manifest()
+        current = self.schema()
+        new_files = self._write_data(_align(df, current), m)
+        self._commit_next(
+            m, new_files, {"operation": "overwrite", **(summary or {})}
+        )
+
+    # ----------------------------------------------------------------- merge
+    def merge(
+        self,
+        changes: DataFrame,
+        key_cols: list[str],
+        op_col: str = "op",
+        delete_value: str = "D",
+        summary: dict[str, Any] | None = None,
+        broadcast_threshold: int = 2_000_000,
+    ) -> dict[str, Any]:
+        """Copy-on-write MERGE.
+
+        ``changes`` must be pre-deduplicated (exactly one row per key —
+        see dexspark.cdc.dedup) and contain ``op_col`` plus every current
+        table column. Semantics per key:
+
+        - op == delete_value → row removed if present (no-op if absent)
+        - any other op       → upsert (insert or full-row replace)
+
+        Only buckets containing at least one change key are read or
+        rewritten; all other data files carry over into the new snapshot
+        untouched.
+        """
+        m = self.manifest()
+        current = self.schema()
+        changes = changes.withColumn(BUCKET_COL, self._bucket_expr(m)).persist()
+        try:
+            # one job: affected buckets + batch size
+            stats = changes.groupBy(BUCKET_COL).count().collect()
+            affected = {int(r[BUCKET_COL]) for r in stats}
+            n_changes = int(sum(r["count"] for r in stats))
+
+            if n_changes == 0:
+                # nothing to do — still commit the (empty) summary so the
+                # batch ledger records it and replay stays idempotent
+                info = {
+                    "operation": "merge",
+                    "affected_buckets": [],
+                    "change_rows": 0,
+                    **(summary or {}),
+                }
+                self._commit_next(m, m.files, info)
+                return info
+
+            untouched = [f for f in m.files if f.bucket not in affected]
+            target = self.read(buckets=affected)
+
+            keys = changes.select(*key_cols)
+            if n_changes <= broadcast_threshold:
+                keys = F.broadcast(keys)
+            survivors = target.join(keys, on=key_cols, how="left_anti")
+
+            upserts = _align(
+                changes.filter(F.col(op_col) != F.lit(delete_value)), current
+            )
+            new_data = _align(survivors, current).unionByName(upserts)
+
+            new_files = self._write_data(new_data, m)
+            info = {
+                "operation": "merge",
+                "affected_buckets": sorted(affected),
+                "change_rows": n_changes,
+                **(summary or {}),
+            }
+            self._commit_next(m, untouched + new_files, info)
+            return info
+        finally:
+            changes.unpersist()
+
+    # ------------------------------------------------------- schema evolution
+    def evolve_schema(self, new_schema: StructType) -> bool:
+        """Additive columns + numeric widening. Returns True if evolved.
+
+        Reference has no schema evolution (configs fixed, SURVEY §2.2);
+        this is the north-rule requirement: ALTER-like DDL mid-replay.
+        """
+        m = self.manifest()
+        current = self.schema()
+        if new_schema.json() == current.json():
+            return False
+        cur_fields = {f.name: f for f in current.fields}
+        for f in new_schema.fields:
+            if f.name in cur_fields:
+                old = cur_fields[f.name].dataType
+                if old != f.dataType and (old, f.dataType) not in _WIDENINGS:
+                    raise ValueError(
+                        f"illegal type change for {f.name}: {old} -> {f.dataType}"
+                    )
+        for name in cur_fields:
+            if name not in new_schema.fieldNames():
+                raise ValueError(f"dropping column {name!r} is not supported")
+        new_sid = max(m.schemas) + 1
+        schemas = dict(m.schemas)
+        schemas[new_sid] = new_schema.json()
+        self._commit_next(
+            m,
+            m.files,
+            {"operation": "evolve_schema", "schema_id": new_sid},
+            schemas=schemas,
+            current_schema_id=new_sid,
+        )
+        return True
+
+
+def _align(df: DataFrame, schema: StructType) -> DataFrame:
+    """Project/cast df to exactly `schema` (missing columns → NULL)."""
+    cols = []
+    have = set(df.columns)
+    for f in schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -1,0 +1,134 @@
+"""LakeTable: snapshots, COW merge, bucket pruning, schema evolution."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from dexspark.lake.table import CommitConflict, LakeTable
+
+SCHEMA = StructType(
+    [
+        StructField("k", StringType()),
+        StructField("seq", IntegerType()),
+        StructField("v", StringType()),
+    ]
+)
+
+
+def _mk(spark, d, rows):
+    t = LakeTable.create(spark, d, SCHEMA, bucket_key="k", num_buckets=8)
+    if rows:
+        t.append(spark.createDataFrame(rows, SCHEMA))
+    return t
+
+
+def test_create_read_empty(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, [])
+    assert t.read().count() == 0
+    assert t.read().schema == SCHEMA
+
+
+def test_append_and_read(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, [("a", 1, "x"), ("b", 2, "y")])
+    got = {(r.k, r.seq, r.v) for r in t.read().collect()}
+    assert got == {("a", 1, "x"), ("b", 2, "y")}
+
+
+def test_merge_upsert_delete(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z")])
+    changes = spark.createDataFrame(
+        [("a", 1, "x2", "U"), ("c", 3, None, "D"), ("d", 4, "w", "I")],
+        "k string, seq int, v string, op string",
+    )
+    t.merge(changes, key_cols=["k"])
+    got = {(r.k, r.seq, r.v) for r in t.read().collect()}
+    assert got == {("a", 1, "x2"), ("b", 2, "y"), ("d", 4, "w")}
+
+
+def test_merge_only_rewrites_affected_buckets(spark, tmp_table_dir):
+    rows = [(f"k{i}", i, f"v{i}") for i in range(200)]
+    t = _mk(spark, tmp_table_dir, rows)
+    files_before = {f.path: f.bucket for f in t.manifest().files}
+    changes = spark.createDataFrame([("k7", 7, "NEW", "U")], "k string, seq int, v string, op string")
+    info = t.merge(changes, key_cols=["k"])
+    affected = set(info["affected_buckets"])
+    assert len(affected) == 1
+    files_after = {f.path: f.bucket for f in t.manifest().files}
+    # every file in an untouched bucket must carry over byte-identical
+    untouched_before = {p for p, b in files_before.items() if b not in affected}
+    assert untouched_before <= set(files_after)
+    got = dict((r.k, r.v) for r in t.read().collect())
+    assert got["k7"] == "NEW" and got["k0"] == "v0" and len(got) == 200
+
+
+def test_time_travel(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, [("a", 1, "x")])
+    v1 = t.current_version()
+    t.merge(
+        spark.createDataFrame([("a", 1, "x2", "U")], "k string, seq int, v string, op string"),
+        key_cols=["k"],
+    )
+    assert t.read(version=v1).collect()[0].v == "x"
+    assert t.read().collect()[0].v == "x2"
+
+
+def test_schema_evolution_additive_and_widening(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, [("a", 1, "x")])
+    new = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("seq", LongType()),  # int -> long widening
+            StructField("v", StringType()),
+            StructField("model", StringType()),  # additive
+        ]
+    )
+    assert t.evolve_schema(new)
+    row = t.read().collect()[0]
+    assert row.seq == 1 and row.model is None
+    assert dict(t.read().dtypes)["seq"] == "bigint"
+    # old files still readable; merge under new schema works
+    t.merge(
+        spark.createDataFrame(
+            [("b", 2**40, "y", "m1", "I")],
+            "k string, seq long, v string, model string, op string",
+        ),
+        key_cols=["k"],
+    )
+    got = {(r.k, r.seq, r.model) for r in t.read().collect()}
+    assert got == {("a", 1, None), ("b", 2**40, "m1")}
+
+
+def test_schema_evolution_rejects_illegal(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, [])
+    bad = StructType([StructField("k", StringType()), StructField("seq", StringType()), StructField("v", StringType())])
+    with pytest.raises(ValueError):
+        t.evolve_schema(bad)
+    with pytest.raises(ValueError):
+        t.evolve_schema(StructType([StructField("k", StringType())]))
+
+
+def test_commit_conflict(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, [])
+    m = t.manifest()
+    t.append(spark.createDataFrame([("a", 1, "x")], SCHEMA))
+    # a second writer holding the stale manifest loses the race
+    with pytest.raises(CommitConflict):
+        t._commit_next(m, m.files, {"operation": "append"})
+
+
+def test_lineage_df_from_summaries(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, [])
+    t.merge(
+        spark.createDataFrame([("a", 1, "x", "I")], "k string, seq int, v string, op string"),
+        key_cols=["k"],
+        summary={"batch_id": "b0", "partitions": [{"bucket": 0, "applied": 1, "start_lsn": 0, "end_lsn": 0, "rejected": 0}]},
+    )
+    ldf = t.lineage_df()
+    assert ldf.filter(F.col("batch_id") == "b0").count() == 1
+    assert "b0" in t.committed_batch_ids()
