@@ -1,0 +1,119 @@
+"""Benchmark harness.
+
+Headline: change-events/sec applied end-to-end (tail → validate →
+dedup → COW merge), per BASELINE.json. The change log is materialized
+to parquet first (untimed) so the timed section is exactly the
+pipeline: Structured-Streaming tail over the log segments →
+foreachBatch apply_changes → committed snapshots.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "events": N, "events_per_sec": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     DEXSPARK_BENCH_EVENTS (override event count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql.types import _parse_datatype_string  # noqa: E402
+
+from dexspark.cdc.generator import gen_change_log  # noqa: E402
+from dexspark.lake.table import LakeTable  # noqa: E402
+from dexspark.queries import QUERIES  # noqa: E402
+from dexspark.session import get_spark  # noqa: E402
+from dexspark.streaming.replay import CdcStreamReplay  # noqa: E402
+
+PAYLOAD = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+LOG_SCHEMA = "lsn long, op string, batch_seq long, " + PAYLOAD
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_revenue_by_order",
+    "q5_nation_volume",
+    "route_events",
+    "doc_token_stats",
+    "cdc_dedup_latest",
+]
+
+
+def run_cdc_replay(spark, n_events: int, n_batches: int = 4, num_buckets: int = 64):
+    """Returns (elapsed_sec, applied). Generation + log write untimed."""
+    work = tempfile.mkdtemp(prefix="dexspark_bench_")
+    try:
+        log_dir = os.path.join(work, "log")
+        log = gen_change_log(
+            spark, n_events, n_convs=max(200, n_events // 200),
+            n_batches=n_batches, hot_conv_pct=5,
+        )
+        log.repartition("batch_seq").write.partitionBy("batch_seq").parquet(log_dir)
+
+        table = LakeTable.create(
+            spark, os.path.join(work, "transcripts"),
+            _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=num_buckets,
+        )
+        replay = CdcStreamReplay(
+            spark, table, log_dir + "/*", os.path.join(work, "cp"),
+            _parse_datatype_string(LOG_SCHEMA),
+            salt_buckets=8,
+        )
+        t0 = time.perf_counter()
+        results = replay.run_available()
+        elapsed = time.perf_counter() - t0
+        applied = sum(r.get("applied", 0) for r in results)
+        return elapsed, applied
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("dexspark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # size the log off the events table (~20 change events per source event)
+    n_src = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    n_events = int(os.environ.get("DEXSPARK_BENCH_EVENTS", n_src * 20))
+
+    elapsed, applied = run_cdc_replay(spark, n_events)
+
+    q_times: dict[str, float] = {"cdc_replay": round(elapsed, 3)}
+    for name in BENCH_QUERIES:
+        fn, _ = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        q_times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_end_to_end_sec (tail->validate->dedup->merge)",
+                "value": round(elapsed, 3),
+                "unit": "sec",
+                "queries": q_times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "events": n_events,
+                "applied": applied,
+                "events_per_sec": round(n_events / elapsed, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StructType
 
 from dexspark.cdc.dedup import dedupe_latest
-from dexspark.cdc.validate import REASON_COL, ValidationConfig, validate_events
+from dexspark.cdc.validate import REASON_COL, ValidationConfig, flag_events
 from dexspark.lake.table import LakeTable
 
 META_COLS = ("lsn", "op", "batch_seq", REASON_COL)
@@ -66,12 +66,13 @@ def apply_changes(
 
     maybe_evolve_schema(table, events)
 
-    valid, rejects = validate_events(events, cfg)
-    rejects = rejects.persist()
+    # one full compute of the validation stage, shared by both sides
+    flagged = flag_events(events, cfg).persist()
     try:
-        reject_stats = (
-            rejects.groupBy(REASON_COL).count().collect()
-        )
+        rejects = flagged.filter(F.col(REASON_COL).isNotNull())
+        valid = flagged.filter(F.col(REASON_COL).isNull()).drop(REASON_COL)
+
+        reject_stats = rejects.groupBy(REASON_COL).count().collect()
         rejected_by_reason = {r[REASON_COL]: int(r["count"]) for r in reject_stats}
         n_rejected = sum(rejected_by_reason.values())
 
@@ -80,7 +81,9 @@ def apply_changes(
         ).persist()
 
         # per-bucket lineage (≙ ActivityParams per-branch lineage,
-        # ActivityDtos.kt:20-25): offset range + applied count per bucket
+        # ActivityDtos.kt:20-25): offset range + applied count per bucket.
+        # This one job also yields the affected-bucket stats the merge
+        # needs, so merge skips its own stats pass.
         m = table.manifest()
         bucket = F.pmod(
             F.xxhash64(F.col(m.bucket_key)), F.lit(m.num_buckets)
@@ -111,6 +114,7 @@ def apply_changes(
             key_cols=list(cfg.key_cols),
             op_col=cfg.op_col,
             delete_value=cfg.delete_op,
+            bucket_stats={int(r["bucket"]): int(r["applied"]) for r in lineage_rows},
             summary={
                 "batch_id": batch_id,
                 "partitions": partitions,
@@ -134,4 +138,4 @@ def apply_changes(
             "merge": json.loads(json.dumps(info, default=str)),
         }
     finally:
-        rejects.unpersist()
+        flagged.unpersist()

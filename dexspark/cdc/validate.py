@@ -61,6 +61,16 @@ def validate_events(
 ) -> tuple[DataFrame, DataFrame]:
     """Split events into (valid, rejects). ``rejects`` carries
     ``reject_reason``; ``valid`` has the input schema unchanged."""
+    flagged = flag_events(events, cfg)
+    valid = flagged.filter(F.col(REASON_COL).isNull()).drop(REASON_COL)
+    rejects = flagged.filter(F.col(REASON_COL).isNotNull())
+    return valid, rejects
+
+
+def flag_events(events: DataFrame, cfg: ValidationConfig | None = None) -> DataFrame:
+    """Single-pass variant: input plus a ``reject_reason`` column (NULL
+    = valid). Callers that need both sides should persist THIS frame
+    and filter twice — one compute instead of two."""
     cfg = cfg or ValidationConfig()
     is_delete = F.col(cfg.op_col) == F.lit(cfg.delete_op)
 
@@ -93,24 +103,33 @@ def validate_events(
 
     if cfg.check_ts_monotonic:
         # ts must be >= every STRICTLY EARLIER turn's ts within the same
-        # conv. Range frame on turn_idx (not rows) so that multiple
-        # revisions of the same turn never compare against each other —
-        # a re-update may legitimately carry any ts for its own turn.
-        # Shuffles by conv_id — the same key the dedup aggregate uses.
-        w = (
-            Window.partitionBy(*[F.col(k) for k in cfg.key_cols[:1]])
-            .orderBy(F.col(cfg.key_cols[1]).cast("long"))
-            .rangeBetween(Window.unboundedPreceding, -1)
+        # conv (revisions of the same turn never compare against each
+        # other). A window over the raw events would shuffle + sort the
+        # whole batch; instead: (1) hash-aggregate max(ts) per (conv,
+        # turn) — partial agg collapses the batch map-side; (2) running
+        # max over the (small) distinct-turn set; (3) join the per-turn
+        # prev-max back — AQE broadcasts it, so the event stream itself
+        # is never shuffled for this check.
+        prev_col = "_prev_max_ts"
+        turn_max = events.groupBy(*cfg.key_cols).agg(
+            F.max(F.col(cfg.ts_col)).alias("_turn_ts")
         )
-        prev_max_ts = F.max(F.col(cfg.ts_col)).over(w)
+        w = (
+            Window.partitionBy(*cfg.key_cols[:1])
+            .orderBy(F.col(cfg.key_cols[1]))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev = turn_max.select(
+            *cfg.key_cols, F.max("_turn_ts").over(w).alias(prev_col)
+        )
+        orig_cols = events.columns
+        events = events.join(prev, on=list(cfg.key_cols), how="left")
         reason = reason.when(
             ~is_delete
-            & prev_max_ts.isNotNull()
-            & (F.col(cfg.ts_col) < prev_max_ts),
+            & F.col(prev_col).isNotNull()
+            & (F.col(cfg.ts_col) < F.col(prev_col)),
             F.lit("ts_not_monotonic"),
         )
+        return events.withColumn(REASON_COL, reason).select(*orig_cols, REASON_COL)
 
-    flagged = events.withColumn(REASON_COL, reason)
-    valid = flagged.filter(F.col(REASON_COL).isNull()).drop(REASON_COL)
-    rejects = flagged.filter(F.col(REASON_COL).isNotNull())
-    return valid, rejects
+    return events.withColumn(REASON_COL, reason)

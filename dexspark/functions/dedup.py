@@ -1,0 +1,213 @@
+"""Deduplication families for corpus curation at scale.
+
+- exact_dedup: fingerprint → groupBy. One shuffle on a 64-bit key;
+  min-id winner is deterministic.
+- minhash_lsh_pairs: shingles → K minhashes → B bands → bucket
+  self-join. The self-join happens per (band, band-hash) bucket, so
+  candidate generation is output-bounded, never O(n²).
+- simhash: 64-bit near-dup signature via per-bit majority vote over
+  token hashes — expression-only (explode + groupBy bit-vote).
+- ngram_jaccard: exact Jaccard on shingle sets for a candidate pair
+  set (verification stage after LSH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _norm(text_col: str) -> "F.Column":
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def shingles(text_col: str, n: int = 3) -> "F.Column":
+    """Word n-gram shingles as an array<string> (distinct)."""
+    toks = F.split(_norm(text_col), " ")
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct text: the minimum id wins; ``n_copies``
+    counts the group. Hash-groupBy — the only shuffle key is the 64-bit
+    fingerprint + full text for collision safety."""
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop(text_col)
+        .select(id_col, "n_copies")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """K minhash values per doc, computed as expressions: for hash k,
+    min over shingles of xxhash64(shingle, seed+k). No UDF, no explode
+    — the K mins are array ops over the shingle array."""
+    sh = shingles(text_col, shingle_n).alias("_sh")
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("_sh"), lambda s, k=k: F.xxhash64(s, F.lit(seed + k)))
+            )
+            for k in range(num_hashes)
+        ]
+    )
+    return df.select(id_col, sh).select(id_col, sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) whose signatures
+    collide in ≥1 LSH band. rows_per_band = num_hashes/bands sets the
+    similarity knee. Scale shape: explode to (doc, band, band_hash),
+    self-join per bucket — shuffle is K/B hashes per doc, candidates
+    bounded by real collisions."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("minhash")[b * rows + r].cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs: intersection/union of shingle
+    sets, returned as exact integer (inter, union) + x1000 ratio."""
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    return j.select(
+        "id_a",
+        "id_b",
+        inter.alias("n_inter"),
+        union.alias("n_union"),
+        F.when(union > 0, (inter * 1000 / union).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("jaccard_x1000"),
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", out_col: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash: per-bit majority vote over token xxhash64 values.
+    Expression-only: for each bit, count tokens with that bit set vs
+    total; bit set in output iff set-count*2 > total."""
+    toks = F.filter(F.split(_norm(text_col), " "), lambda t: t != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h, i=i: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)),
+        )
+        for i in range(64)
+    ]
+    sig = None
+    for i, v in enumerate(bit_votes):
+        bit = F.when(v * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return df.withColumn(out_col, sig)
+
+
+def hamming_near_dups(
+    sigs: DataFrame, id_col: str = "doc_id", sig_col: str = "simhash", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs by banding the 64-bit signature into 4
+    16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk), then
+    verifying hamming distance via bit_count(xor)."""
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col(sig_col), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+            )
+            for c in range(4)
+        ]
+    )
+    banded = sigs.select(id_col, sig_col, F.explode(chunks).alias("cc")).select(
+        id_col, sig_col, "cc.chunk", "cc.val"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

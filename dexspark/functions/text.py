@@ -1,0 +1,109 @@
+"""Text analysis for large-scale corpus curation.
+
+All hot-path functions are pure Catalyst expressions (JVM-side,
+whole-stage codegen) — no Python executes per row. The language-ID
+heuristic uses a small broadcastable profile table, not a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# a deliberately small stopword set usable cross-engine
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long").alias("n_tokens")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish proxy: word-piece-like segments (runs of letters, runs
+    of digits, single punctuation) — a deterministic regex split, the
+    standard cheap estimator for LLM token budgeting."""
+    return F.size(
+        F.filter(
+            F.split(text, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+            lambda s: F.trim(s) != "",
+        )
+    ).cast("long")
+
+
+def stopword_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens, n_stopwords (exact integers — ratio left to the
+    consumer so results stay float-free)."""
+    toks = tokens(F.col(text_col))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    return df.withColumn("n_tokens", F.size(toks).cast("long")).withColumn(
+        "n_stopwords", n_stop.cast("long")
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features (Gopher/C4-style): length, mean word
+    length x1000 (integer), stopword presence, alpha ratio x1000,
+    terminal punctuation. All codegen'd expressions."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(t).cast("long")
+    alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("long")
+    n_stop = F.size(F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS))).cast("long")
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "mean_word_len_x1000",
+            F.when(n_tok > 0, (n_chars * 1000 / n_tok).cast("long")).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "alpha_ratio_x1000",
+            F.when(n_chars > 0, (alpha_chars * 1000 / n_chars).cast("long")).otherwise(F.lit(0)),
+        )
+        .withColumn("n_stopwords", n_stop)
+        .withColumn("ends_with_punct", t.rlike(r"[.!?]\s*$"))
+    )
+
+
+# ---------------------------------------------------------------- lang id
+# character/word n-gram profiles per language — tiny broadcast config,
+# scored with array_intersect (JVM-side). Deterministic heuristic, NOT a
+# model; good enough for bucketing a crawl by probable language.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "is", "of", "to", "it", "in", "that"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "es": ("el", "la", "los", "es", "un", "una", "que", "y"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Best-scoring language by marker-word overlap; 'und' if no marker
+    hits. One pass, all expressions."""
+    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in ms]))).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ms in _LANG_MARKERS.items()
+    ]
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out_col,
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
+    """64-bit document fingerprint: xxhash64 of normalized text
+    (lowercased, whitespace collapsed). Stable across runs/sessions —
+    usable as a global exact-dup key at 100 TB."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, F.xxhash64(norm))

@@ -179,13 +179,23 @@ class LakeTable:
         return out
 
     # ----------------------------------------------------------------- write
-    def _write_data(self, df: DataFrame, m: mf.Manifest) -> list[mf.DataFile]:
-        """Write df (table columns) bucketed; return new DataFile entries."""
+    def _write_data(
+        self, df: DataFrame, m: mf.Manifest, n_buckets_hint: int | None = None
+    ) -> list[mf.DataFile]:
+        """Write df (table columns) bucketed; return new DataFile entries.
+
+        Repartitioned by bucket before the write so each bucket lands as
+        one file (otherwise every task writes a sliver into every bucket
+        dir — tasks x buckets tiny files, which poisons later reads).
+        At 100 TB you raise files-per-bucket by repartitioning on
+        (bucket, salt); here one file per bucket is right-sized."""
         token = mf.new_commit_token()
         out_rel = os.path.join(mf.DATA_DIR, token)
         out_abs = os.path.join(self.table_dir, out_rel)
+        n_parts = max(1, n_buckets_hint or m.num_buckets)
         (
             df.withColumn(BUCKET_COL, self._bucket_expr(m))
+            .repartition(n_parts, F.col(BUCKET_COL))
             .write.partitionBy(BUCKET_COL)
             .parquet(out_abs, mode="errorifexists")
         )
@@ -259,6 +269,7 @@ class LakeTable:
         delete_value: str = "D",
         summary: dict[str, Any] | None = None,
         broadcast_threshold: int = 2_000_000,
+        bucket_stats: dict[int, int] | None = None,
     ) -> dict[str, Any]:
         """Copy-on-write MERGE.
 
@@ -275,12 +286,17 @@ class LakeTable:
         """
         m = self.manifest()
         current = self.schema()
-        changes = changes.withColumn(BUCKET_COL, self._bucket_expr(m)).persist()
+        own_persist = bucket_stats is None
+        changes = changes.withColumn(BUCKET_COL, self._bucket_expr(m))
+        if own_persist:
+            changes = changes.persist()
         try:
-            # one job: affected buckets + batch size
-            stats = changes.groupBy(BUCKET_COL).count().collect()
-            affected = {int(r[BUCKET_COL]) for r in stats}
-            n_changes = int(sum(r["count"] for r in stats))
+            if bucket_stats is None:
+                # one job: affected buckets + batch size
+                stats = changes.groupBy(BUCKET_COL).count().collect()
+                bucket_stats = {int(r[BUCKET_COL]): int(r["count"]) for r in stats}
+            affected = set(bucket_stats)
+            n_changes = int(sum(bucket_stats.values()))
 
             if n_changes == 0:
                 # nothing to do — still commit the (empty) summary so the
@@ -307,7 +323,7 @@ class LakeTable:
             )
             new_data = _align(survivors, current).unionByName(upserts)
 
-            new_files = self._write_data(new_data, m)
+            new_files = self._write_data(new_data, m, n_buckets_hint=len(affected))
             info = {
                 "operation": "merge",
                 "affected_buckets": sorted(affected),
@@ -317,7 +333,8 @@ class LakeTable:
             self._commit_next(m, untouched + new_files, info)
             return info
         finally:
-            changes.unpersist()
+            if own_persist:
+                changes.unpersist()
 
     # ------------------------------------------------------- schema evolution
     def evolve_schema(self, new_schema: StructType) -> bool:
