@@ -59,7 +59,15 @@ def run_cdc_replay(spark, n_events: int, n_batches: int = 4, num_buckets: int = 
             spark, n_events, n_convs=max(200, n_events // 200),
             n_batches=n_batches, hot_conv_pct=5,
         )
-        log.repartition("batch_seq").write.partitionBy("batch_seq").parquet(log_dir)
+        # 32 files per batch segment so the stream scan (and the
+        # validation stage fused into it) parallelizes past a handful
+        # of tasks — one file per batch caps every downstream stage.
+        from pyspark.sql import functions as F
+        (
+            log.repartition(n_batches * 32, F.col("batch_seq"), F.pmod(F.col("lsn"), 32))
+            .write.partitionBy("batch_seq")
+            .parquet(log_dir)
+        )
 
         table = LakeTable.create(
             spark, os.path.join(work, "transcripts"),
@@ -68,7 +76,10 @@ def run_cdc_replay(spark, n_events: int, n_batches: int = 4, num_buckets: int = 
         replay = CdcStreamReplay(
             spark, table, log_dir + "/*", os.path.join(work, "cp"),
             _parse_datatype_string(LOG_SCHEMA),
-            salt_buckets=8,
+            # no salt: hash-agg dedup partial-combines hot keys map-side
+            # (see dexspark/cdc/dedup.py); salting is for pathological
+            # single-key floods only and costs a second shuffle phase.
+            salt_buckets=None,
         )
         t0 = time.perf_counter()
         results = replay.run_available()

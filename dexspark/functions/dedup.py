@@ -159,19 +159,31 @@ def simhash(
     toks = F.filter(F.split(_norm(text_col), " "), lambda t: t != "")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     n = F.size(hashes)
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h, i=i: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)),
-        )
-        for i in range(64)
-    ]
-    sig = None
-    for i, v in enumerate(bit_votes):
-        bit = F.when(v * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseXOR(term)
+    # single pass over the token array: accumulate a 64-slot vote
+    # vector (votes[i] = #tokens with bit i set), then fold the
+    # majority bits into one 64-bit signature
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.transform(
+            acc, lambda v, i: v + F.bit_get(h, i).cast("long")
+        ),
+    )
+    # bit-i mask as a literal array (1<<63 is Long.MIN_VALUE)
+    masks = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(64)
+        ]
+    )
+    terms = F.zip_with(
+        votes,
+        masks,
+        lambda v, m: F.when(v * 2 > n, m).otherwise(F.lit(0).cast("long")),
+    )
+    sig = F.aggregate(
+        terms, F.lit(0).cast("long"), lambda acc, t: acc.bitwiseXOR(t)
+    )
     return df.withColumn(out_col, sig)
 
 

@@ -1,0 +1,210 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies, both expression-only (JVM-side, no Python in the hot
+path):
+
+- ``cosine_topk``: exact brute-force top-k. The query set is broadcast
+  (it is small by construction); each corpus partition scores its rows
+  locally and reduces to a per-partition top-k **before** the shuffle,
+  so the network carries O(partitions x Q x k) rows — never the
+  N x Q score matrix. This is the 100 TB-safe shape of brute force.
+- ``ann_lsh_topk``: sign-random-projection LSH. Signatures use integer
+  LCG-derived hyperplane weights (pure arithmetic — reproducible in
+  any engine, which is how the DuckDB oracle mirrors it exactly), so
+  candidate generation is a bucket equi-join: only same-signature
+  pairs are scored. Recall < 1 by design; the scale win is that the
+  per-bucket join replaces the N x Q cross product.
+
+Scale notes: at 10^9 vectors you shard buckets further (prefix of the
+signature as a partition key) and keep per-bucket rerank bounded;
+both shapes below survive that unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# LCG constants (numerical recipes); weights in [-1024, 1023] — integer
+# arithmetic only so any SQL engine reproduces the exact same planes.
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2**31
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact dot product of two array columns, accumulated in double
+    left-to-right (deterministic, engine-reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every query vector.
+
+    ``queries`` must have (query_id_col, vec_col). Returns
+    (query_id, neighbor_id, rank, score_x1e6:long). Ties broken by
+    neighbor id so output is total-ordered and engine-independent.
+
+    Plan shape: broadcast-nested-loop against the broadcast query set
+    (no shuffle of the corpus), then per-partition top-k
+    (sort_array+slice over collect_list, partially aggregated) and a
+    final k-bounded reduce — the full score matrix never shuffles.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+        )
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nvec"))
+        .join(q, F.col("_nid") != F.col("_qid"))  # exclude self-match
+        .select(
+            "_qid",
+            "_nid",
+            cosine(F.col("_qvec"), F.col("_nvec")).alias("_score"),
+        )
+    )
+    # two-phase bounded top-k: local slice per (query, shuffle-free
+    # partition), then combine the P*k survivors per query.
+    item = F.struct(
+        F.col("_score").alias("s"), (-F.col("_nid")).alias("negid"), F.col("_nid").alias("nid")
+    )
+    local = (
+        scored.groupBy("_qid", F.spark_partition_id().alias("_p"))
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(item), asc=False), 1, k
+            ).alias("_top")
+        )
+    )
+    final = (
+        local.select("_qid", F.explode("_top").alias("_it"))
+        .groupBy("_qid")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("_it"), asc=False), 1, k
+            ).alias("_top")
+        )
+        .select("_qid", F.posexplode("_top").alias("_rank0", "_it"))
+    )
+    return final.select(
+        F.col("_qid").alias("query_id"),
+        F.col("_it.nid").alias("neighbor_id"),
+        (F.col("_rank0") + 1).cast("int").alias("rank"),
+        F.round(F.col("_it.s") * 1e6).cast("long").alias("score_x1e6"),
+    )
+
+
+def _plane_weight(bit: int, d: int, dim: int, seed: int) -> Column:
+    """Deterministic hyperplane weight in [-1024, 1023] from an LCG
+    over the flat index — pure integer arithmetic, any engine can
+    reproduce it bit-for-bit."""
+    idx = (seed * 7919 + bit * dim + d) % _LCG_M
+    w = ((_LCG_A * idx + _LCG_C) % _LCG_M) % 2048 - 1024
+    return F.lit(float(w))
+
+
+def lsh_signature(
+    vec_col: Column, dim: int, n_bits: int = 8, seed: int = 42
+) -> Column:
+    """n_bits-bit sign-random-projection signature as a long. Each bit
+    is sign(<vec, plane_b>) with LCG-integer planes."""
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        proj = F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.lit(0.0),
+            lambda acc, d, b=b: acc
+            + vec_col[d].cast("double")
+            * F.element_at(
+                F.array(*[_plane_weight(b, i, dim, seed) for i in range(dim)]),
+                d + 1,
+            ),
+        )
+        sig = sig + F.when(proj >= 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def _sig_fast(vec_col: Column, dim: int, n_bits: int, seed: int) -> Column:
+    """Same signature, but computed as n_bits explicit weighted sums —
+    unrolled expressions that whole-stage-codegen compiles to straight-
+    line JVM code (no per-element array lookup)."""
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        proj = None
+        for d in range(dim):
+            term = vec_col[d].cast("double") * _plane_weight(b, d, dim, seed)
+            proj = term if proj is None else proj + term
+        sig = sig + F.when(proj >= 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates = same LSH bucket, exact cosine
+    rerank within bucket. Returns (query_id, neighbor_id, rank,
+    score_x1e6). Queries whose bucket holds < k neighbors return fewer
+    rows — that is the accuracy/cost trade the operator makes.
+    """
+    sig_c = _sig_fast(F.col(vec_col), dim, n_bits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("_nid"),
+        F.col(vec_col).alias("_nvec"),
+        sig_c.alias("_bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            _sig_fast(F.col(vec_col), dim, n_bits, seed).alias("_bucket"),
+        )
+    )
+    scored = (
+        c.join(q, on="_bucket")
+        .filter(F.col("_nid") != F.col("_qid"))
+        .select("_qid", "_nid", cosine(F.col("_qvec"), F.col("_nvec")).alias("_score"))
+    )
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("_score").desc(), F.col("_nid").asc()
+    )
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_nid").alias("neighbor_id"),
+            F.col("_rank").cast("int").alias("rank"),
+            F.round(F.col("_score") * 1e6).cast("long").alias("score_x1e6"),
+        )
+    )

@@ -196,6 +196,10 @@ class LakeTable:
         (
             df.withColumn(BUCKET_COL, self._bucket_expr(m))
             .repartition(n_parts, F.col(BUCKET_COL))
+            # sorted within partition → the dynamic-partition writer
+            # streams one bucket file at a time instead of holding an
+            # open writer per bucket value it encounters
+            .sortWithinPartitions(BUCKET_COL)
             .write.partitionBy(BUCKET_COL)
             .parquet(out_abs, mode="errorifexists")
         )

@@ -407,8 +407,329 @@ FROM documents GROUP BY text
 """
 
 
+# --------------------------------------------------------------------------
+# schema evolution mid-replay (north rule: additive column + widening)
+# --------------------------------------------------------------------------
+
+def cdc_schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay where batches >= mid carry a new ``model`` column and a
+    widened ``turn_idx`` (int→long); the engine issues lake DDL
+    mid-replay and the final state exposes the evolved schema (early
+    rows read back with NULL model / widened ints)."""
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    batches = sorted(
+        r.batch_seq for r in log.select("batch_seq").distinct().collect()
+    )
+    thr = (max(batches) + 1) // 2
+    for b in batches:
+        bdf = log.filter(F.col("batch_seq") == b)
+        if b >= thr:
+            bdf = bdf.withColumn(
+                "model", F.concat(F.lit("m"), F.pmod(F.col("lsn"), 3).cast("string"))
+            ).withColumn("turn_idx", F.col("turn_idx").cast("long"))
+        apply_changes(table, bdf, batch_id=f"b{b}")
+    return table.read()
+
+
+ORACLE_EVOLUTION = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+thr AS (SELECT (max(batch_seq) + 1) // 2 AS t FROM log),
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM flagged WHERE reject_reason IS NULL
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool, ts,
+       CASE WHEN batch_seq >= thr.t
+            THEN 'm' || CAST(lsn % 3 AS VARCHAR) END AS model
+FROM latest, thr WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# --------------------------------------------------------------------------
+# documents: quality, lang-id, near-dup, fingerprint
+# --------------------------------------------------------------------------
+
+def doc_quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dexspark.functions.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        "doc_id", "n_chars_q", "n_tokens", "mean_word_len_x1000",
+        "alpha_ratio_x1000", "n_stopwords", "ends_with_punct",
+    )
+
+
+_STOP_SQL = "'the','a','and','of','to','in','is','it'"
+
+ORACLE_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(trim(text), ' ') AS toks,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha
+  FROM documents
+)
+SELECT doc_id,
+  n_chars AS n_chars_q,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CASE WHEN len(toks) > 0
+       THEN CAST(floor(n_chars * 1000.0 / len(toks)) AS BIGINT)
+       ELSE 0 END AS mean_word_len_x1000,
+  CASE WHEN n_chars > 0
+       THEN CAST(floor(alpha * 1000.0 / n_chars) AS BIGINT)
+       ELSE 0 END AS alpha_ratio_x1000,
+  CAST(len([x for x in toks if lower(x) IN ({_STOP_SQL})]) AS BIGINT) AS n_stopwords,
+  regexp_matches(text, '[.!?]\\s*$') AS ends_with_punct
+FROM t
+"""
+
+
+def doc_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dexspark.functions.text import lang_id
+
+    docs = load(spark, sf_dir, "documents")
+    return lang_id(docs).select("doc_id", "lang_pred")
+
+
+# mirrors lang_id's argmax-with-tie-break: max score wins; ties go to
+# the lexicographically largest language code (Spark struct max).
+_MARK = {
+    "en": "'the','and','is','of','to','it','in','that'",
+    "fr": "'le','la','les','et','est','un','une','des'",
+    "de": "'der','die','das','und','ist','ein','nicht','mit'",
+    "es": "'el','la','los','es','un','una','que','y'",
+    "zh": "'的','是','了','在','我','有','和','不'",
+}
+_SCORES = ", ".join(
+    f"len(list_intersect(toks, [{v}])) AS s_{k}" for k, v in _MARK.items()
+)
+
+ORACLE_LANG = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(trim(text), ' '), x -> lower(x)) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, {_SCORES},
+         greatest(s_en, s_fr, s_de, s_es, s_zh) AS best
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN best = 0 THEN 'und'
+       WHEN s_zh = best THEN 'zh'
+       WHEN s_fr = best THEN 'fr'
+       WHEN s_es = best THEN 'es'
+       WHEN s_en = best THEN 'en'
+       ELSE 'de' END AS lang_pred
+FROM s
+"""
+
+
+def doc_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation (32 bands x 2 rows → recall
+    ~1 at jaccard ≥ 0.8) + exact n-gram-Jaccard verification. Output is
+    hash-independent (verified pairs only), so an exact brute-force
+    oracle can check it."""
+    from dexspark.functions.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, num_hashes=64, bands=32)
+    verified = ngram_jaccard(docs, cand)
+    return verified.filter(F.col("n_inter") * 1000 >= F.col("n_union") * 800).select(
+        "id_a", "id_b", "n_inter", "n_union", "jaccard_x1000"
+    )
+
+
+_SHINGLES_CTE = """
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i+1:i+3], ' ')
+                        for i in range(0, len(words)-2)]) AS s
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+        FROM documents)
+)"""
+
+ORACLE_NEAR_DUP = f"""
+WITH {_SHINGLES_CTE}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+       CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS n_union,
+       CAST(floor(len(list_intersect(a.s, b.s)) * 1000.0
+            / len(list_distinct(list_concat(a.s, b.s)))) AS BIGINT) AS jaccard_x1000
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1000
+      >= len(list_distinct(list_concat(a.s, b.s))) * 800
+"""
+
+
+def doc_simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (exact for hamming ≤ 3 by 4x16-bit pigeonhole
+    banding). Signature depends on xxhash64 → no SQL oracle (rows-only
+    check); pytest verifies semantics on known inputs instead."""
+    from dexspark.functions.dedup import hamming_near_dups, simhash
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = simhash(docs).select("doc_id", "simhash")
+    return hamming_near_dups(sigs, max_hamming=3)
+
+
+def doc_fingerprint_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups keyed by the 64-bit normalized-text fingerprint.
+    Output is per-group (min doc_id, size) — identical to grouping by
+    the normalized text itself (collision-free at this scale), which is
+    what the oracle does."""
+    from dexspark.functions.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        fingerprint(docs)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+ORACLE_FP_GROUPS = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+"""
+
+
+# --------------------------------------------------------------------------
+# embeddings: exact + approximate similarity search
+# --------------------------------------------------------------------------
+
+EMB_DIM = 64
+ANN_BITS = 4
+
+
+def emb_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dexspark.functions.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+_COS_SQL = """
+list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+/ (sqrt(list_dot_product(q.qv, q.qv))
+   * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[]))))
+"""
+
+ORACLE_COSINE_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_COS_SQL} AS score
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       CAST(round(score * 1e6) AS BIGINT) AS score_x1e6
+FROM r WHERE rank <= 5
+"""
+
+
+def emb_ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dexspark.functions.similarity import ann_lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_lsh_topk(emb, queries, dim=EMB_DIM, k=5, n_bits=ANN_BITS)
+
+
+def _ann_proj_sql(bit: int) -> str:
+    # mirror of dexspark.functions.similarity._plane_weight (seed=42):
+    # idx = (42*7919 + bit*64 + d); w = ((A*idx + C) % 2^31) % 2048 - 1024
+    return (
+        "list_sum([CAST(embedding[d+1] AS DOUBLE) * CAST("
+        f"((1103515245 * (332598 + {bit} * 64 + d) + 12345) % 2147483648) "
+        "% 2048 - 1024 AS DOUBLE) for d in range(0, 64)])"
+    )
+
+
+_ANN_SIG_SQL = " + ".join(
+    f"(CASE WHEN {_ann_proj_sql(b)} >= 0 THEN {2 ** b} ELSE 0 END)"
+    for b in range(ANN_BITS)
+)
+
+ORACLE_ANN_TOPK = f"""
+WITH sigs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         ({_ANN_SIG_SQL}) AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM sigs WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         list_dot_product(q.qv, s.v)
+         / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(s.v, s.v))) AS score
+  FROM sigs s JOIN q ON s.bucket = q.bucket AND s.vec_id <> q.query_id
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       CAST(round(score * 1e6) AS BIGINT) AS score_x1e6
+FROM r WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal: binary payload plumbing (Arrow mapInPandas)
+# --------------------------------------------------------------------------
+
+def media_feature_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text wrapped as opaque binary payloads → Arrow-batched
+    mapInPandas feature extraction (sha256 + byte length; codec step
+    stubbed deterministically — see dexspark.multimodal.media)."""
+    from dexspark.multimodal.media import extract_features, to_media
+
+    docs = load(spark, sf_dir, "documents")
+    media = to_media(docs, id_col="doc_id", payload_col="text")
+    feats = extract_features(media)
+    return feats.select("media_id", "n_bytes", "sha256_hex")
+
+
+ORACLE_MEDIA = """
+SELECT doc_id AS media_id,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       sha256(text) AS sha256_hex
+FROM documents
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "cdc_replay_final_state": (cdc_replay_final_state, ORACLE_REPLAY),
+    "cdc_schema_evolution_replay": (cdc_schema_evolution_replay, ORACLE_EVOLUTION),
+    # -- corpus curation / similarity / multimodal --
+    "doc_quality_scores": (doc_quality_scores_q, ORACLE_QUALITY),
+    "doc_lang_id": (doc_lang_id_q, ORACLE_LANG),
+    "doc_near_dup_pairs": (doc_near_dup_pairs_q, ORACLE_NEAR_DUP),
+    "doc_simhash_near_dups": (doc_simhash_near_dups_q, None),
+    "doc_fingerprint_groups": (doc_fingerprint_groups_q, ORACLE_FP_GROUPS),
+    "emb_cosine_topk": (emb_cosine_topk_q, ORACLE_COSINE_TOPK),
+    "emb_ann_lsh_topk": (emb_ann_lsh_topk_q, ORACLE_ANN_TOPK),
+    "media_feature_stats": (media_feature_stats_q, ORACLE_MEDIA),
     "cdc_dedup_latest": (cdc_dedup_latest_q, ORACLE_DEDUP),
     "cdc_validate_rejects": (cdc_validate_rejects_q, ORACLE_REJECTS),
     "cdc_lineage_batches": (cdc_lineage_batches_q, ORACLE_LINEAGE),

@@ -50,7 +50,15 @@ def test_dedupe_plan_is_aggregate_not_window(spark):
     plan = dedupe_latest(df, ["conv_id", "turn_idx"])._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     # map-side combine must exist: duplicates collapse BEFORE the shuffle
-    assert "partial_max_by" in plan
+    assert "partial_max" in plan
+
+    narrow = dedupe_latest(
+        df, ["conv_id", "turn_idx"], strategy="narrow"
+    )._jdf.queryExecution().executedPlan().toString()
+    # narrow strategy: hash-agg of (key, lsn), winners broadcast, events
+    # filtered via LEFT SEMI without ever shuffling the payload
+    assert "HashAggregate" in narrow
+    assert "BroadcastHashJoin" in narrow and "LeftSemi" in narrow
 
 
 def test_validate_quarantine_reasons(spark):

@@ -1,0 +1,190 @@
+"""Unit tests for corpus-curation functions: dedup families, text
+analysis, similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+# ------------------------------------------------------------------ dedup
+
+def test_exact_dedup(spark):
+    from dexspark.functions.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc dd"), (4, "aa bb")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_copies for r in exact_dedup(df).collect()}
+    assert out == {1: 3, 3: 1}
+
+
+def test_minhash_lsh_finds_near_dups_not_distinct(spark):
+    from dexspark.functions.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different content about spark shuffle partitions and skew"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_pairs(df, num_hashes=64, bands=32)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+    j = {(r.id_a, r.id_b): r.jaccard_x1000 for r in ngram_jaccard(df, pairs).collect()}
+    assert j[(1, 2)] >= 500
+
+
+def test_ngram_jaccard_exact_values(spark):
+    from dexspark.functions.dedup import ngram_jaccard
+
+    # identical docs → jaccard 1000; shingle sets equal
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = ngram_jaccard(df, pairs).collect()[0]
+    assert (r.n_inter, r.n_union, r.jaccard_x1000) == (2, 2, 1000)
+
+
+def test_simhash_identical_and_hamming(spark):
+    from dexspark.functions.dedup import hamming_near_dups, simhash
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # identical → hamming 0
+            (3, "zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = simhash(df).select("doc_id", "simhash")
+    vals = {r.doc_id: r.simhash for r in sigs.collect()}
+    assert vals[1] == vals[2]
+    dups = {(r.id_a, r.id_b): r.hamming for r in hamming_near_dups(sigs).collect()}
+    assert dups.get((1, 2)) == 0
+
+
+# ------------------------------------------------------------------- text
+
+def test_lang_id_markers(spark):
+    from dexspark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it is fine"),
+            (2, "le chat est sur la table et les chaises"),
+            (3, "qqq www eee rrr"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert out == {1: "en", 2: "fr", 3: "und"}
+
+
+def test_quality_score_values(spark):
+    from dexspark.functions.text import quality_score
+
+    df = spark.createDataFrame([(1, "The cat sat.")], "doc_id long, text string")
+    r = quality_score(df).collect()[0]
+    assert r.n_tokens == 3
+    assert r.n_chars_q == 12
+    assert r.mean_word_len_x1000 == 4000
+    assert r.ends_with_punct is True
+    assert r.n_stopwords == 1  # 'the' (lowercased)
+
+
+def test_fingerprint_normalization(spark):
+    from dexspark.functions.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "other")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fp for r in fingerprint(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+# -------------------------------------------------------------- similarity
+
+def _unit(vals):
+    return [float(v) for v in vals]
+
+
+def test_cosine_topk_exact(spark):
+    from dexspark.functions.similarity import cosine_topk
+
+    rows = [
+        (0, _unit([1, 0, 0, 0])),
+        (1, _unit([0.9, 0.1, 0, 0])),   # closest to 0
+        (2, _unit([0, 1, 0, 0])),       # orthogonal to 0
+        (3, _unit([0.8, 0.2, 0, 0])),   # second-closest to 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, q, k=2).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [1, 3]
+    assert out[0].rank == 1 and out[1].rank == 2
+    assert out[0].score_x1e6 > out[1].score_x1e6
+
+
+def test_ann_lsh_same_bucket_for_identical(spark):
+    from dexspark.functions.similarity import ann_lsh_topk
+
+    rows = [(i, _unit([1.0 + 0.001 * i, 2.0, -1.0, 0.5])) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_lsh_topk(emb, q, dim=4, k=3, n_bits=2).collect()
+    # near-identical vectors share the bucket → neighbors found
+    assert len(out) == 3
+    assert all(r.score_x1e6 > 999_000 for r in out)
+
+
+# -------------------------------------------------------------- multimodal
+
+def test_to_media_and_extract_features(spark):
+    import hashlib
+
+    from dexspark.multimodal.media import extract_features, to_media
+
+    df = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
+    media = to_media(df, "doc_id", "text")
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats[1].n_bytes == 5
+    assert feats[1].sha256_hex == hashlib.sha256(b"hello").hexdigest()
+    assert len(feats[1].feature) == 8
+    assert feats[2].n_bytes == 0
+    # deterministic fake feature: stable across calls
+    again = {r.media_id: r for r in extract_features(media).collect()}
+    assert again[1].feature == feats[1].feature
+
+
+def test_decode_stub_strict_raises():
+    from dexspark.multimodal.media import decode_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"\x00", "image", strict=True)
+
+
+def test_frame_sample_fanout(spark):
+    from dexspark.multimodal.media import frame_sample, to_media
+
+    df = spark.createDataFrame(
+        [(1, "x" * 3000), (2, "y" * 100)], "doc_id long, text string"
+    )
+    media = to_media(df, "doc_id", "text", media_type="video")
+    frames = frame_sample(media, every_n_bytes=1024).collect()
+    by_id: dict[int, list] = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[1]) == 2  # 3000 // 1024
+    assert len(by_id[2]) == 1  # min 1 frame
+    assert bytes(by_id[1][0].frame_bytes) == b"x" * 1024

@@ -22,11 +22,22 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(v):
+    """Uniformly sortable + cross-engine-comparable value encoding."""
+    if v is None:
+        return ("n", "")
     if isinstance(v, Decimal):
-        return ("dec", str(v.normalize()))
+        return ("num", round(float(v), 9))
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
-        return ("f", round(v, 9))
-    return v
+        return ("num", round(v, 9))
+    if isinstance(v, int):
+        return ("num", float(v)) if abs(v) < 2**52 else ("i", v)
+    if isinstance(v, (list, tuple)):
+        return ("a", tuple(canon(x) for x in v))
+    if isinstance(v, str):
+        return ("s", v)
+    return ("o", str(v))
 
 
 def main():
