@@ -718,7 +718,66 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# pipeline DAG: config-driven fan-out/fan-in with error channel
+# --------------------------------------------------------------------------
+
+def pipeline_doc_words_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven pipeline DAG (≙ FnOrchestrator, SURVEY §2
+    O12-O14): gate short docs to the error channel, fan out one branch
+    per word, reject over-long/empty words per-branch
+    (fanInFailIfAnyFail=false: healthy siblings continue), fan in and
+    aggregate per doc. Fan-out is a posexplode (no shuffle); the only
+    shuffle is the final per-doc aggregate."""
+    from dexspark.plans import CHILDREN_COL, Stage, Pipeline, init_lineage
+    from dexspark.plans.pipeline import REASON_COL
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+
+    def gate(d):
+        return d.withColumn(
+            REASON_COL, F.when(F.col("n_chars") < 10, F.lit("too_short"))
+        )
+
+    def split_words(d):
+        return d.withColumn(CHILDREN_COL, F.split(F.trim("text"), " "))
+
+    def check_word(d):
+        return d.withColumn(
+            REASON_COL,
+            F.when(F.length("_child") == 0, F.lit("empty_word")).when(
+                F.length("_child") > 12, F.lit("too_long")
+            ),
+        )
+
+    p = Pipeline(
+        [
+            Stage("gate", gate),
+            Stage("split", split_words, fan_out_after=True),
+            Stage("check", check_word),
+            Stage("join", lambda d: d, fan_in_before=True, fan_in_fail_if_any_fail=False),
+        ]
+    )
+    res = p.run(docs, exec_id_cols=["doc_id"])
+    return res.output.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("_child")).alias("sum_wlen"),
+    )
+
+
+ORACLE_PIPELINE_WORDS = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+  FROM documents WHERE n_chars >= 10
+)
+SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(len(w)) AS BIGINT) AS sum_wlen
+FROM words WHERE len(w) > 0 AND len(w) <= 12
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "pipeline_doc_words": (pipeline_doc_words_q, ORACLE_PIPELINE_WORDS),
     "cdc_replay_final_state": (cdc_replay_final_state, ORACLE_REPLAY),
     "cdc_schema_evolution_replay": (cdc_schema_evolution_replay, ORACLE_EVOLUTION),
     # -- corpus curation / similarity / multimodal --
