@@ -99,6 +99,19 @@ def latest_version(table_dir: str) -> int | None:
     return max(versions) if versions else None
 
 
+def available_versions(table_dir: str) -> list[int]:
+    """Sorted committed versions still on disk (gaps appear after
+    expire_snapshots)."""
+    mdir = os.path.join(table_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+    )
+
+
 def read_manifest(table_dir: str, version: int) -> Manifest:
     with open(manifest_path(table_dir, version)) as fh:
         return Manifest.from_json(fh.read())

@@ -107,7 +107,7 @@ class LakeTable:
         )
 
     def history(self) -> list[mf.Manifest]:
-        return [self.manifest(v) for v in range(1, self.current_version() + 1)]
+        return [self.manifest(v) for v in mf.available_versions(self.table_dir)]
 
     def committed_batch_ids(self) -> set[Any]:
         return {
@@ -339,6 +339,89 @@ class LakeTable:
         finally:
             if own_persist:
                 changes.unpersist()
+
+    # ----------------------------------------------------------- maintenance
+    def compact(
+        self, min_files_per_bucket: int = 2, summary: dict[str, Any] | None = None
+    ) -> dict[str, Any]:
+        """Bin-pack small files: rewrite every bucket holding at least
+        ``min_files_per_bucket`` data files into one file, in one
+        snapshot commit. Appends (quarantine tables, lineage-heavy
+        workloads) accumulate a file per commit per bucket; merge reads
+        then pay one open/footer per file. At 100 TB this is the
+        scheduled OPTIMIZE job; buckets already at one file carry over
+        untouched, so compaction I/O is O(fragmented data) only.
+
+        Also rewrites files whose writer schema is outdated, so a
+        compaction after evolve_schema physically migrates old files
+        forward and ``read`` stops needing per-schema scan groups.
+        """
+        m = self.manifest()
+        per_bucket: dict[int, int] = {}
+        for f in m.files:
+            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+        stale = {
+            f.bucket for f in m.files if f.schema_id != m.current_schema_id
+        }
+        affected = {
+            b for b, n in per_bucket.items() if n >= min_files_per_bucket
+        } | stale
+        if not affected:
+            return {"operation": "compact", "affected_buckets": [], "skipped": True}
+        untouched = [f for f in m.files if f.bucket not in affected]
+        data = self.read(buckets=affected)
+        new_files = self._write_data(data, m, n_buckets_hint=len(affected))
+        info = {
+            "operation": "compact",
+            "affected_buckets": sorted(affected),
+            "files_before": sum(per_bucket[b] for b in affected),
+            "files_after": len(new_files),
+            **(summary or {}),
+        }
+        self._commit_next(m, untouched + new_files, info)
+        return info
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict[str, Any]:
+        """Vacuum: delete manifests older than the last ``keep_last``
+        versions and any data file referenced only by them. Time travel
+        to expired versions stops working (by design — this is Iceberg's
+        expire_snapshots), and batch_ids recorded only in expired
+        summaries leave the ledger — size ``keep_last`` beyond the
+        streaming checkpoint's replay horizon. The current snapshot is
+        never touched."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        head = self.current_version()
+        cutoff = head - keep_last + 1
+        avail = mf.available_versions(self.table_dir)
+        expired = [v for v in avail if v < cutoff]
+        if not expired:
+            return {"operation": "expire_snapshots", "expired_versions": []}
+        keep_paths: set[str] = set()
+        for v in avail:
+            if v >= cutoff:
+                for f in self.manifest(v).files:
+                    keep_paths.add(f.path)
+        removed_files = 0
+        seen: set[str] = set()
+        for v in expired:
+            for f in self.manifest(v).files:
+                if f.path in keep_paths or f.path in seen:
+                    continue
+                seen.add(f.path)
+                p = os.path.join(self.table_dir, f.path)
+                if os.path.exists(p):
+                    os.remove(p)
+                    removed_files += 1
+        for v in expired:
+            mp = mf.manifest_path(self.table_dir, v)
+            if os.path.exists(mp):
+                os.remove(mp)
+        return {
+            "operation": "expire_snapshots",
+            "expired_versions": expired,
+            "removed_files": removed_files,
+        }
 
     # ------------------------------------------------------- schema evolution
     def evolve_schema(self, new_schema: StructType) -> bool:

@@ -132,3 +132,72 @@ def test_lineage_df_from_summaries(spark, tmp_table_dir):
     ldf = t.lineage_df()
     assert ldf.filter(F.col("batch_id") == "b0").count() == 1
     assert "b0" in t.committed_batch_ids()
+
+
+def test_compact_binpacks_small_files(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, [("a", 1, "x")])
+    for i in range(3):  # three more appends -> up to 4 files in a's bucket
+        t.append(spark.createDataFrame([("a", i + 10, f"v{i}")], SCHEMA))
+    m = t.manifest()
+    per_bucket = {}
+    for f in m.files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    assert max(per_bucket.values()) >= 2
+
+    before = {(r.k, r.seq, r.v) for r in t.read().collect()}
+    info = t.compact()
+    assert info["files_after"] < info["files_before"]
+    m2 = t.manifest()
+    per_bucket2 = {}
+    for f in m2.files:
+        per_bucket2[f.bucket] = per_bucket2.get(f.bucket, 0) + 1
+    assert max(per_bucket2.values()) == 1
+    # contents identical, new snapshot committed
+    assert {(r.k, r.seq, r.v) for r in t.read().collect()} == before
+    assert m2.version == m.version + 1
+    # idempotent: nothing left to compact
+    assert t.compact()["skipped"] is True
+
+
+def test_compact_migrates_old_schema_files(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, [("a", 1, "x")])
+    wide = StructType(list(SCHEMA.fields) + [StructField("extra", StringType())])
+    t.evolve_schema(wide)
+    assert any(f.schema_id != t.manifest().current_schema_id for f in t.manifest().files)
+    t.compact(min_files_per_bucket=99)  # only stale-schema rewrite triggers
+    m = t.manifest()
+    assert all(f.schema_id == m.current_schema_id for f in m.files)
+    row = t.read().collect()[0]
+    assert (row.k, row.seq, row.v, row.extra) == ("a", 1, "x", None)
+
+
+def test_expire_snapshots_vacuums_unreferenced(spark, tmp_table_dir):
+    import os
+
+    t = _mk(spark, tmp_table_dir, [("a", 1, "x")])
+    t.merge(
+        spark.createDataFrame([("a", 1, "x2", "U")], "k string, seq int, v string, op string"),
+        key_cols=["k", "seq"],
+    )
+    t.merge(
+        spark.createDataFrame([("a", 1, "x3", "U")], "k string, seq int, v string, op string"),
+        key_cols=["k", "seq"],
+    )
+    head = t.current_version()
+    all_files_before = set()
+    for m in t.history():
+        all_files_before.update(f.path for f in m.files)
+    info = t.expire_snapshots(keep_last=1)
+    assert info["expired_versions"] == list(range(1, head))
+    assert info["removed_files"] >= 1
+    # current snapshot intact
+    assert {r.v for r in t.read().collect()} == {"x3"}
+    # expired manifests gone; current still reads
+    from dexspark.lake import manifest as mf
+
+    assert mf.available_versions(t.table_dir) == [head]
+    # referenced data files still on disk
+    for f in t.manifest().files:
+        assert os.path.exists(os.path.join(t.table_dir, f.path))
+    # another expire is a no-op
+    assert t.expire_snapshots(keep_last=1)["expired_versions"] == []

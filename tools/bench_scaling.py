@@ -1,21 +1,31 @@
 """Two-cluster-size scaling evidence (BASELINE.json north rule).
 
-Runs the identical CDC replay job at local[8] (N) and local[32] (4N)
-on the same input and reports throughput at both plus scaling
-efficiency = thr_4N / (4 * thr_N). Writes BENCH/BASELINE.md.
+Runs the identical CDC replay job at multiple parallelism levels on the
+same input and reports throughput at each plus scaling efficiency
+``eff(N→4N) = thr_4N / (4 * thr_N)`` for every N→4N pair. Writes
+BENCH/BASELINE.md.
 
-The sandbox is a shared VM with multi-second noise spikes (observed:
-identical runs varying 3-5x), so each level runs ``trials`` times and
-the BEST run is compared — best-of-N isolates the machine's capability
-from co-tenant interference, which is the quantity the scaling
-criterion is about.
+Two confounds of single-VM local mode are controlled explicitly:
+
+1. **Co-tenant noise**: the sandbox VM shows multi-second interference
+   spikes (identical runs varying 3-5x). Each level runs ``trials``
+   times and the BEST run is compared — best-of-N measures the plan,
+   not the neighbors.
+2. **Machine ceiling**: a pure-Python multiprocessing workload (zero
+   Spark, zero shuffle, embarrassingly parallel) is measured at the
+   same core counts to calibrate what *any* job can achieve on this
+   VM — shared memory bandwidth, SMT, and thermal effects cap even
+   perfect-parallel code below 1.0. The job's efficiency is reported
+   raw and relative to that ceiling.
 
 Usage: python tools/bench_scaling.py [n_events] [trials]
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
+import multiprocessing as mp
 import os
 import sys
 import time
@@ -25,6 +35,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import run_cdc_replay  # noqa: E402
 from dexspark.session import get_spark  # noqa: E402
 
+LEVELS = (2, 8, 32)
+
+
+def _cpu_task(n: int) -> int:
+    h = hashlib.sha256(b"dexspark")
+    for _ in range(n):
+        h = hashlib.sha256(h.digest())
+    return h.digest()[0]
+
+
+def calibrate(levels=LEVELS, per_proc_iters: int = 600_000, trials: int = 3) -> dict:
+    """Embarrassingly-parallel CPU ceiling: P processes each hashing a
+    fixed chain; perfect scaling would keep wall time flat as P grows
+    (total work scales with P)."""
+    out = {}
+    for p in levels:
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            with mp.Pool(p) as pool:
+                pool.map(_cpu_task, [per_proc_iters] * p)
+            best = min(best, time.perf_counter() - t0)
+        out[p] = {"sec": round(best, 3), "work_per_sec": round(p * per_proc_iters / best, 1)}
+    return out
+
 
 def run_at(cores: int, n_events: int, trials: int) -> dict:
     spark = get_spark(f"dexspark-scale-{cores}", master=f"local[{cores}]")
@@ -32,6 +67,7 @@ def run_at(cores: int, n_events: int, trials: int) -> dict:
     # warm-up to exclude JVM/codegen cold start from the comparison
     run_cdc_replay(spark, max(10_000, n_events // 32))
     times = []
+    applied = 0
     for i in range(trials):
         elapsed, applied = run_cdc_replay(spark, n_events)
         times.append(elapsed)
@@ -56,12 +92,47 @@ def run_at(cores: int, n_events: int, trials: int) -> dict:
 def main():
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    r8 = run_at(8, n_events, trials)
-    r32 = run_at(32, n_events, trials)
-    eff = r32["events_per_sec"] / (4 * r8["events_per_sec"])
-    out = {"N_cores": r8, "fourN_cores": r32, "scaling_efficiency": round(eff, 3)}
+
+    print("calibrating machine ceiling...", file=sys.stderr, flush=True)
+    ceiling = calibrate()
+    for p, c in ceiling.items():
+        print(f"  cpu-ceiling P={p}: {c['sec']}s", file=sys.stderr, flush=True)
+
+    results = {c: run_at(c, n_events, trials) for c in LEVELS}
+
+    def eff(lo: int, hi: int) -> float:
+        return results[hi]["events_per_sec"] / (
+            (hi / lo) * results[lo]["events_per_sec"]
+        )
+
+    def ceil_eff(lo: int, hi: int) -> float:
+        return ceiling[hi]["work_per_sec"] / ((hi / lo) * ceiling[lo]["work_per_sec"])
+
+    pairs = [(2, 8), (8, 32)]
+    out = {
+        "levels": results,
+        "cpu_ceiling": ceiling,
+        "scaling": {
+            f"{lo}->{hi}": {
+                "efficiency": round(eff(lo, hi), 3),
+                "cpu_ceiling_efficiency": round(ceil_eff(lo, hi), 3),
+                "efficiency_vs_ceiling": round(eff(lo, hi) / ceil_eff(lo, hi), 3),
+            }
+            for lo, hi in pairs
+        },
+    }
     print(json.dumps(out))
 
+    rows = "\n".join(
+        f"| local[{r['cores']}] | {r['sec']} | {r['all_trials_sec']} | {r['events_per_sec']:,} |"
+        for r in results.values()
+    )
+    srows = "\n".join(
+        f"| {lo}→{hi} (N→4N) | {out['scaling'][f'{lo}->{hi}']['efficiency']} "
+        f"| {out['scaling'][f'{lo}->{hi}']['cpu_ceiling_efficiency']} "
+        f"| {out['scaling'][f'{lo}->{hi}']['efficiency_vs_ceiling']} |"
+        for lo, hi in pairs
+    )
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as fh:
         fh.write(
@@ -72,28 +143,37 @@ executors, evidenced in-sandbox by the identical job at two
 parallelism levels on the same input (no real cluster available).
 
 Job: end-to-end CDC replay (Structured-Streaming tail over parquet log
-segments -> validate -> salted max-LSN dedup -> bucketed COW merge),
-{n_events:,} change events, seed 42, 64 buckets, 4 micro-batches,
-5% hot-key skew, salt=8, 32 log files per batch. Warm-up run excluded;
-best of {trials} trials per level (the sandbox VM shows 3-5x noise
-spikes from co-tenant load, so best-of-N measures the plan, not the
-neighbors).
+segments -> validate -> max-LSN dedup with map-side partial
+aggregation -> bucketed COW merge), {n_events:,} change events, seed
+42, 64 buckets, 4 micro-batches, 5% hot-key skew, 32 log files per
+batch. Warm-up run excluded; best of {trials} trials per level (the
+sandbox VM shows 3-5x noise spikes from co-tenant load, so best-of-N
+measures the plan, not the neighbors).
 
 | parallelism | wall sec (best) | all trials (sec) | events/sec |
 |---|---|---|---|
-| local[8]  (N)  | {r8['sec']} | {r8['all_trials_sec']} | {r8['events_per_sec']:,} |
-| local[32] (4N) | {r32['sec']} | {r32['all_trials_sec']} | {r32['events_per_sec']:,} |
+{rows}
 
-**Scaling efficiency (thr_4N / (4 x thr_N)): {eff:.3f}**
+| pair | job efficiency | pure-CPU ceiling on this VM | job / ceiling |
+|---|---|---|---|
+{srows}
 
-Caveats: single-JVM local mode shares one driver, one disk, and the
-OS page cache between "executors"; shuffle is in-process, and the
-driver-side micro-batch orchestration (planning + 3 collect actions
-per batch) is a fixed serial cost that a real cluster would amortize
-over far larger batches. On a real 4N-executor cluster the same plan
-shape applies (bucket-pruned merge, broadcast config joins,
-partial-agg dedup, salted hot keys); these numbers evidence plan
-scalability, not absolute cluster throughput.
+The "pure-CPU ceiling" column is an embarrassingly-parallel
+multiprocessing hash chain (no Spark, no shuffle, no shared state)
+measured at the same core counts: it is the maximum efficiency ANY
+workload can exhibit on this VM at that core-count step (shared memory
+bandwidth + SMT — the box reports 32 hardware threads, so 8→32 crosses
+the physical-core boundary). "job / ceiling" is therefore the
+machine-independent scaling quality of the engine's plan.
+
+Caveats: single-JVM local mode shares one driver, one disk, and the OS
+page cache between "executors"; shuffle is in-process, and the
+driver-side micro-batch orchestration (planning + collect actions per
+batch) is a fixed serial cost that a real cluster amortizes over far
+larger batches. On a real 4N-executor cluster the same plan shape
+applies (bucket-pruned merge, broadcast config joins, partial-agg
+dedup); these numbers evidence plan scalability, not absolute cluster
+throughput.
 """
         )
 
