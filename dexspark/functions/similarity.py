@@ -208,3 +208,43 @@ def ann_lsh_topk(
             F.round(F.col("_score") * 1e6).cast("long").alias("score_x1e6"),
         )
     )
+
+
+def cosine_near_dups(
+    corpus: DataFrame,
+    dim: int,
+    threshold_x1e6: int,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates = same
+    sign-random-projection bucket (self equi-join on the signature —
+    replaces the N^2 cross product), verified by exact cosine >=
+    threshold. Returns (id_a, id_b, cos_x1e6) with id_a < id_b.
+
+    Recall < 1 by design (cross-bucket near-dups are missed); raise
+    ``n_bits`` to shrink buckets (cost) or lower it to raise recall.
+    Scale notes: at 10^9 vectors a popular bucket grows quadratically —
+    shard hot buckets by a salt on one side plus an OR-ed band family
+    (MinHash-LSH style) rather than one signature; the plan shape
+    (equi-join on bucket, verify in-row) is unchanged."""
+    sigs = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _sig_fast(F.col(vec_col), dim, n_bits, seed).alias("_bucket"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._bucket") == F.col("b._bucket"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.round(cosine(F.col("a._v"), F.col("b._v")) * 1e6)
+        .cast("long")
+        .alias("cos_x1e6"),
+    )
+    return pairs.filter(F.col("cos_x1e6") >= F.lit(threshold_x1e6))

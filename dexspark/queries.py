@@ -694,6 +694,34 @@ FROM r WHERE rank <= 5
 """
 
 
+def emb_cosine_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed candidates +
+    exact verify (the 'embedding-cosine near-dup' curation operator)."""
+    from dexspark.functions.similarity import cosine_near_dups
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_near_dups(
+        emb, dim=EMB_DIM, threshold_x1e6=400_000, n_bits=ANN_BITS
+    )
+
+
+ORACLE_EMB_NEAR_DUPS = f"""
+WITH sigs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         ({_ANN_SIG_SQL}) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         * 1e6) AS BIGINT) AS cos_x1e6
+FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE CAST(round(list_dot_product(a.v, b.v)
+  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+  * 1e6) AS BIGINT) >= 400000
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal: binary payload plumbing (Arrow mapInPandas)
 # --------------------------------------------------------------------------
@@ -788,6 +816,7 @@ QUERIES: dict[str, tuple] = {
     "doc_fingerprint_groups": (doc_fingerprint_groups_q, ORACLE_FP_GROUPS),
     "emb_cosine_topk": (emb_cosine_topk_q, ORACLE_COSINE_TOPK),
     "emb_ann_lsh_topk": (emb_ann_lsh_topk_q, ORACLE_ANN_TOPK),
+    "emb_cosine_near_dups": (emb_cosine_near_dups_q, ORACLE_EMB_NEAR_DUPS),
     "media_feature_stats": (media_feature_stats_q, ORACLE_MEDIA),
     "cdc_dedup_latest": (cdc_dedup_latest_q, ORACLE_DEDUP),
     "cdc_validate_rejects": (cdc_validate_rejects_q, ORACLE_REJECTS),
