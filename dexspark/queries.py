@@ -694,6 +694,58 @@ FROM r WHERE rank <= 5
 """
 
 
+def user_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the event stream (window
+    functions — absent from the reference, supplied by Spark, SURVEY
+    §2.2): a >30-minute gap starts a new session; per user report
+    session count and the longest session's event count.
+
+    Plan shape: one shuffle on user_id serves BOTH window passes and
+    the final aggregate (same partitioning reused across stages)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")  # ts is NTZ in parquet
+    gap = secs - F.lag(secs).over(w)
+    with_start = ev.withColumn(
+        "_new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_sid = with_start.withColumn(
+        "session_id", F.sum("_new_session").over(w)
+    )
+    per_session = with_sid.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+ORACLE_SESSIONS = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS session_id
+  FROM g
+), per AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM s GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events
+FROM per GROUP BY user_id
+"""
+
+
 def emb_cosine_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucketed candidates +
     exact verify (the 'embedding-cosine near-dup' curation operator)."""
@@ -822,6 +874,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_validate_rejects": (cdc_validate_rejects_q, ORACLE_REJECTS),
     "cdc_lineage_batches": (cdc_lineage_batches_q, ORACLE_LINEAGE),
     "route_events": (route_events_q, ORACLE_ROUTE),
+    "user_sessions": (user_sessions_q, ORACLE_SESSIONS),
     "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
     "q3_revenue_by_order": (q3_revenue_by_order, ORACLE_Q3),
     "q5_nation_volume": (q5_nation_volume, ORACLE_Q5),
