@@ -45,7 +45,10 @@ BENCH_QUERIES = [
     "q3_revenue_by_order",
     "q5_nation_volume",
     "route_events",
+    "user_sessions",
     "doc_token_stats",
+    "doc_near_dup_pairs",
+    "pipeline_doc_words",
     "cdc_dedup_latest",
 ]
 

@@ -1,0 +1,160 @@
+"""CLI entry point — the spark-submit deployment surface.
+
+Run via::
+
+    spark-submit --py-files dexspark.zip path/to/dexspark/__main__.py replay \
+        --log /data/changelog --table /lake/transcripts \
+        --checkpoint /lake/_cp/transcripts
+    # or locally:
+    python -m dexspark replay --log ... --table ... --checkpoint ...
+
+Subcommands:
+
+- ``replay``  — tail the change log (AvailableNow trigger) and apply
+  every pending segment through validate → dedup → MERGE; resumable
+  from the checkpoint; creates the table on first run.
+- ``compact`` — bin-pack small files / migrate stale-schema files.
+- ``expire``  — expire old snapshots and vacuum unreferenced files.
+- ``status``  — print snapshot version, row count, committed batches.
+
+≙ the reference's deployment unit (an Azure Functions app wired by
+host.json); one job = one table, parallelism comes from the cluster
+(``--master`` / spark-submit conf), not from code.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql.types import _parse_datatype_string
+
+from dexspark.cdc.validate import ValidationConfig
+from dexspark.lake.table import LakeTable
+from dexspark.session import get_spark
+from dexspark.sources.changelog import PAYLOAD_DDL, log_schema
+from dexspark.streaming.replay import CdcStreamReplay
+
+
+def _spark(args):
+    return get_spark("dexspark", master=args.master)
+
+
+def cmd_replay(args) -> int:
+    spark = _spark(args)
+    if LakeTable.exists(args.table):
+        table = LakeTable(spark, args.table)
+    else:
+        table = LakeTable.create(
+            spark,
+            args.table,
+            _parse_datatype_string(args.payload_schema),
+            bucket_key=args.bucket_key,
+            num_buckets=args.buckets,
+        )
+    quarantine = None
+    if args.quarantine:
+        qschema = _parse_datatype_string(
+            f"lsn long, op string, batch_seq long, {args.payload_schema}, "
+            "reject_reason string, batch_id string"
+        )
+        if LakeTable.exists(args.quarantine):
+            quarantine = LakeTable(spark, args.quarantine)
+        else:
+            quarantine = LakeTable.create(
+                spark, args.quarantine, qschema, args.bucket_key, args.buckets
+            )
+    replay = CdcStreamReplay(
+        spark,
+        table,
+        args.log,
+        args.checkpoint,
+        log_schema(args.extra_columns),
+        cfg=ValidationConfig(),
+        quarantine=quarantine,
+        salt_buckets=args.salt or None,
+        max_files_per_trigger=args.max_files_per_trigger or None,
+        log_format=args.log_format,
+    )
+    results = replay.run_available()
+    for r in results:
+        print(json.dumps(r, default=str))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    spark = _spark(args)
+    print(json.dumps(LakeTable(spark, args.table).compact(args.min_files)))
+    return 0
+
+
+def cmd_expire(args) -> int:
+    spark = _spark(args)
+    print(json.dumps(LakeTable(spark, args.table).expire_snapshots(args.keep_last)))
+    return 0
+
+
+def cmd_status(args) -> int:
+    spark = _spark(args)
+    t = LakeTable(spark, args.table)
+    m = t.manifest()
+    print(
+        json.dumps(
+            {
+                "version": m.version,
+                "rows": t.read().count(),
+                "files": len(m.files),
+                "num_buckets": m.num_buckets,
+                "bucket_key": m.bucket_key,
+                "schema": t.schema().simpleString(),
+                "committed_batches": sorted(map(str, t.committed_batch_ids())),
+            }
+        )
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dexspark")
+    p.add_argument("--master", default=None, help="override spark master (tests)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("replay", help="tail change log and apply to table")
+    r.add_argument("--log", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--checkpoint", required=True)
+    r.add_argument("--quarantine", default=None)
+    r.add_argument("--bucket-key", default="conv_id")
+    r.add_argument("--buckets", type=int, default=64)
+    r.add_argument("--salt", type=int, default=0)
+    r.add_argument("--max-files-per-trigger", type=int, default=0)
+    r.add_argument("--log-format", choices=["parquet", "json"], default="parquet")
+    r.add_argument("--payload-schema", default=PAYLOAD_DDL)
+    r.add_argument(
+        "--extra-columns",
+        default=None,
+        help='evolved payload columns in the log, e.g. "model string"',
+    )
+    r.set_defaults(fn=cmd_replay)
+
+    c = sub.add_parser("compact", help="bin-pack small data files")
+    c.add_argument("--table", required=True)
+    c.add_argument("--min-files", type=int, default=2)
+    c.set_defaults(fn=cmd_compact)
+
+    e = sub.add_parser("expire", help="expire snapshots + vacuum")
+    e.add_argument("--table", required=True)
+    e.add_argument("--keep-last", type=int, default=10)
+    e.set_defaults(fn=cmd_expire)
+
+    s = sub.add_parser("status", help="print table status")
+    s.add_argument("--table", required=True)
+    s.set_defaults(fn=cmd_status)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

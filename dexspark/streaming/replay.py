@@ -50,6 +50,7 @@ class CdcStreamReplay:
         salt_buckets: int | None = None,
         max_files_per_trigger: int | None = None,
         batch_id_prefix: str = "stream",
+        log_format: str = "parquet",
     ):
         self.spark = spark
         self.table = table
@@ -61,6 +62,7 @@ class CdcStreamReplay:
         self.salt_buckets = salt_buckets
         self.max_files_per_trigger = max_files_per_trigger
         self.batch_id_prefix = batch_id_prefix
+        self.log_format = log_format
         self.results: list[dict[str, Any]] = []
 
     def _foreach_batch(self, batch_df, epoch_id: int) -> None:
@@ -78,10 +80,15 @@ class CdcStreamReplay:
         """Process everything currently in log_dir, then stop
         (Trigger.AvailableNow). Re-invoke after new segments land —
         the checkpoint resumes from the last committed offset."""
-        reader = self.spark.readStream.schema(self.log_schema)
-        if self.max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        stream = reader.parquet(self.log_dir)
+        from dexspark.sources.changelog import read_log_stream
+
+        stream = read_log_stream(
+            self.spark,
+            self.log_dir,
+            fmt=self.log_format,
+            schema=self.log_schema,
+            max_files_per_trigger=self.max_files_per_trigger,
+        )
         q = (
             stream.writeStream.foreachBatch(self._foreach_batch)
             .option("checkpointLocation", self.checkpoint_dir)

@@ -1,0 +1,72 @@
+"""CLI entry (python -m dexspark) + change-log source adapters."""
+
+import json
+import os
+
+from dexspark.__main__ import main
+from dexspark.cdc.generator import expected_final_state, gen_change_log
+from dexspark.lake.table import LakeTable
+from dexspark.sources.changelog import read_log
+
+
+def test_json_source_schema_on_read(spark, tmp_table_dir):
+    """Extra JSON fields ignored, missing fields -> NULL (tolerant
+    schema-on-read, like the reference's minimal event parse)."""
+    p = os.path.join(tmp_table_dir, "jlog")
+    os.makedirs(p)
+    with open(os.path.join(p, "seg0.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "lsn": 1, "op": "I", "batch_seq": 0, "conv_id": "c1",
+                    "turn_idx": 0, "role": "user", "text": "hi",
+                    "tool": None, "ts": "2026-01-01T00:00:00",
+                    "EXTRA_FIELD": "ignored",
+                }
+            )
+            + "\n"
+        )
+        fh.write(json.dumps({"lsn": 2, "op": "I", "conv_id": "c1"}) + "\n")
+    df = read_log(spark, p, fmt="json")
+    rows = {r.lsn: r for r in df.collect()}
+    assert rows[1].text == "hi" and "EXTRA_FIELD" not in df.columns
+    assert rows[2].turn_idx is None and rows[2].role is None
+
+
+def test_cli_replay_status_compact_expire(spark, tmp_table_dir):
+    log = gen_change_log(spark, 3000, n_convs=50, n_batches=2)
+    log_dir = os.path.join(tmp_table_dir, "log")
+    log.coalesce(2).write.parquet(log_dir)
+    table_dir = os.path.join(tmp_table_dir, "tbl")
+    cp = os.path.join(tmp_table_dir, "cp")
+    q_dir = os.path.join(tmp_table_dir, "quarantine")
+
+    rc = main(
+        [
+            "replay",
+            "--log", log_dir,
+            "--table", table_dir,
+            "--checkpoint", cp,
+            "--quarantine", q_dir,
+            "--buckets", "8",
+        ]
+    )
+    assert rc == 0
+    t = LakeTable(spark, table_dir)
+    expected = expected_final_state(log)
+    got = t.read()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+    assert main(["status", "--table", table_dir]) == 0
+    assert main(["compact", "--table", table_dir]) == 0
+    assert main(["expire", "--table", table_dir, "--keep-last", "1"]) == 0
+    # table still reads correctly after maintenance
+    assert t.read().count() == expected.count()
+
+    # re-running replay with same checkpoint is a no-op (nothing new)
+    rc = main(
+        ["replay", "--log", log_dir, "--table", table_dir, "--checkpoint", cp]
+    )
+    assert rc == 0
+    assert t.read().count() == expected.count()
