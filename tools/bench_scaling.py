@@ -45,18 +45,20 @@ def _cpu_task(n: int) -> int:
     return h.digest()[0]
 
 
-def calibrate(levels=LEVELS, per_proc_iters: int = 600_000, trials: int = 3) -> dict:
+def calibrate(levels=LEVELS, per_proc_iters: int = 3_000_000, trials: int = 3) -> dict:
     """Embarrassingly-parallel CPU ceiling: P processes each hashing a
     fixed chain; perfect scaling would keep wall time flat as P grows
-    (total work scales with P)."""
+    (total work scales with P). Pool creation + a warm-up map happen
+    OUTSIDE the timed section so the measurement is pure compute."""
     out = {}
     for p in levels:
         best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            with mp.Pool(p) as pool:
+        with mp.Pool(p) as pool:
+            pool.map(_cpu_task, [1000] * p)  # warm the workers
+            for _ in range(trials):
+                t0 = time.perf_counter()
                 pool.map(_cpu_task, [per_proc_iters] * p)
-            best = min(best, time.perf_counter() - t0)
+                best = min(best, time.perf_counter() - t0)
         out[p] = {"sec": round(best, 3), "work_per_sec": round(p * per_proc_iters / best, 1)}
     return out
 
