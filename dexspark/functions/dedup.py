@@ -58,11 +58,16 @@ def minhash_signatures(
     min over shingles of xxhash64(shingle, seed+k). No UDF, no explode
     — the K mins are array ops over the shingle array."""
     sh = shingles(text_col, shingle_n).alias("_sh")
+
+    def _hash_k(k: int):
+        # single-arg lambda: a 2-arg lambda would make PySpark bind the
+        # second parameter to the ELEMENT INDEX, silently degenerating
+        # all K hash functions to one
+        return lambda s: F.xxhash64(s, F.lit(seed + k))
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(F.col("_sh"), lambda s, k=k: F.xxhash64(s, F.lit(seed + k)))
-            )
+            F.array_min(F.transform(F.col("_sh"), _hash_k(k)))
             for k in range(num_hashes)
         ]
     )

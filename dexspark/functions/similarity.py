@@ -126,23 +126,9 @@ def lsh_signature(
     vec_col: Column, dim: int, n_bits: int = 8, seed: int = 42
 ) -> Column:
     """n_bits-bit sign-random-projection signature as a long. Each bit
-    is sign(<vec, plane_b>) with LCG-integer planes."""
-    sig = F.lit(0).cast("long")
-    for b in range(n_bits):
-        proj = F.aggregate(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            F.lit(0.0),
-            lambda acc, d, b=b: acc
-            + vec_col[d].cast("double")
-            * F.element_at(
-                F.array(*[_plane_weight(b, i, dim, seed) for i in range(dim)]),
-                d + 1,
-            ),
-        )
-        sig = sig + F.when(proj >= 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+    is sign(<vec, plane_b>) with LCG-integer planes, unrolled into
+    straight-line codegen'd expressions (see _sig_fast)."""
+    return _sig_fast(vec_col, dim, n_bits, seed)
 
 
 def _sig_fast(vec_col: Column, dim: int, n_bits: int, seed: int) -> Column:

@@ -188,3 +188,16 @@ def test_frame_sample_fanout(spark):
     assert len(by_id[1]) == 2  # 3000 // 1024
     assert len(by_id[2]) == 1  # min 1 frame
     assert bytes(by_id[1][0].frame_bytes) == b"x" * 1024
+
+
+def test_minhash_signature_has_distinct_hash_functions(spark):
+    """Regression: a 2-arg lambda in F.transform binds (element, index),
+    which once degenerated all K minhash functions to one."""
+    from dexspark.functions.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    sig = minhash_signatures(df, num_hashes=16).collect()[0]["minhash"]
+    assert len(set(sig)) == 16
