@@ -57,21 +57,35 @@ def minhash_signatures(
     """K minhash values per doc, computed as expressions: for hash k,
     min over shingles of xxhash64(shingle, seed+k). No UDF, no explode
     — the K mins are array ops over the shingle array."""
-    sh = shingles(text_col, shingle_n).alias("_sh")
-
-    def _hash_k(k: int):
-        # single-arg lambda: a 2-arg lambda would make PySpark bind the
-        # second parameter to the ELEMENT INDEX, silently degenerating
-        # all K hash functions to one
-        return lambda s: F.xxhash64(s, F.lit(seed + k))
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_sh"), _hash_k(k)))
-            for k in range(num_hashes)
-        ]
+    # explode + K codegen'd min() aggregates, NOT a higher-order
+    # lambda: Spark evaluates HOF lambdas interpreted (no whole-stage
+    # codegen), which measured ~30x slower for K xxhash64 calls per
+    # shingle. Here every hash runs inside the codegen'd HashAggregate
+    # and map-side partial agg collapses each doc to one row of K mins
+    # before any shuffle.
+    #
+    # Work expands ~(shingles x K) per input row, so a narrow input
+    # (one parquet file -> one partition; a single row group cannot be
+    # byte-range split) would serialize the whole expansion on one
+    # task. Spread the *input rows* across the cluster first — the
+    # repartition moves only (id, text), never the expansion.
+    src = df.select(id_col, text_col)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    ex = src.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("_s"))
+    mins = [
+        F.min(F.xxhash64(F.col("_s"), F.lit(seed + k))).alias(f"_h{k}")
+        for k in range(num_hashes)
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            id_col,
+            F.array(*[F.col(f"_h{k}") for k in range(num_hashes)]).alias("minhash"),
+        )
     )
-    return df.select(id_col, sh).select(id_col, sig.alias("minhash"))
 
 
 def minhash_lsh_pairs(
