@@ -175,35 +175,40 @@ def simhash(
     """64-bit SimHash: per-bit majority vote over token xxhash64 values.
     Expression-only: for each bit, count tokens with that bit set vs
     total; bit set in output iff set-count*2 > total."""
+    # explode tokens + 64 codegen'd conditional-sum aggregates (same
+    # rationale as minhash_signatures: HOF lambdas are interpreted;
+    # explode+agg runs in whole-stage codegen with map-side partial
+    # agg, and narrow single-file inputs are spread first)
+    src = df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    other_cols = [c for c in df.columns]
     toks = F.filter(F.split(_norm(text_col), " "), lambda t: t != "")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(hashes)
-    # single pass over the token array: accumulate a 64-slot vote
-    # vector (votes[i] = #tokens with bit i set), then fold the
-    # majority bits into one 64-bit signature
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, h: F.transform(
-            acc, lambda v, i: v + F.bit_get(h, i).cast("long")
-        ),
+    # explode_outer: a row whose text has no tokens keeps one all-NULL
+    # vote row, so it survives with signature 0 instead of vanishing
+    ex = src.select(*other_cols, F.explode_outer(toks).alias("_t")).withColumn(
+        # xxhash64(NULL) evaluates to the seed, not NULL — guard so the
+        # padding row of an empty-token doc casts no votes
+        "_h",
+        F.when(F.col("_t").isNotNull(), F.xxhash64("_t")),
     )
-    # bit-i mask as a literal array (1<<63 is Long.MIN_VALUE)
-    masks = F.array(
-        *[
-            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
-            for i in range(64)
-        ]
-    )
-    terms = F.zip_with(
-        votes,
-        masks,
-        lambda v, m: F.when(v * 2 > n, m).otherwise(F.lit(0).cast("long")),
-    )
-    sig = F.aggregate(
-        terms, F.lit(0).cast("long"), lambda acc, t: acc.bitwiseXOR(t)
-    )
-    return df.withColumn(out_col, sig)
+    votes = [
+        F.sum(F.bit_get(F.col("_h"), F.lit(i)).cast("long")).alias(f"_v{i}")
+        for i in range(64)
+    ]
+    agg = ex.groupBy(*other_cols).agg(F.count(F.lit(1)).alias("_n"), *votes)
+    # majority bits -> signed long: bit masks are disjoint, so a plain
+    # sum of selected masks reconstructs the two's-complement value
+    # (1<<63 is Long.MIN_VALUE)
+    sig = None
+    for i in range(64):
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        term = F.when(
+            F.col(f"_v{i}") * 2 > F.col("_n"), F.lit(mask).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select(*other_cols, sig.alias(out_col))
 
 
 def hamming_near_dups(
