@@ -746,6 +746,41 @@ FROM per GROUP BY user_id
 """
 
 
+def purchase_asof_view_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator Spark lacks; DuckDB has ASOF JOIN):
+    each purchase event enriched with the user's most recent view
+    event at or before it. Views are pre-deduped to max event per
+    (user, ts) so ties are deterministic in both engines. Plan: union +
+    one key-partitioned window — no join operator, one shuffle."""
+    from dexspark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event"))
+    )
+    out = asof_join(purchases, views, on="ts", by="user_id")
+    return out.select(
+        "user_id", "event_id", F.col("view_event_r").alias("view_event")
+    )
+
+
+ORACLE_ASOF = """
+WITH v AS (
+  SELECT user_id, ts, max(event_id) AS view_event
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id, v.view_event
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 def emb_cosine_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucketed candidates +
     exact verify (the 'embedding-cosine near-dup' curation operator)."""
@@ -875,6 +910,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_lineage_batches": (cdc_lineage_batches_q, ORACLE_LINEAGE),
     "route_events": (route_events_q, ORACLE_ROUTE),
     "user_sessions": (user_sessions_q, ORACLE_SESSIONS),
+    "purchase_asof_view": (purchase_asof_view_q, ORACLE_ASOF),
     "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
     "q3_revenue_by_order": (q3_revenue_by_order, ORACLE_Q3),
     "q5_nation_volume": (q5_nation_volume, ORACLE_Q5),
