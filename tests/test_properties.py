@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis): the CDC core against a pure-
+Python reference model, mirroring SURVEY §5's golden final-state
+strategy with adversarial inputs instead of fixed fixtures."""
+
+from datetime import datetime, timedelta
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from dexspark.cdc.dedup import dedupe_latest
+
+BASE = datetime(2024, 1, 1)
+
+# small key space to force collisions; duplicate LSNs allowed only as
+# verbatim redeliveries (same payload), like at-least-once delivery
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),   # conv
+        st.integers(min_value=0, max_value=3),   # turn
+        st.integers(min_value=0, max_value=50),  # lsn
+        st.sampled_from(["I", "U", "D"]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _rows(evs):
+    # payload is a pure function of (conv, turn, lsn) so equal-LSN
+    # redeliveries are byte-identical (at-least-once semantics)
+    return [
+        (
+            lsn,
+            op,
+            f"c{conv}",
+            turn,
+            "user",
+            f"text-{conv}-{turn}-{lsn}",
+            None,
+            # monotone in turn within a conv so the ts-monotonicity
+            # validator never fires (it is tested separately)
+            BASE + timedelta(seconds=turn),
+        )
+        for conv, turn, lsn, op in evs
+    ]
+
+
+SCHEMA = (
+    "lsn long, op string, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp"
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events_strategy)
+def test_dedupe_latest_matches_python_model(spark, evs):
+    # ops at the same (key, lsn) must be identical too (verbatim
+    # redelivery) — keep the first op seen for that (key, lsn)
+    seen = {}
+    canon = []
+    for conv, turn, lsn, op in evs:
+        op = seen.setdefault((conv, turn, lsn), op)
+        canon.append((conv, turn, lsn, op))
+
+    df = spark.createDataFrame(_rows(canon), SCHEMA)
+    got = {
+        (r.conv_id, r.turn_idx): (r.lsn, r.op, r.text)
+        for r in dedupe_latest(df, ["conv_id", "turn_idx"]).collect()
+    }
+
+    model = {}
+    for conv, turn, lsn, op in canon:
+        k = (f"c{conv}", turn)
+        if k not in model or lsn > model[k][0]:
+            model[k] = (lsn, op, f"text-{conv}-{turn}-{lsn}")
+    assert got == model
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events_strategy, st.integers(min_value=2, max_value=5))
+def test_replay_final_state_matches_model_any_batching(spark, tmp_path_factory, evs, n_batches):
+    """Applying the same LSN-ordered log in ANY batch partitioning
+    yields the same final table (batch boundaries are an execution
+    detail, not semantics)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from dexspark.cdc.apply import apply_changes
+    from dexspark.lake.table import LakeTable
+
+    seen = {}
+    canon = []
+    for conv, turn, lsn, op in evs:
+        op = seen.setdefault((conv, turn, lsn), op)
+        canon.append((conv, turn, lsn, op))
+    # one event per (key, lsn); order by lsn for batching
+    uniq = {}
+    for conv, turn, lsn, op in canon:
+        uniq[(conv, turn, lsn)] = (conv, turn, lsn, op)
+    ordered = sorted(uniq.values(), key=lambda e: e[2])
+
+    d = tmp_path_factory.mktemp("prop_tbl")
+    payload = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    table = LakeTable.create(
+        spark, str(d), _parse_datatype_string(payload), "conv_id", num_buckets=4
+    )
+    size = max(1, len(ordered) // n_batches)
+    for b, start in enumerate(range(0, len(ordered), size)):
+        chunk = ordered[start : start + size]
+        df = spark.createDataFrame(_rows(chunk), SCHEMA)
+        apply_changes(table, df, batch_id=f"p{b}")
+
+    model = {}
+    for conv, turn, lsn, op in ordered:
+        k = (f"c{conv}", turn)
+        if k not in model or lsn >= model[k][0]:
+            model[k] = (lsn, op)
+    expected = {k for k, (lsn, op) in model.items() if op != "D"}
+    got = {(r.conv_id, r.turn_idx) for r in table.read().collect()}
+    assert got == expected
