@@ -13,11 +13,11 @@ from __future__ import annotations
 import json
 from typing import Any
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 from pyspark.sql.types import StructType
 
 from dexspark.cdc.dedup import dedupe_latest
-from dexspark.cdc.validate import REASON_COL, ValidationConfig, flag_events
+from dexspark.cdc.validate import REASON_COL, REASONS, ValidationConfig, flag_events
 from dexspark.lake.table import LakeTable
 
 META_COLS = ("lsn", "op", "batch_seq", REASON_COL)
@@ -66,15 +66,26 @@ def apply_changes(
 
     maybe_evolve_schema(table, events)
 
-    # one full compute of the validation stage, shared by both sides
-    flagged = flag_events(events, cfg).persist()
+    # one full compute of the validation stage, shared by both sides;
+    # reject metrics ride the first job over it via Observation instead
+    # of paying a dedicated count job per batch (driver round-trips are
+    # the serial cost micro-batch throughput is most sensitive to)
+    obs = Observation()
+    flagged = (
+        flag_events(events, cfg)
+        .observe(
+            obs,
+            F.count(F.col(REASON_COL)).alias("_rejected"),
+            *[
+                F.count(F.when(F.col(REASON_COL) == r, 1)).alias(r)
+                for r in REASONS
+            ],
+        )
+        .persist()
+    )
     try:
         rejects = flagged.filter(F.col(REASON_COL).isNotNull())
         valid = flagged.filter(F.col(REASON_COL).isNull()).drop(REASON_COL)
-
-        reject_stats = rejects.groupBy(REASON_COL).count().collect()
-        rejected_by_reason = {r[REASON_COL]: int(r["count"]) for r in reject_stats}
-        n_rejected = sum(rejected_by_reason.values())
 
         deduped = dedupe_latest(
             valid, list(cfg.key_cols), cfg.lsn_col, salt_buckets=salt_buckets
@@ -97,6 +108,14 @@ def apply_changes(
             )
             .collect()
         )
+        # the lineage job above materialized `flagged` (and the
+        # observation on it); metrics are now available without a
+        # dedicated reject-count job
+        metrics = obs.get
+        n_rejected = int(metrics["_rejected"])
+        rejected_by_reason = {
+            r: int(metrics[r]) for r in REASONS if metrics[r]
+        }
         partitions = [
             {
                 "bucket": int(r["bucket"]),

@@ -24,6 +24,18 @@ from pyspark.sql.types import BooleanType
 
 REASON_COL = "reject_reason"
 
+# closed vocabulary of reasons flag_events can emit (metrics are
+# observed per reason, so additions here must stay in sync)
+REASONS = (
+    "missing_required_field",
+    "bad_op",
+    "bad_role",
+    "missing_tool",
+    "text_too_large",
+    "malformed_text",
+    "ts_not_monotonic",
+)
+
 DEFAULT_ROLES = ("user", "assistant", "system", "tool")
 DEFAULT_OPS = ("I", "U", "D")
 
