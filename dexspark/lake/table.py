@@ -30,16 +30,31 @@ from typing import Any, Iterable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     FloatType,
     IntegerType,
     LongType,
+    StructField,
     StructType,
 )
 
 from dexspark.lake import manifest as mf
 
 BUCKET_COL = "_bucket"
+# system columns (physical, never in the logical schema):
+# - SYS_LSN: highest change-LSN applied to the row; -1 for rows written
+#   outside the CDC path (plain appends). Makes MERGE conditional
+#   (last-writer-wins by LSN) so replay is COMMUTATIVE across batches —
+#   an out-of-order or redelivered batch can never clobber newer data.
+# - SYS_DELETED: delete tombstone. A delete keeps the row (flagged,
+#   with the delete's LSN) instead of physically dropping it, so a late
+#   out-of-order update with a lower LSN cannot resurrect a deleted
+#   key. Tombstones are invisible to read(); compaction keeps them
+#   (they carry merge state) until snapshot expiry ages them out with
+#   their snapshots.
+SYS_LSN = "_applied_lsn"
+SYS_DELETED = "_deleted"
 
 # widenings allowed by evolve_schema (Iceberg-compatible set)
 _WIDENINGS = {
@@ -148,18 +163,27 @@ class LakeTable:
         return F.pmod(F.xxhash64(F.col(m.bucket_key)), F.lit(m.num_buckets)).cast("int")
 
     def read(
-        self, version: int | None = None, buckets: Iterable[int] | None = None
+        self,
+        version: int | None = None,
+        buckets: Iterable[int] | None = None,
+        include_system: bool = False,
     ) -> DataFrame:
         m = self.manifest(version)
         current = StructType.fromJson(
             __import__("json").loads(m.schemas[m.current_schema_id])
         )
+        sys_fields = [
+            StructField(SYS_LSN, LongType(), True),
+            StructField(SYS_DELETED, BooleanType(), True),
+        ]
+        current_sys = StructType(list(current.fields) + sys_fields)
         files = m.files
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f.bucket in bset]
         if not files:
-            return self.spark.createDataFrame([], current)
+            empty = self.spark.createDataFrame([], current_sys)
+            return empty if include_system else empty.drop(SYS_LSN, SYS_DELETED)
         # group by writer schema; project+cast each group to current schema
         by_schema: dict[int, list[str]] = {}
         for f in files:
@@ -171,12 +195,17 @@ class LakeTable:
             writer_schema = StructType.fromJson(
                 __import__("json").loads(m.schemas[sid])
             )
-            df = self.spark.read.schema(writer_schema).parquet(*paths)
-            parts.append(_align(df, current))
+            writer_sys = StructType(list(writer_schema.fields) + sys_fields)
+            df = self.spark.read.schema(writer_sys).parquet(*paths)
+            parts.append(_align(df, current_sys))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        if include_system:
+            return out
+        return out.filter(
+            ~F.coalesce(F.col(SYS_DELETED), F.lit(False))
+        ).drop(SYS_LSN, SYS_DELETED)
 
     # ----------------------------------------------------------------- write
     def _write_data(
@@ -192,6 +221,10 @@ class LakeTable:
         token = mf.new_commit_token()
         out_rel = os.path.join(mf.DATA_DIR, token)
         out_abs = os.path.join(self.table_dir, out_rel)
+        if SYS_LSN not in df.columns:
+            df = df.withColumn(SYS_LSN, F.lit(-1).cast("long"))
+        if SYS_DELETED not in df.columns:
+            df = df.withColumn(SYS_DELETED, F.lit(False))
         n_parts = max(1, n_buckets_hint or m.num_buckets)
         (
             df.withColumn(BUCKET_COL, self._bucket_expr(m))
@@ -274,6 +307,7 @@ class LakeTable:
         summary: dict[str, Any] | None = None,
         broadcast_threshold: int = 2_000_000,
         bucket_stats: dict[int, int] | None = None,
+        lsn_col: str | None = "lsn",
     ) -> dict[str, Any]:
         """Copy-on-write MERGE.
 
@@ -283,6 +317,14 @@ class LakeTable:
 
         - op == delete_value → row removed if present (no-op if absent)
         - any other op       → upsert (insert or full-row replace)
+
+        When ``lsn_col`` names a column present in ``changes``, the
+        merge is CONDITIONAL: a change only wins against an existing row
+        if its LSN is strictly higher than the row's ``_applied_lsn``.
+        That makes replay commutative across batches — out-of-order
+        segment discovery or a redelivered old batch can never clobber
+        newer data (the north rule's out-of-order requirement). Without
+        it, last-write-wins by arrival order.
 
         Only buckets containing at least one change key are read or
         rewritten; all other data files carry over into the new snapshot
@@ -315,17 +357,53 @@ class LakeTable:
                 return info
 
             untouched = [f for f in m.files if f.bucket not in affected]
-            target = self.read(buckets=affected)
+            target = self.read(buckets=affected, include_system=True)
+            current_sys = StructType(
+                list(current.fields)
+                + [
+                    StructField(SYS_LSN, LongType(), True),
+                    StructField(SYS_DELETED, BooleanType(), True),
+                ]
+            )
 
-            keys = changes.select(*key_cols)
+            conditional = lsn_col is not None and lsn_col in changes.columns
+            if conditional:
+                # per-key LSN gate: column-pruned scan of (keys, _lsn)
+                # from the affected buckets joins against the (small)
+                # change set; losers drop out before any rewrite.
+                # Tombstoned rows participate — a late old update loses
+                # against the tombstone's delete LSN.
+                t_lsn = target.select(
+                    *key_cols, F.col(SYS_LSN).alias("_t_lsn")
+                )
+                winners = (
+                    changes.join(t_lsn, on=key_cols, how="left")
+                    .filter(
+                        F.col("_t_lsn").isNull()
+                        | (F.col(lsn_col) > F.col("_t_lsn"))
+                    )
+                    .drop("_t_lsn")
+                )
+                upsert_src = winners.withColumn(
+                    SYS_LSN, F.col(lsn_col).cast("long")
+                )
+            else:
+                upsert_src = changes
+
+            upsert_src = upsert_src.withColumn(
+                SYS_DELETED, F.col(op_col) == F.lit(delete_value)
+            )
+            keys = upsert_src.select(*key_cols)
             if n_changes <= broadcast_threshold:
                 keys = F.broadcast(keys)
             survivors = target.join(keys, on=key_cols, how="left_anti")
 
-            upserts = _align(
-                changes.filter(F.col(op_col) != F.lit(delete_value)), current
-            )
-            new_data = _align(survivors, current).unionByName(upserts)
+            # deletes become tombstones (conditional path) or drop the
+            # row physically (unconditional legacy path)
+            if not conditional:
+                upsert_src = upsert_src.filter(~F.col(SYS_DELETED))
+            upserts = _align(upsert_src, current_sys)
+            new_data = _align(survivors, current_sys).unionByName(upserts)
 
             new_files = self._write_data(new_data, m, n_buckets_hint=len(affected))
             info = {
@@ -369,7 +447,9 @@ class LakeTable:
         if not affected:
             return {"operation": "compact", "affected_buckets": [], "skipped": True}
         untouched = [f for f in m.files if f.bucket not in affected]
-        data = self.read(buckets=affected)
+        # keep the per-row applied-LSN through the rewrite — losing it
+        # would let an old redelivered change beat a compacted row
+        data = self.read(buckets=affected, include_system=True)
         new_files = self._write_data(data, m, n_buckets_hint=len(affected))
         info = {
             "operation": "compact",

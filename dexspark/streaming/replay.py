@@ -51,6 +51,7 @@ class CdcStreamReplay:
         max_files_per_trigger: int | None = None,
         batch_id_prefix: str = "stream",
         log_format: str = "parquet",
+        compact_every: int | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -63,6 +64,12 @@ class CdcStreamReplay:
         self.max_files_per_trigger = max_files_per_trigger
         self.batch_id_prefix = batch_id_prefix
         self.log_format = log_format
+        # every N applied batches, bin-pack small files (the scheduled
+        # OPTIMIZE a long-running ingest daemon needs; COW merges keep
+        # affected buckets at one file, but quarantine appends and
+        # schema evolution fragment over time)
+        self.compact_every = compact_every
+        self._applied_since_compact = 0
         self.results: list[dict[str, Any]] = []
 
     def _foreach_batch(self, batch_df, epoch_id: int) -> None:
@@ -75,6 +82,13 @@ class CdcStreamReplay:
             salt_buckets=self.salt_buckets,
         )
         self.results.append(res)
+        if self.compact_every and not res.get("skipped"):
+            self._applied_since_compact += 1
+            if self._applied_since_compact >= self.compact_every:
+                self._applied_since_compact = 0
+                # skipped runs are recorded too — "checked, nothing
+                # fragmented" is operational signal
+                self.results.append(self.table.compact())
 
     def run_available(self) -> list[dict[str, Any]]:
         """Process everything currently in log_dir, then stop

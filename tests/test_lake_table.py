@@ -201,3 +201,43 @@ def test_expire_snapshots_vacuums_unreferenced(spark, tmp_table_dir):
         assert os.path.exists(os.path.join(t.table_dir, f.path))
     # another expire is a no-op
     assert t.expire_snapshots(keep_last=1)["expired_versions"] == []
+
+
+def test_merge_out_of_order_batches_commutative(spark, tmp_table_dir):
+    """Conditional (LSN-gated) merge: applying batches in the wrong
+    order converges to the same state as in-order application."""
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, "k", 4)
+    ddl = "k string, seq int, v string, op string, lsn long"
+    newer = spark.createDataFrame([("a", 1, "new", "U", 100)], ddl)
+    older = spark.createDataFrame([("a", 1, "old", "U", 50)], ddl)
+    t.merge(newer, key_cols=["k", "seq"])
+    t.merge(older, key_cols=["k", "seq"])  # late arrival must LOSE
+    rows = t.read().collect()
+    assert [(r.k, r.seq, r.v) for r in rows] == [("a", 1, "new")]
+
+
+def test_merge_tombstone_blocks_resurrection(spark, tmp_table_dir):
+    """A late out-of-order update older than a delete must not
+    resurrect the deleted key."""
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, "k", 4)
+    ddl = "k string, seq int, v string, op string, lsn long"
+    t.merge(spark.createDataFrame([("a", 1, "x", "I", 10)], ddl), key_cols=["k", "seq"])
+    t.merge(spark.createDataFrame([("a", 1, None, "D", 30)], ddl), key_cols=["k", "seq"])
+    assert t.read().count() == 0
+    # late update with lsn between insert and delete -> stays deleted
+    t.merge(spark.createDataFrame([("a", 1, "late", "U", 20)], ddl), key_cols=["k", "seq"])
+    assert t.read().count() == 0
+    # genuinely newer insert (after the delete) -> key comes back
+    t.merge(spark.createDataFrame([("a", 1, "back", "I", 40)], ddl), key_cols=["k", "seq"])
+    assert [(r.k, r.v) for r in t.read().collect()] == [("a", "back")]
+
+
+def test_merge_redelivered_batch_is_noop_by_lsn(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, "k", 4)
+    ddl = "k string, seq int, v string, op string, lsn long"
+    batch = spark.createDataFrame([("a", 1, "x", "I", 10), ("b", 2, "y", "I", 11)], ddl)
+    t.merge(batch, key_cols=["k", "seq"])
+    before = {(r.k, r.seq, r.v) for r in t.read().collect()}
+    t.merge(batch, key_cols=["k", "seq"])  # verbatim redelivery
+    after = {(r.k, r.seq, r.v) for r in t.read().collect()}
+    assert before == after == {("a", 1, "x"), ("b", 2, "y")}

@@ -72,3 +72,33 @@ def test_stream_replay_committed_batch_is_skipped(spark, tmp_table_dir):
     replay_lost.run_available()
     assert replay_lost.results[0]["skipped"]
     assert table.current_version() == v  # no new snapshot, no dupes
+
+
+def test_stream_replay_auto_compaction(spark, tmp_table_dir):
+    """compact_every triggers bin-packing between micro-batches; final
+    state is unchanged and fragmented buckets collapse."""
+    log = gen_change_log(spark, 2000, n_convs=30, n_batches=4)
+    table = LakeTable.create(
+        spark,
+        os.path.join(tmp_table_dir, "t"),
+        _parse_datatype_string(PAYLOAD),
+        "conv_id",
+        4,
+    )
+    log_dir = os.path.join(tmp_table_dir, "log")
+    log.coalesce(4).write.partitionBy("batch_seq").parquet(log_dir)
+    replay = CdcStreamReplay(
+        spark,
+        table,
+        log_dir + "/*",
+        os.path.join(tmp_table_dir, "cp"),
+        _parse_datatype_string(LOG_SCHEMA),
+        max_files_per_trigger=1,
+        compact_every=2,
+    )
+    results = replay.run_available()
+    assert any(r.get("operation") == "compact" for r in results)
+    expected = expected_final_state(log)
+    got = table.read()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
