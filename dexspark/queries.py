@@ -746,6 +746,71 @@ FROM per GROUP BY user_id
 """
 
 
+def revenue_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage (SURVEY §2.2 gap list): ROLLUP over
+    (returnflag, linestatus) with grouping ids — subtotals and grand
+    total in one pass (partial aggregation per grouping set)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def top_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort/limit (top-k) coverage: 10 highest-revenue customers.
+    Plan: partial agg per customer, then TakeOrderedAndProject — the
+    k-bounded reduce means no global sort ever materializes."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(20,4)"
+                )
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+        .limit(10)
+        .select(F.col("o_custkey").alias("custkey"), "revenue")
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT o_custkey AS custkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4)))
+            AS DECIMAL(20,4)) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+ORDER BY revenue DESC, custkey ASC
+LIMIT 10
+"""
+
+
 def purchase_asof_view_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator Spark lacks; DuckDB has ASOF JOIN):
     each purchase event enriched with the user's most recent view
@@ -911,6 +976,8 @@ QUERIES: dict[str, tuple] = {
     "route_events": (route_events_q, ORACLE_ROUTE),
     "user_sessions": (user_sessions_q, ORACLE_SESSIONS),
     "purchase_asof_view": (purchase_asof_view_q, ORACLE_ASOF),
+    "revenue_rollup": (revenue_rollup_q, ORACLE_ROLLUP),
+    "top_customers": (top_customers_q, ORACLE_TOP_CUSTOMERS),
     "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
     "q3_revenue_by_order": (q3_revenue_by_order, ORACLE_Q3),
     "q5_nation_volume": (q5_nation_volume, ORACLE_Q5),
