@@ -119,9 +119,15 @@ def main():
     q_times: dict[str, float] = {"cdc_replay": round(elapsed, 3)}
     for name in BENCH_QUERIES:
         fn, _ = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        q_times[name] = round(time.perf_counter() - t0, 3)
+        # best of 2: first evaluation pays codegen compilation of the
+        # (sometimes very large) expression tree; steady state is the
+        # second run
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        q_times[name] = round(best, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

@@ -811,6 +811,65 @@ LIMIT 10
 """
 
 
+def q6_forecast_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight filter + single global aggregate. All
+    three predicates push into the parquet scan; the aggregate is a
+    two-stage partial/final with no grouping key."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(20,4)"
+                )
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(20,4)))
+            AS DECIMAL(20,4)) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def churned_buyers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage (SURVEY §2.2 gap list): users who
+    purchased early but never again — EXCEPT (DISTINCT) over the event
+    stream. Plans as a left-anti hash join, not a sort-based set op."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-25").cast("timestamp")
+    early = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("ts") < cutoff)
+    ).select("user_id")
+    late = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("ts") >= cutoff)
+    ).select("user_id")
+    return early.subtract(late)
+
+
+ORACLE_CHURNED = """
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-25'
+EXCEPT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-25'
+"""
+
+
 def purchase_asof_view_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator Spark lacks; DuckDB has ASOF JOIN):
     each purchase event enriched with the user's most recent view
@@ -978,6 +1037,8 @@ QUERIES: dict[str, tuple] = {
     "purchase_asof_view": (purchase_asof_view_q, ORACLE_ASOF),
     "revenue_rollup": (revenue_rollup_q, ORACLE_ROLLUP),
     "top_customers": (top_customers_q, ORACLE_TOP_CUSTOMERS),
+    "q6_forecast_revenue": (q6_forecast_revenue_q, ORACLE_Q6),
+    "churned_buyers": (churned_buyers_q, ORACLE_CHURNED),
     "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
     "q3_revenue_by_order": (q3_revenue_by_order, ORACLE_Q3),
     "q5_nation_volume": (q5_nation_volume, ORACLE_Q5),
