@@ -22,6 +22,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import _parse_datatype_string
 
@@ -933,6 +935,89 @@ WHERE CAST(round(list_dot_product(a.v, b.v)
 """
 
 
+def lang_length_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface (SURVEY §2.3): an Arrow grouped-aggregate
+    pandas UDF (median of doc lengths per predicted language) — the
+    vectorized path for aggregates Spark lacks built-in. Partial
+    aggregation does NOT apply to grouped-agg pandas UDFs (full groups
+    must colocate), which is exactly why built-ins are preferred when
+    they exist; this query is the extension-point demonstration."""
+    from pyspark.sql.functions import pandas_udf
+
+    from dexspark.functions.text import lang_id
+
+    @pandas_udf("double")
+    def median_len(v: pd.Series) -> float:
+        return float(v.median())
+
+    @pandas_udf("long")
+    def n_vals(v: pd.Series) -> int:
+        # grouped-agg pandas UDFs cannot mix with built-in aggregates
+        # in one agg() — the count rides the same Arrow batch instead
+        return int(len(v))
+
+    docs = lang_id(load(spark, sf_dir, "documents"))
+    lens = F.col("n_chars").cast("double")
+    return docs.groupBy("lang_pred").agg(
+        median_len(lens).alias("median_chars"),
+        n_vals(lens).alias("n_docs"),
+    )
+
+
+def _oracle_lang_median() -> str:
+    return f"""
+WITH lang AS ({ORACLE_LANG})
+SELECT lang_pred,
+       median(CAST(n_chars AS DOUBLE)) AS median_chars,
+       COUNT(*) AS n_docs
+FROM lang JOIN documents USING (doc_id)
+GROUP BY lang_pred
+"""
+
+
+def top_trigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDTF surface (SURVEY §2.3): a Python table function
+    (1 row → N rows) invoked via LATERAL — the reference's
+    'register another function as a step' extension point, as Spark 4's
+    UDTF. Top-20 corpus trigrams, ties broken lexicographically."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="ngram string")
+    class Trigrams:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").strip().lower().split() if t]
+            for i in range(len(toks) - 2):
+                yield (" ".join(toks[i : i + 3]),)
+
+    spark.udtf.register("dexspark_trigrams", Trigrams)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("_docs_tri")
+    return spark.sql(
+        """
+        SELECT t.ngram, count(*) AS n
+        FROM _docs_tri, LATERAL dexspark_trigrams(text) t
+        GROUP BY t.ngram
+        ORDER BY n DESC, ngram ASC
+        LIMIT 20
+        """
+    )
+
+
+ORACLE_TRIGRAMS = """
+WITH toks AS (
+  SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), tri AS (
+  SELECT unnest([array_to_string(w[i+1:i+3], ' ')
+                 for i in range(0, len(w)-2)]) AS ngram
+  FROM toks
+)
+SELECT ngram, COUNT(*) AS n
+FROM tri GROUP BY ngram
+ORDER BY n DESC, ngram ASC
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal: binary payload plumbing (Arrow mapInPandas)
 # --------------------------------------------------------------------------
@@ -1039,6 +1124,8 @@ QUERIES: dict[str, tuple] = {
     "top_customers": (top_customers_q, ORACLE_TOP_CUSTOMERS),
     "q6_forecast_revenue": (q6_forecast_revenue_q, ORACLE_Q6),
     "churned_buyers": (churned_buyers_q, ORACLE_CHURNED),
+    "lang_length_median": (lang_length_median_q, _oracle_lang_median()),
+    "top_trigrams": (top_trigrams_q, ORACLE_TRIGRAMS),
     "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
     "q3_revenue_by_order": (q3_revenue_by_order, ORACLE_Q3),
     "q5_nation_volume": (q5_nation_volume, ORACLE_Q5),
