@@ -19,6 +19,7 @@ Two confounds of single-VM local mode are controlled explicitly:
    raw and relative to that ceiling.
 
 Usage: python tools/bench_scaling.py [n_events] [trials]
+Env: DEXSPARK_SCALE_LEVELS="2,8,32" to override the core levels.
 """
 
 from __future__ import annotations
@@ -35,7 +36,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import run_cdc_replay  # noqa: E402
 from dexspark.session import get_spark  # noqa: E402
 
-LEVELS = (2, 8, 32)
+LEVELS = tuple(
+    int(x)
+    for x in os.environ.get("DEXSPARK_SCALE_LEVELS", "2,8,32").split(",")
+)
 
 
 def _cpu_task(n: int) -> int:
@@ -110,7 +114,11 @@ def main():
     def ceil_eff(lo: int, hi: int) -> float:
         return ceiling[hi]["work_per_sec"] / ((hi / lo) * ceiling[lo]["work_per_sec"])
 
-    pairs = [(2, 8), (8, 32)]
+    pairs = [
+        (lo, hi)
+        for lo, hi in zip(LEVELS, LEVELS[1:])
+        if hi == 4 * lo
+    ]
     out = {
         "levels": results,
         "cpu_ceiling": ceiling,
