@@ -99,11 +99,13 @@ def main():
     spark = get_spark("dexspark-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # size the log off the events table (~80 change events per source
+    # size the log off the events table (~40 change events per source
     # event — large enough that per-micro-batch fixed costs amortize
-    # and the timed section measures the pipeline, not job scheduling)
+    # and the timed section measures the pipeline, not job scheduling,
+    # while keeping the whole bench (2x generate + 2x replay + query
+    # loop) bounded on a noisy shared VM)
     n_src = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
-    n_events = int(os.environ.get("DEXSPARK_BENCH_EVENTS", n_src * 80))
+    n_events = int(os.environ.get("DEXSPARK_BENCH_EVENTS", n_src * 40))
 
     # Best of two full runs: the first pays one-time process costs a
     # long-running ingest daemon never re-pays (JVM codegen + C2 JIT
