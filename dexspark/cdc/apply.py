@@ -158,3 +158,32 @@ def apply_changes(
         }
     finally:
         flagged.unpersist()
+
+
+def reprocess_quarantine(
+    table: LakeTable,
+    quarantine: LakeTable,
+    fix,
+    batch_id: str,
+    cfg: ValidationConfig | None = None,
+) -> dict[str, Any]:
+    """Dead-letter reprocessing: pull the quarantined rows, apply a
+    caller-supplied correction (``fix: DataFrame -> DataFrame``), and
+    run them through the normal validate → dedup → merge path under a
+    fresh batch_id.
+
+    ≙ the reference's error channel made replayable: DEX routes
+    failures to error functions and stops (FnOrchestrator.kt:95-111);
+    here the rejects table is itself a change source, so corrected
+    records rejoin the stream with full exactly-once + lineage
+    semantics. Rows that STILL fail validation simply land back in
+    quarantine under the new batch_id — reprocessing can never lose or
+    duplicate data. LSN-gated merging makes it safe even if the
+    underlying key advanced meanwhile: a stale corrected row loses to
+    the newer table state.
+    """
+    events = quarantine.read().drop("reject_reason", "batch_id")
+    fixed = fix(events)
+    return apply_changes(
+        table, fixed, batch_id=batch_id, cfg=cfg, quarantine=quarantine
+    )

@@ -178,3 +178,46 @@ def test_schema_evolution_mid_replay(spark, tmp_table_dir):
     assert dt["turn_idx"] == "bigint" and dt["model"] == "string"
     assert table.read().filter(F.col("model") == "m-1").count() > 0
     assert table.read().filter(F.col("model").isNull()).count() > 0
+
+
+def test_reprocess_quarantine_roundtrip(spark, tmp_table_dir):
+    """Dead-letter reprocessing: corrected quarantine rows rejoin the
+    stream; still-invalid rows land back in quarantine."""
+    import os
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from dexspark.cdc.apply import reprocess_quarantine
+    from dexspark.cdc.generator import gen_change_log
+
+    payload = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    table = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "t"), _parse_datatype_string(payload), "conv_id", 4
+    )
+    qschema = _parse_datatype_string(
+        "lsn long, op string, batch_seq long, " + payload + ", reject_reason string, batch_id string"
+    )
+    q = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "q"), qschema, "conv_id", 4
+    )
+    # 20% bad roles -> quarantined on first pass
+    log = gen_change_log(spark, 1000, n_convs=20, n_batches=1, bad_role_pct=20)
+    res = apply_changes(table, log, batch_id="b0", quarantine=q)
+    assert res["rejected"] > 0
+    assert q.read().count() == res["rejected"]
+    applied_before = table.read().count()
+
+    def fix(df):
+        return df.withColumn(
+            "role",
+            F.when(~F.col("role").isin("user", "assistant", "system", "tool"), "user")
+            .otherwise(F.col("role")),
+        )
+
+    res2 = reprocess_quarantine(table, q, fix, batch_id="b0-retry")
+    assert res2["rejected"] == 0 and res2["applied"] > 0
+    # corrected rows merged (table grew or keys updated in place)
+    assert table.read().count() >= applied_before
+    # exactly-once still holds for the retry batch id
+    res3 = reprocess_quarantine(table, q, fix, batch_id="b0-retry")
+    assert res3["skipped"] is True
