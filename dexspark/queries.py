@@ -269,31 +269,42 @@ FROM events GROUP BY 1
 # relational coverage (TPC-H-style; exact DECIMAL aggregates)
 # --------------------------------------------------------------------------
 
+# Money columns are doubles with exactly 2 decimal digits; per-row
+# round(x*100) recovers exact integer cents identically in both engines
+# (IEEE multiply is deterministic; a product that prints as x.5 IS the
+# representable x.5, and both engines round it away from zero), after
+# which every aggregate is exact int64 arithmetic — the scaled-integer
+# discipline the driver hash-compares reliably (decimal SUM widens
+# precision differently per engine and tripped the round-1 hash).
+def _cents(c: str) -> "F.Column":
+    return F.round(F.col(c) * 100).cast("long")
+
+
+_CENTS_SQL = "CAST(round({col} * 100) AS BIGINT)"
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(_cents("l_quantity")).alias("sum_qty_x100"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_price_x100"),
             F.sum(
-                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
-                .cast("decimal(28,4)")
-            ).alias("sum_disc_price"),
+                _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+            ).alias("sum_disc_price_x10000"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
 
 
-ORACLE_Q1 = """
+ORACLE_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-      AS DECIMAL(28,4))) AS sum_disc_price,
+  sum({_CENTS_SQL.format(col='l_quantity')}) AS sum_qty_x100,
+  sum({_CENTS_SQL.format(col='l_extendedprice')}) AS sum_base_price_x100,
+  sum({_CENTS_SQL.format(col='l_extendedprice')}
+      * (100 - {_CENTS_SQL.format(col='l_discount')})) AS sum_disc_price_x10000,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -301,30 +312,33 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+_REVENUE_X10000 = (
+    f"sum({_CENTS_SQL.format(col='l_extendedprice')}"
+    f" * (100 - {_CENTS_SQL.format(col='l_discount')})) AS revenue_x10000"
+)
+
+
+def _revenue_x10000() -> "F.Column":
+    return F.sum(
+        _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    ).alias("revenue_x10000")
+
+
 def q3_revenue_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = load(spark, sf_dir, "customer")
     od = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         cu.filter(F.col("c_mktsegment") == "BUILDING")
         .join(od, cu.c_custkey == od.o_custkey)
         .join(li, od.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            F.sum(
-                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
-                .cast("decimal(28,4)")
-            ).alias("revenue")
-        )
+        .agg(_revenue_x10000())
     )
 
 
-ORACLE_Q3 = """
-SELECT o_orderkey, o_orderdate,
-  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-      AS DECIMAL(28,4))) AS revenue
+ORACLE_Q3 = f"""
+SELECT o_orderkey, o_orderdate, {_REVENUE_X10000}
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -334,35 +348,31 @@ GROUP BY o_orderkey, o_orderdate
 
 
 def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Volume per nation through a 5-way join (customer→orders→lineitem
-    →supplier→nation); dims broadcast."""
+    """Volume per nation through a 5-way join. Only the true dims
+    (supplier, nation — bounded cardinality) get a broadcast hint;
+    customer grows with the fact data, so it is left to AQE, which
+    broadcasts it when small and shuffle-joins it at scale (a forced
+    hint there would OOM executors at 100×)."""
     cu = load(spark, sf_dir, "customer")
     od = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     su = load(spark, sf_dir, "supplier")
     na = load(spark, sf_dir, "nation")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(
-                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
-                .cast("decimal(28,4)")
-            ).alias("revenue"),
+            _revenue_x10000(),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
-ORACLE_Q5 = """
-SELECT n_name,
-  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-      AS DECIMAL(28,4))) AS revenue,
+ORACLE_Q5 = f"""
+SELECT n_name, {_REVENUE_X10000},
   count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -756,22 +766,22 @@ def revenue_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("sum_qty"),
+            F.sum(_cents("l_quantity")).alias("sum_qty_x100"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "sum_qty",
+            "sum_qty_x100",
             "n_rows",
         )
     )
 
 
-ORACLE_ROLLUP = """
+ORACLE_ROLLUP = f"""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS sum_qty,
+       SUM({_CENTS_SQL.format(col='l_quantity')}) AS sum_qty_x100,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -787,28 +797,20 @@ def top_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(20,4)"
-                )
-            ).alias("revenue")
-        )
+        .agg(_revenue_x10000())
     )
     return (
-        rev.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+        rev.orderBy(F.col("revenue_x10000").desc(), F.col("o_custkey").asc())
         .limit(10)
-        .select(F.col("o_custkey").alias("custkey"), "revenue")
+        .select(F.col("o_custkey").alias("custkey"), "revenue_x10000")
     )
 
 
-ORACLE_TOP_CUSTOMERS = """
-SELECT o_custkey AS custkey,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4)))
-            AS DECIMAL(20,4)) AS revenue
+ORACLE_TOP_CUSTOMERS = f"""
+SELECT o_custkey AS custkey, {_REVENUE_X10000}
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_custkey
-ORDER BY revenue DESC, custkey ASC
+ORDER BY revenue_x10000 DESC, custkey ASC
 LIMIT 10
 """
 

@@ -26,7 +26,10 @@ def canon(v):
     if v is None:
         return ("n", "")
     if isinstance(v, Decimal):
-        return ("num", round(float(v), 9))
+        # exact: normalized fixed-point string, so decimal aggregates
+        # keep their designed exactness (scale differences like 5.00 vs
+        # 5.0000 canonicalize equal; sub-float64 differences DON'T)
+        return ("d", format(v.normalize(), "f"))
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, float):
