@@ -172,32 +172,43 @@ def ngram_jaccard(
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", out_col: str = "simhash"
 ) -> DataFrame:
-    """64-bit SimHash: per-bit majority vote over token xxhash64 values.
+    """64-bit SimHash: per-bit majority vote over token hashes.
     Expression-only: for each bit, count tokens with that bit set vs
-    total; bit set in output iff set-count*2 > total."""
+    total; bit set in output iff set-count*2 > total.
+
+    Token hash = first 16 hex chars of md5, split into two 32-bit
+    halves — md5 over UTF-8 is byte-identical in every engine, so
+    (unlike xxhash64) an external SQL oracle can reproduce the
+    signature bit-for-bit. Returns exactly (id_col, out_col), one row
+    per distinct id (duplicate-id input rows vote into one signature).
+    """
     # explode tokens + 64 codegen'd conditional-sum aggregates (same
     # rationale as minhash_signatures: HOF lambdas are interpreted;
     # explode+agg runs in whole-stage codegen with map-side partial
     # agg, and narrow single-file inputs are spread first)
-    src = df
+    src = df.select(id_col, text_col)
     target = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < target:
         src = src.repartition(target)
-    other_cols = [c for c in df.columns]
     toks = F.filter(F.split(_norm(text_col), " "), lambda t: t != "")
     # explode_outer: a row whose text has no tokens keeps one all-NULL
-    # vote row, so it survives with signature 0 instead of vanishing
-    ex = src.select(*other_cols, F.explode_outer(toks).alias("_t")).withColumn(
-        # xxhash64(NULL) evaluates to the seed, not NULL — guard so the
-        # padding row of an empty-token doc casts no votes
-        "_h",
-        F.when(F.col("_t").isNotNull(), F.xxhash64("_t")),
+    # vote row, so it survives with signature 0 instead of vanishing;
+    # the md5 of the NULL token is NULL, so the padding row casts no
+    # votes (but still counts into _n, which only raises the majority
+    # bar — an all-NULL doc gets signature 0 either way)
+    md5c = F.md5(F.col("_t"))
+    ex = (
+        src.select(id_col, F.explode_outer(toks).alias("_t"))
+        .withColumn("_hhi", F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long"))
+        .withColumn("_hlo", F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long"))
     )
     votes = [
-        F.sum(F.bit_get(F.col("_h"), F.lit(i)).cast("long")).alias(f"_v{i}")
+        F.sum(
+            F.bit_get(F.col("_hlo" if i < 32 else "_hhi"), F.lit(i % 32)).cast("long")
+        ).alias(f"_v{i}")
         for i in range(64)
     ]
-    agg = ex.groupBy(*other_cols).agg(F.count(F.lit(1)).alias("_n"), *votes)
+    agg = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *votes)
     # majority bits -> signed long: bit masks are disjoint, so a plain
     # sum of selected masks reconstructs the two's-complement value
     # (1<<63 is Long.MIN_VALUE)
@@ -208,7 +219,7 @@ def simhash(
             F.col(f"_v{i}") * 2 > F.col("_n"), F.lit(mask).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
-    return agg.select(*other_cols, sig.alias(out_col))
+    return agg.select(id_col, sig.alias(out_col))
 
 
 def hamming_near_dups(

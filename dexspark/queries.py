@@ -583,13 +583,60 @@ WHERE len(list_intersect(a.s, b.s)) * 1000
 
 def doc_simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups (exact for hamming ≤ 3 by 4x16-bit pigeonhole
-    banding). Signature depends on xxhash64 → no SQL oracle (rows-only
-    check); pytest verifies semantics on known inputs instead."""
+    banding). The token hash is md5-derived (byte-identical in every
+    engine), so the oracle below reproduces the signature bit-for-bit
+    and brute-forces all pairs — the engine's banded self-join must
+    find exactly the same ≤3-hamming set."""
     from dexspark.functions.dedup import hamming_near_dups, simhash
 
     docs = load(spark, sf_dir, "documents")
-    sigs = simhash(docs).select("doc_id", "simhash")
+    sigs = simhash(docs)
     return hamming_near_dups(sigs, max_hamming=3)
+
+
+# --- exact DuckDB mirror of simhash (md5 halves → 64 bit-votes) ---
+def _md5_half_sql(start: int) -> str:
+    """BIGINT value of 8 hex chars of md5(_t) starting at 1-based
+    ``start`` (mirrors Spark's conv(substring(md5, start, 8), 16, 10))."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5(_t), {start + j}, 1)) - 1)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+
+
+_SIMHASH_VOTES = ", ".join(
+    f"SUM((h_{'lo' if i < 32 else 'hi'} >> {i % 32}) & 1) AS v{i}"
+    for i in range(64)
+)
+
+_SIMHASH_SIG = " + ".join(
+    f"(CASE WHEN 2 * v.v{i} > v.n THEN "
+    + (f"CAST({1 << i} AS BIGINT)" if i < 63 else "CAST(-9223372036854775807 AS BIGINT) - 1")
+    + " ELSE 0 END)"
+    for i in range(64)
+)
+
+ORACLE_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           x -> x <> '')) AS _t
+  FROM documents
+), h AS (
+  SELECT doc_id, {_md5_half_sql(1)} AS h_hi, {_md5_half_sql(9)} AS h_lo FROM tok
+), votes AS (
+  SELECT doc_id, count(*) AS n, {_SIMHASH_VOTES} FROM h GROUP BY doc_id
+), sigs AS (
+  SELECT d.doc_id, COALESCE({_SIMHASH_SIG}, 0) AS sig
+  FROM documents d LEFT JOIN votes v USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
 
 
 def doc_fingerprint_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1110,7 +1157,7 @@ QUERIES: dict[str, tuple] = {
     "doc_quality_scores": (doc_quality_scores_q, ORACLE_QUALITY),
     "doc_lang_id": (doc_lang_id_q, ORACLE_LANG),
     "doc_near_dup_pairs": (doc_near_dup_pairs_q, ORACLE_NEAR_DUP),
-    "doc_simhash_near_dups": (doc_simhash_near_dups_q, None),
+    "doc_simhash_near_dups": (doc_simhash_near_dups_q, ORACLE_SIMHASH),
     "doc_fingerprint_groups": (doc_fingerprint_groups_q, ORACLE_FP_GROUPS),
     "emb_cosine_topk": (emb_cosine_topk_q, ORACLE_COSINE_TOPK),
     "emb_ann_lsh_topk": (emb_ann_lsh_topk_q, ORACLE_ANN_TOPK),
