@@ -111,11 +111,24 @@ def apply_changes(
         # the lineage job above materialized `flagged` (and the
         # observation on it); metrics are now available without a
         # dedicated reject-count job
-        metrics = obs.get
-        n_rejected = int(metrics["_rejected"])
-        rejected_by_reason = {
-            r: int(metrics[r]) for r in REASONS if metrics[r]
-        }
+        try:
+            metrics = obs.get
+            n_rejected = int(metrics["_rejected"])
+            rejected_by_reason = {
+                r: int(metrics[r]) for r in REASONS if metrics[r]
+            }
+        except Exception:
+            # all-invalid batch: AQE's empty-relation propagation
+            # replaces the (empty) valid subtree at runtime and the
+            # CollectMetrics node drops out of the final plan, so the
+            # observation never reports. Count from the cached
+            # `flagged` instead — one small job over the cache.
+            counts = {
+                row[0]: int(row[1])
+                for row in rejects.groupBy(REASON_COL).count().collect()
+            }
+            n_rejected = sum(counts.values())
+            rejected_by_reason = counts
         partitions = [
             {
                 "bucket": int(r["bucket"]),
@@ -176,14 +189,29 @@ def reprocess_quarantine(
     failures to error functions and stops (FnOrchestrator.kt:95-111);
     here the rejects table is itself a change source, so corrected
     records rejoin the stream with full exactly-once + lineage
-    semantics. Rows that STILL fail validation simply land back in
-    quarantine under the new batch_id — reprocessing can never lose or
-    duplicate data. LSN-gated merging makes it safe even if the
-    underlying key advanced meanwhile: a stale corrected row loses to
-    the newer table state.
+    semantics. After a successful apply the quarantine is REWRITTEN to
+    exactly the rows that still fail validation (under the new
+    batch_id), so its contents always equal the outstanding dead
+    letters — fixed rows leave, still-bad rows appear once, and repeat
+    reprocessing cannot re-fix or recount old rows. LSN-gated merging
+    makes it safe even if the underlying key advanced meanwhile: a
+    stale corrected row loses to the newer table state.
     """
+    cfg = cfg or ValidationConfig()
     events = quarantine.read().drop("reject_reason", "batch_id")
     fixed = fix(events)
-    return apply_changes(
-        table, fixed, batch_id=batch_id, cfg=cfg, quarantine=quarantine
+    res = apply_changes(table, fixed, batch_id=batch_id, cfg=cfg)
+    if res.get("skipped"):
+        return res
+    # second validation pass over `fixed` only — the dead-letter tail
+    # is small by construction, so the extra count job is trivial
+    # (Observation can't report here: a fully-fixed tail writes zero
+    # rows, the write schedules zero tasks, and the metrics never fire)
+    still_bad = (
+        flag_events(fixed, cfg)
+        .filter(F.col(REASON_COL).isNotNull())
+        .withColumn("batch_id", F.lit(batch_id))
     )
+    quarantine.overwrite(still_bad, summary={"batch_id": batch_id})
+    res["still_quarantined"] = int(still_bad.count())
+    return res

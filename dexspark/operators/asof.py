@@ -11,8 +11,8 @@ formulations both fail at scale:
 
 The scalable shape is **union + ordered window**: tag both sides, union
 them (narrow), then one window per key ordered by (ts, side) carries
-the last-seen right payload forward onto each left row via
-``last(col, ignorenulls=True)``. Exactly one shuffle (by key), state is
+the last-seen right row forward onto each left row as one struct via
+``last(struct, ignorenulls=True)``. Exactly one shuffle (by key), state is
 one row per partition frame, and whole-stage codegen applies — the
 same plan a time-series engine would pick for 10^10 rows. Ties
 (equal ts) resolve right-before-left so an exactly-simultaneous right
@@ -45,21 +45,25 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in by and c != on]
 
-    lhs = left.withColumn(_SIDE, F.lit(1)).withColumn(f"{on}{suffix}", F.lit(None).cast(right.schema[on].dataType))
-    rhs = right.select(
-        *by,
-        F.col(on),
-        F.lit(0).alias(_SIDE),
-        F.col(on).alias(f"{on}{suffix}"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    # carry the matched right row as ONE struct, not per-column: with
+    # independent last(col, ignorenulls) a legitimately-NULL value
+    # inside a right row would be skipped for that column and the
+    # output would stitch fields from different right rows. One
+    # non-null struct per right row keeps the matched row intact
+    # (NULL fields included), like pandas merge_asof / DuckDB ASOF.
+    _PAY = "_asof_payload"
+    payload = F.struct(
+        F.col(on).alias(on), *[F.col(c).alias(c) for c in value_cols]
     )
-    # align columns: left keeps its payload, right rows carry NULL left
-    # payload (they are dropped after the window pass)
+    rhs = right.select(*by, F.col(on), F.lit(0).alias(_SIDE), payload.alias(_PAY))
+    # align columns: right rows carry NULL left payload (they are
+    # dropped after the window pass)
     for c in left.columns:
-        if c not in by and c != on and c != _SIDE:
+        if c not in by and c != on:
             rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    for c in value_cols:
-        lhs = lhs.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
+    lhs = left.withColumn(_SIDE, F.lit(1)).withColumn(
+        _PAY, F.lit(None).cast(rhs.schema[_PAY].dataType)
+    )
 
     unioned = lhs.unionByName(rhs)
     w = (
@@ -67,24 +71,17 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        *[c for c in unioned.columns if not c.endswith(suffix)],
-        *[
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in [on, *value_cols]
-        ],
+    carried = unioned.withColumn(
+        _PAY, F.last(F.col(_PAY), ignorenulls=True).over(w)
     )
-    out = carried.filter(F.col(_SIDE) == 1).drop(_SIDE)
+    matched = F.col(_PAY)
     if tolerance_seconds is not None:
         within = (
             F.col(on).cast("timestamp").cast("long")
-            - F.col(f"{on}{suffix}").cast("timestamp").cast("long")
+            - matched[on].cast("timestamp").cast("long")
         ) <= tolerance_seconds
-        out = out.select(
-            *[c for c in out.columns if not c.endswith(suffix)],
-            *[
-                F.when(within, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
-                for c in [on, *value_cols]
-            ],
-        )
-    return out
+        matched = F.when(within, matched)
+    return carried.filter(F.col(_SIDE) == 1).select(
+        *[c for c in left.columns],
+        *[matched[c].alias(f"{c}{suffix}") for c in [on, *value_cols]],
+    )

@@ -22,7 +22,7 @@ from __future__ import annotations
 import os
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 PROVENANCE_COL = "routed_by"
 PROVENANCE = "dexspark-routing"  # ≙ system_provider="DEX-ROUTING"
@@ -34,17 +34,32 @@ def write_routed(
     route_col: str = "route",
     mode: str = "append",
     files_per_route: int = 1,
+    routes: list[str] | None = None,
 ) -> dict[str, Any]:
     """Write ``df`` partitioned by route with provenance stamped.
 
     Returns {route: row_count} (the counts double as the "ingested"
-    notification the reference publishes per topic)."""
-    counts = {
-        r[route_col]: int(r["count"])
-        for r in df.groupBy(route_col).count().collect()
-    }
-    n_routes = max(1, len(counts))
-    stamped = df.withColumn(PROVENANCE_COL, F.lit(PROVENANCE))
+    notification the reference publishes per topic). Pass the known
+    route set (the router's config always has it) so the counts ride
+    the write job via ``Observation`` — ONE computation of the
+    upstream per sink call. Without ``routes`` a column-pruned
+    ``distinct`` discovers them first (moves only the route column,
+    never the payload). Rows with a route outside ``routes`` are still
+    written and reported under ``"_other"``."""
+    if routes is None:
+        routes = sorted(
+            r[0] for r in df.select(route_col).distinct().collect()
+        )
+    obs = Observation()
+    stamped = df.withColumn(PROVENANCE_COL, F.lit(PROVENANCE)).observe(
+        obs,
+        F.count(F.lit(1)).alias("_total"),
+        *[
+            F.count(F.when(F.col(route_col) == r, 1)).alias(f"_r{i}")
+            for i, r in enumerate(routes)
+        ],
+    )
+    n_routes = max(1, len(routes))
     (
         stamped.repartition(n_routes * files_per_route, F.col(route_col))
         .sortWithinPartitions(route_col)
@@ -52,6 +67,18 @@ def write_routed(
         .mode(mode)
         .parquet(out_dir)
     )
+    try:
+        m = obs.get
+    except Exception:
+        # an empty input writes zero rows through zero tasks, so the
+        # metrics node never fires and the observation has no row
+        return {}
+    counts = {
+        r: int(m[f"_r{i}"]) for i, r in enumerate(routes) if int(m[f"_r{i}"])
+    }
+    other = int(m["_total"]) - sum(counts.values())
+    if other:
+        counts["_other"] = other
     return counts
 
 

@@ -53,7 +53,9 @@ REASON_COL = "reject_reason"
 STAGE_COL = "_stage"
 
 StageFn = Callable[[DataFrame], DataFrame]
-ErrorFn = Callable[[str, DataFrame], None]
+# (stage_name, rejects) — rejects is None when invoked as the global
+# error fallback for a plan-level failure (no per-record frame exists)
+ErrorFn = Callable[[str, DataFrame | None], None]
 
 
 def init_lineage(df: DataFrame, exec_id_cols: list[str] | None = None) -> DataFrame:
@@ -282,6 +284,7 @@ def pipeline_from_config(
         reg_err = error_registry[g]
 
         def global_error_fn(e: PipelineError) -> None:  # noqa: F811
-            reg_err(e.stage, None)  # type: ignore[arg-type]
+            # ErrorFn's rejects arg is None on the plan-level path
+            reg_err(e.stage, None)
 
     return Pipeline(stages, global_error_fn=global_error_fn)

@@ -11,8 +11,11 @@ values):
 - ts is a pure function of turn_idx → monotone per conversation, so
   the ts-monotonicity stage never fires here (it is exercised by
   pytest instead, where the oracle is Spark-side).
-- Money/quantity aggregates are cast to DECIMAL before SUM so results
-  are exact and order-independent in both engines.
+- Money/quantity aggregates are scaled to integer cents per row
+  (round(x*100) — exact for 2-decimal doubles, identical in both
+  engines) and summed as int64, so results are exact, order-
+  independent, and hash-stable (decimal SUM widens precision
+  differently per engine).
 - No float sums anywhere; ratios are returned as (num, den) integer
   pairs.
 """
@@ -38,6 +41,17 @@ BATCH = 2500  # events per replay batch in the derived log
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def batch_range(log: DataFrame) -> range:
+    """Batch ids to replay. batch_seq = lsn div BATCH over dense lsns,
+    so the id space is contiguous — one column-pruned min/max aggregate
+    (often satisfied from parquet footer stats) replaces a
+    distinct+collect full scan before replay even starts."""
+    r = log.agg(
+        F.min("batch_seq").alias("lo"), F.max("batch_seq").alias("hi")
+    ).first()
+    return range(int(r["lo"]), int(r["hi"]) + 1)
 
 
 # --------------------------------------------------------------------------
@@ -140,9 +154,7 @@ def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(d, "transcripts"),
         _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
     )
-    batches = sorted(
-        r.batch_seq for r in log.select("batch_seq").distinct().collect()
-    )
+    batches = batch_range(log)
     for b in batches:
         apply_changes(
             table, log.filter(F.col("batch_seq") == b), batch_id=f"b{b}"
@@ -160,6 +172,49 @@ latest AS (
 SELECT conv_id, turn_idx, role, text, tool, ts
 FROM latest WHERE rn = 1 AND op <> 'D'
 """
+
+
+def cdc_stream_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship STREAMING path (≙ RouteIngestedFile.kt:13-20 event tail
+    + FnOrchestrator.kt:194-204 replay-awareness): the derived log
+    lands as parquet segments, a Structured-Streaming file tail
+    (CdcStreamReplay: checkpoint + batch ledger) applies them via
+    foreachBatch, the query STOPS mid-stream, new segments land, and a
+    FRESH replay instance resumes from the same checkpoint — the
+    restart must neither lose nor double-apply. Final state equals the
+    batch oracle because LSN-gated merge makes replay batching-
+    invariant."""
+    from dexspark.sources.changelog import log_schema as mk_log_schema
+    from dexspark.streaming.replay import CdcStreamReplay
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    log_dir = os.path.join(d, "log")
+    cp = os.path.join(d, "cp")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    thr = (batch_range(log).stop + 1) // 2
+    seg = log.repartition(4, F.col("batch_seq"))  # 1 file per batch dir
+    (
+        seg.filter(F.col("batch_seq") < thr)
+        .write.partitionBy("batch_seq").parquet(log_dir)
+    )
+
+    def replayer() -> CdcStreamReplay:
+        return CdcStreamReplay(
+            spark, table, log_dir + "/*", cp, mk_log_schema(),
+            max_files_per_trigger=2, batch_id_prefix="sq",
+        )
+
+    replayer().run_available()  # first half of the log, then stop
+    (
+        seg.filter(F.col("batch_seq") >= thr)
+        .write.mode("append").partitionBy("batch_seq").parquet(log_dir)
+    )
+    replayer().run_available()  # restart: checkpoint resume, new segments
+    return table.read()
 
 
 def cdc_dedup_latest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,9 +263,7 @@ def cdc_lineage_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(d, "transcripts"),
         _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
     )
-    batches = sorted(
-        r.batch_seq for r in log.select("batch_seq").distinct().collect()
-    )
+    batches = batch_range(log)
     for b in batches:
         apply_changes(table, log.filter(F.col("batch_seq") == b), batch_id=f"b{b}")
     return (
@@ -262,6 +315,106 @@ SELECT CASE WHEN event_type IN ('click', 'view') THEN 'clickstream'
             ELSE 'misc' END AS route,
        count(*) AS n_events
 FROM events GROUP BY 1
+"""
+
+
+def route_events_2key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 two-key route lookup (≙ FnRouter.kt:138-149): events carry a
+    derived (type, version) pair; combos absent from the config go to
+    the error channel, reported here as route='_unrouted'."""
+    from dexspark.operators.routing import route_by_config_2key
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "message_version",
+        F.concat(F.lit("v"), F.pmod(F.col("event_id"), 3).cast("string")),
+    )
+    routes = spark.createDataFrame(
+        [
+            ("click", "v0", "clicks-a"),
+            ("click", "v1", "clicks-b"),
+            ("view", "v0", "views"),
+            ("view", "v1", "views"),
+            ("view", "v2", "views"),
+            ("purchase", "v0", "commerce"),
+        ],
+        "message_type string, message_version string, route string",
+    )
+    routed, unrouted = route_by_config_2key(
+        ev, routes, type_col="event_type", version_col="message_version"
+    )
+    got = routed.groupBy("route").agg(F.count(F.lit(1)).alias("n_events"))
+    err = unrouted.agg(F.count(F.lit(1)).alias("n_events")).select(
+        F.lit("_unrouted").alias("route"), "n_events"
+    )
+    return got.unionByName(err)
+
+
+ORACLE_ROUTE_2KEY = """
+WITH r AS (
+  SELECT CASE
+    WHEN event_type = 'click' AND event_id % 3 = 0 THEN 'clicks-a'
+    WHEN event_type = 'click' AND event_id % 3 = 1 THEN 'clicks-b'
+    WHEN event_type = 'view' THEN 'views'
+    WHEN event_type = 'purchase' AND event_id % 3 = 0 THEN 'commerce'
+    ELSE '_unrouted' END AS route
+  FROM events
+)
+SELECT route, count(*) AS n_events FROM r GROUP BY route
+"""
+
+
+def routed_sink_readback_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 routed copy + O18 staged read-back: route the event stream,
+    write it partitioned by route (provenance stamped, counts riding
+    the write job), then consume ONE staged route — the read must
+    partition-prune to that directory. Returns the consumed route's
+    aggregate + the writer's notification counts as rows."""
+    from dexspark.operators.routing import route_by_config, routes_df
+    from dexspark.operators.sink import read_route, write_routed
+
+    ev = load(spark, sf_dir, "events")
+    routes = routes_df(
+        spark,
+        [
+            {"route": "clickstream", "message_types": ["click", "view"]},
+            {"route": "commerce", "message_types": ["purchase"]},
+            {"route": "accounts", "message_types": ["signup"]},
+        ],
+    )
+    routed = route_by_config(ev, routes, type_col="event_type")
+    out = os.path.join(tempfile.mkdtemp(prefix="dexspark_q_"), "staged")
+    counts = write_routed(
+        routed, out, routes=["clickstream", "commerce", "accounts", "misc"]
+    )
+    staged = read_route(spark, out, "commerce")
+    consumed = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+    ).select(F.lit("consumed:commerce").alias("k"), "n", "lo", "hi")
+    notif = spark.createDataFrame(
+        sorted((f"notified:{r}", int(n)) for r, n in counts.items()),
+        "k string, n long",
+    ).select("k", "n", F.lit(None).cast("long").alias("lo"), F.lit(None).cast("long").alias("hi"))
+    return consumed.unionByName(notif)
+
+
+ORACLE_SINK_READBACK = """
+WITH r AS (
+  SELECT event_id,
+         CASE WHEN event_type IN ('click', 'view') THEN 'clickstream'
+              WHEN event_type = 'purchase' THEN 'commerce'
+              WHEN event_type = 'signup' THEN 'accounts'
+              ELSE 'misc' END AS route
+  FROM events
+)
+SELECT 'consumed:commerce' AS k, count(*) AS n,
+       min(event_id) AS lo, max(event_id) AS hi
+FROM r WHERE route = 'commerce'
+UNION ALL
+SELECT 'notified:' || route AS k, count(*) AS n,
+       CAST(NULL AS BIGINT) AS lo, CAST(NULL AS BIGINT) AS hi
+FROM r GROUP BY route
 """
 
 
@@ -434,9 +587,7 @@ def cdc_schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(d, "transcripts"),
         _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
     )
-    batches = sorted(
-        r.batch_seq for r in log.select("batch_seq").distinct().collect()
-    )
+    batches = batch_range(log)
     thr = (max(batches) + 1) // 2
     for b in batches:
         bdf = log.filter(F.col("batch_seq") == b)
@@ -1149,9 +1300,57 @@ GROUP BY doc_id
 """
 
 
+def pipeline_config_doc_words_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O19 plan front end (≙ FnRouter.kt:120-126 Jackson parse +
+    FnOrchestrator.kt:29-34): the SAME doc-words DAG as
+    pipeline_doc_words, but built from an OrchestratorConfiguration-
+    shaped JSON document through ``pipeline_from_config`` — so the
+    parser, step ordering/contiguity checks, fan marker balancing, and
+    registry resolution are all on the oracle-checked path."""
+    import json
+
+    from dexspark.plans import CHILDREN_COL
+    from dexspark.plans.pipeline import REASON_COL, pipeline_from_config
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+
+    registry = {
+        "gate": lambda d: d.withColumn(
+            REASON_COL, F.when(F.col("n_chars") < 10, F.lit("too_short"))
+        ),
+        "split": lambda d: d.withColumn(CHILDREN_COL, F.split(F.trim("text"), " ")),
+        "check": lambda d: d.withColumn(
+            REASON_COL,
+            F.when(F.length("_child") == 0, F.lit("empty_word")).when(
+                F.length("_child") > 12, F.lit("too_long")
+            ),
+        ),
+        "join": lambda d: d,
+    }
+    config = json.loads(
+        """
+        {"steps": [
+          {"stepNumber": 1, "functionToRun": "gate"},
+          {"stepNumber": 2, "functionToRun": "split", "fanOutAfter": true},
+          {"stepNumber": 3, "functionToRun": "check"},
+          {"stepNumber": 4, "functionToRun": "join", "fanInBefore": true,
+           "fanInFailIfAnyFail": false}
+        ]}
+        """
+    )
+    p = pipeline_from_config(config, registry)
+    res = p.run(docs, exec_id_cols=["doc_id"])
+    return res.output.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("_child")).alias("sum_wlen"),
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "pipeline_doc_words": (pipeline_doc_words_q, ORACLE_PIPELINE_WORDS),
+    "pipeline_config_doc_words": (pipeline_config_doc_words_q, ORACLE_PIPELINE_WORDS),
     "cdc_replay_final_state": (cdc_replay_final_state, ORACLE_REPLAY),
+    "cdc_stream_replay_final_state": (cdc_stream_replay_final_state, ORACLE_REPLAY),
     "cdc_schema_evolution_replay": (cdc_schema_evolution_replay, ORACLE_EVOLUTION),
     # -- corpus curation / similarity / multimodal --
     "doc_quality_scores": (doc_quality_scores_q, ORACLE_QUALITY),
@@ -1167,6 +1366,8 @@ QUERIES: dict[str, tuple] = {
     "cdc_validate_rejects": (cdc_validate_rejects_q, ORACLE_REJECTS),
     "cdc_lineage_batches": (cdc_lineage_batches_q, ORACLE_LINEAGE),
     "route_events": (route_events_q, ORACLE_ROUTE),
+    "route_events_2key": (route_events_2key_q, ORACLE_ROUTE_2KEY),
+    "routed_sink_readback": (routed_sink_readback_q, ORACLE_SINK_READBACK),
     "user_sessions": (user_sessions_q, ORACLE_SESSIONS),
     "purchase_asof_view": (purchase_asof_view_q, ORACLE_ASOF),
     "revenue_rollup": (revenue_rollup_q, ORACLE_ROLLUP),

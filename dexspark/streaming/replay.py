@@ -27,7 +27,7 @@ triggers so a micro-batch's dedup output fits the shuffle budget, and
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import SparkSession
 from pyspark.sql.types import StructType
@@ -52,6 +52,7 @@ class CdcStreamReplay:
         batch_id_prefix: str = "stream",
         log_format: str = "parquet",
         compact_every: int | None = None,
+        cfg_provider: Callable[[], ValidationConfig] | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -59,6 +60,11 @@ class CdcStreamReplay:
         self.checkpoint_dir = checkpoint_dir
         self.log_schema = log_schema
         self.cfg = cfg
+        # ≙ FnCacheUpdater.kt:22-46 (live config cache): when given,
+        # the validation config is re-resolved from this source at
+        # every micro-batch, so a long-running replay picks up config
+        # changes without a restart. Wins over `cfg` when both are set.
+        self.cfg_provider = cfg_provider
         self.quarantine = quarantine
         self.salt_buckets = salt_buckets
         self.max_files_per_trigger = max_files_per_trigger
@@ -73,11 +79,12 @@ class CdcStreamReplay:
         self.results: list[dict[str, Any]] = []
 
     def _foreach_batch(self, batch_df, epoch_id: int) -> None:
+        cfg = self.cfg_provider() if self.cfg_provider is not None else self.cfg
         res = apply_changes(
             self.table,
             batch_df,
             batch_id=f"{self.batch_id_prefix}-{epoch_id}",
-            cfg=self.cfg,
+            cfg=cfg,
             quarantine=self.quarantine,
             salt_buckets=self.salt_buckets,
         )

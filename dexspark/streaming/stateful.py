@@ -40,6 +40,14 @@ def conversation_progress(
     query's checkpoint."""
 
     def update(key, pdfs, state: GroupState):
+        # a ProcessingTimeTimeout firing means the key went ttl_minutes
+        # without data: evict it (emit nothing). Without this branch the
+        # timeout path would re-update + re-arm, so dormant keys would
+        # never leave the store and each TTL tick would emit a duplicate
+        # unchanged row.
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             n, mx, role, lsn = state.get
         else:

@@ -61,3 +61,22 @@ def test_asof_single_shuffle_plan(spark):
     # hash-partitioning exchange (by key) feeds the window
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_matched_row_kept_intact_with_null_fields(spark):
+    """The matched right row must arrive whole: a legitimately-NULL
+    value column may not be backfilled from an older right row (the
+    struct-carry formulation; pandas merge_asof semantics)."""
+    left = spark.createDataFrame(
+        [("a", _ts("2024-01-01T12:00:00"), 1)], "k string, ts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T10:00:00"), 100, "old"),
+            ("a", _ts("2024-01-01T11:00:00"), None, None),  # latest, NULL fields
+        ],
+        "k string, ts timestamp, rv int, tag string",
+    )
+    row = asof_join(left, right, on="ts", by="k").collect()[0]
+    assert row.ts_r == _ts("2024-01-01T11:00:00")
+    assert row.rv_r is None and row.tag_r is None  # NOT 100/"old"

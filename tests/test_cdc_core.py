@@ -221,3 +221,48 @@ def test_reprocess_quarantine_roundtrip(spark, tmp_table_dir):
     # exactly-once still holds for the retry batch id
     res3 = reprocess_quarantine(table, q, fix, batch_id="b0-retry")
     assert res3["skipped"] is True
+
+
+def test_reprocess_quarantine_converges(spark, tmp_table_dir):
+    """Quarantine contents always equal the outstanding dead letters:
+    a no-op fix leaves the same rows (no per-run duplicate copies), a
+    real fix empties it."""
+    import os
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from dexspark.cdc.apply import reprocess_quarantine
+    from dexspark.cdc.generator import gen_change_log
+
+    payload = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    table = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "t"), _parse_datatype_string(payload), "conv_id", 4
+    )
+    qschema = _parse_datatype_string(
+        "lsn long, op string, batch_seq long, " + payload + ", reject_reason string, batch_id string"
+    )
+    q = LakeTable.create(spark, os.path.join(tmp_table_dir, "q"), qschema, "conv_id", 4)
+    log = gen_change_log(spark, 600, n_convs=10, n_batches=1, bad_role_pct=25)
+    res = apply_changes(table, log, batch_id="b0", quarantine=q)
+    n_bad = res["rejected"]
+    assert n_bad > 0 and q.read().count() == n_bad
+
+    noop = lambda df: df  # noqa: E731
+    r1 = reprocess_quarantine(table, q, noop, batch_id="r1")
+    assert r1["still_quarantined"] == n_bad
+    r2 = reprocess_quarantine(table, q, noop, batch_id="r2")
+    # no duplicate copies pile up across reprocess runs
+    assert r2["still_quarantined"] == n_bad
+    assert q.read().count() == n_bad
+    assert r2["rejected"] == n_bad  # metrics count outstanding rows once
+
+    def fix(df):
+        return df.withColumn(
+            "role",
+            F.when(~F.col("role").isin("user", "assistant", "system", "tool"), "user")
+            .otherwise(F.col("role")),
+        )
+
+    r3 = reprocess_quarantine(table, q, fix, batch_id="r3")
+    assert r3["still_quarantined"] == 0 and r3["applied"] > 0
+    assert q.read().count() == 0

@@ -93,3 +93,23 @@ def test_write_routed_and_read_route(spark, tmp_table_dir):
     write_routed(more, out)
     assert read_route(spark, out, "hl7").count() == 2
     assert read_route(spark, out, "csv").count() == 2
+
+
+def test_write_routed_known_routes_single_pass(spark, tmp_table_dir):
+    """With the route set supplied, counts ride the write job via
+    Observation (no second computation of the upstream); unexpected
+    route values are still written and surface as _other."""
+    routed = route_by_config(_events(spark), routes_df(spark, CONFIGS))
+    out = tmp_table_dir + "/staged1p"
+    counts = write_routed(
+        routed, out, routes=["csv", "hl7", DEFAULT_ROUTE, "unused"]
+    )
+    assert counts == {"csv": 2, "hl7": 1, DEFAULT_ROUTE: 1}  # unused omitted
+
+    surprise = routed.withColumn(
+        "route", F.when(F.col("event_id") == 1, "rogue").otherwise(F.col("route"))
+    )
+    counts2 = write_routed(surprise, out + "_b", routes=["csv", "hl7", DEFAULT_ROUTE])
+    assert counts2["_other"] == 1 and counts2["csv"] == 1
+    # rogue rows are written, not dropped
+    assert read_route(spark, out + "_b", "rogue").count() == 1

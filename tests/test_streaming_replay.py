@@ -102,3 +102,53 @@ def test_stream_replay_auto_compaction(spark, tmp_table_dir):
     got = table.read()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_stream_replay_config_hot_reload(spark, tmp_table_dir):
+    """≙ FnCacheUpdater live config cache: cfg_provider is re-resolved
+    at every micro-batch, so a config change takes effect mid-stream
+    without restarting the query."""
+    from dexspark.cdc.validate import ValidationConfig
+
+    log = gen_change_log(spark, 1000, n_convs=20, n_batches=2, bad_role_pct=0)
+    # EVERY row uses a role only the updated config accepts, so the
+    # outcome split proves exactly when the new config took effect,
+    # whatever order the two files are picked up in
+    log = log.withColumn("role", F.lit("moderator")).withColumn(
+        "tool", F.lit(None).cast("string")
+    )
+    table = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "t"), _parse_datatype_string(PAYLOAD),
+        "conv_id", 4,
+    )
+    log_dir = os.path.join(tmp_table_dir, "log")
+    log.repartition(2, F.col("batch_seq")).write.partitionBy("batch_seq").parquet(log_dir)
+
+    strict = ValidationConfig()
+    relaxed = ValidationConfig(roles=(*ValidationConfig().roles, "moderator"))
+    live = {"cfg": strict}
+    seen = []
+
+    def provider():
+        seen.append(live["cfg"])
+        # config store updated while the stream runs: after the first
+        # micro-batch is planned, ops adds the new role to the enum
+        live["cfg"] = relaxed
+        return seen[-1]
+
+    replay = CdcStreamReplay(
+        spark, table, log_dir + "/*", os.path.join(tmp_table_dir, "cp"),
+        _parse_datatype_string(LOG_SCHEMA),
+        max_files_per_trigger=1, cfg_provider=provider,
+    )
+    results = replay.run_available()
+    # config was re-resolved once per micro-batch
+    assert len(results) == 2 and len(seen) == 2
+    assert seen[0] is strict and seen[1] is relaxed
+    # first micro-batch (strict): all rows rejected; second (relaxed,
+    # picked up mid-stream): all rows applied — no restart happened
+    rejected = sum(r["rejected"] for r in results)
+    applied = sum(r["applied"] for r in results)
+    assert rejected > 0 and applied > 0
+    got_roles = {r.role for r in table.read().select("role").distinct().collect()}
+    assert got_roles == {"moderator"}
