@@ -217,6 +217,35 @@ def cdc_stream_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame
     return table.read()
 
 
+def cdc_replay_gzip_log_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-segment ingestion (≙ FnDecompressor.kt:38-139 for the
+    transport case): the change log lands as gzip'd JSON-lines segments
+    (Debezium-style shippers gzip their output); the file source
+    decompresses per file inside the scan — no staging pass — and the
+    replay is byte-identical to the parquet path. (.gz is NOT
+    byte-range splittable: one file = one task, so segment size is the
+    parallelism knob; the reader notes parquet as the scale default.)"""
+    from dexspark.sources.changelog import read_log
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    log_dir = os.path.join(d, "gzlog")
+    (
+        log.repartition(4, F.col("batch_seq"))
+        .write.partitionBy("batch_seq")
+        .option("compression", "gzip")
+        .json(log_dir)
+    )
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    relog = read_log(spark, log_dir, fmt="json")
+    for b in batch_range(relog):
+        apply_changes(table, relog.filter(F.col("batch_seq") == b), batch_id=f"g{b}")
+    return table.read()
+
+
 def cdc_dedup_latest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dexspark.cdc.dedup import dedupe_latest
 
@@ -1242,6 +1271,49 @@ FROM documents
 """
 
 
+def doc_gzip_unpack_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 decompress fan-out with a hard oracle: each document's text
+    is gzip-wrapped into a binary payload (Arrow pandas UDF), pushed
+    through unpack_archives, and the recovered leaves are fingerprinted
+    — sha256 + byte length must equal the original text's, which DuckDB
+    computes directly. Proves the decompression path bit-for-bit."""
+    import gzip as _gzip
+
+    from pyspark.sql.functions import pandas_udf
+
+    from dexspark.operators.decompress import unpack_archives
+
+    @pandas_udf("binary")
+    def gz(texts: pd.Series) -> pd.Series:
+        # deterministic archive bytes: mtime=0, no filename header
+        return texts.map(
+            lambda t: _gzip.compress((t or "").encode("utf-8"), mtime=0)
+        )
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.concat(F.col("doc_id").cast("string"), F.lit(".txt.gz")).alias("name"),
+        gz(F.col("text")).alias("payload"),
+    )
+    leaves = unpack_archives(media, name_col="name", payload_col="payload")
+    return leaves.select(
+        "doc_id",
+        F.col("entry_path"),
+        F.octet_length("entry_bytes").cast("long").alias("n_bytes"),
+        F.sha2(F.col("entry_bytes"), 256).alias("sha256_hex"),
+    )
+
+
+ORACLE_GZIP_UNPACK = """
+SELECT doc_id,
+       CAST(doc_id AS VARCHAR) || '.txt' AS entry_path,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256_hex
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # pipeline DAG: config-driven fan-out/fan-in with error channel
 # --------------------------------------------------------------------------
@@ -1352,6 +1424,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_replay_final_state": (cdc_replay_final_state, ORACLE_REPLAY),
     "cdc_stream_replay_final_state": (cdc_stream_replay_final_state, ORACLE_REPLAY),
     "cdc_schema_evolution_replay": (cdc_schema_evolution_replay, ORACLE_EVOLUTION),
+    "cdc_replay_gzip_log": (cdc_replay_gzip_log_q, ORACLE_REPLAY),
     # -- corpus curation / similarity / multimodal --
     "doc_quality_scores": (doc_quality_scores_q, ORACLE_QUALITY),
     "doc_lang_id": (doc_lang_id_q, ORACLE_LANG),
@@ -1362,6 +1435,7 @@ QUERIES: dict[str, tuple] = {
     "emb_ann_lsh_topk": (emb_ann_lsh_topk_q, ORACLE_ANN_TOPK),
     "emb_cosine_near_dups": (emb_cosine_near_dups_q, ORACLE_EMB_NEAR_DUPS),
     "media_feature_stats": (media_feature_stats_q, ORACLE_MEDIA),
+    "doc_gzip_unpack_roundtrip": (doc_gzip_unpack_roundtrip_q, ORACLE_GZIP_UNPACK),
     "cdc_dedup_latest": (cdc_dedup_latest_q, ORACLE_DEDUP),
     "cdc_validate_rejects": (cdc_validate_rejects_q, ORACLE_REJECTS),
     "cdc_lineage_batches": (cdc_lineage_batches_q, ORACLE_LINEAGE),

@@ -30,9 +30,20 @@ def get_spark(
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
         shuffle_partitions = 32 if n == "*" else int(n)
 
+    # Python workers must import dexspark to unpickle library closures
+    # (mapInPandas fns etc.). Put the package's parent dir on the
+    # workers' PYTHONPATH so driving the library from any cwd works —
+    # the local-mode analogue of shipping the package via
+    # ``spark-submit --py-files dexspark.zip`` on a real cluster.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wpp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in wpp.split(os.pathsep):
+        wpp = f"{pkg_parent}{os.pathsep}{wpp}" if wpp else pkg_parent
+
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.executorEnv.PYTHONPATH", wpp)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -70,3 +70,50 @@ def test_cli_replay_status_compact_expire(spark, tmp_table_dir):
     )
     assert rc == 0
     assert t.read().count() == expected.count()
+
+
+def test_gzip_json_segments_batch_and_stream(spark, tmp_table_dir):
+    """Gzip'd JSON-lines change segments decompress inside the scan —
+    batch and Structured-Streaming tails read them identically."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from dexspark.streaming.replay import CdcStreamReplay
+
+    payload = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    log = gen_change_log(spark, 1500, n_convs=25, n_batches=2)
+    gz_dir = os.path.join(tmp_table_dir, "gz")
+    (
+        log.repartition(2, F.col("batch_seq"))
+        .write.partitionBy("batch_seq")
+        .option("compression", "gzip")
+        .json(gz_dir)
+    )
+    # files on disk really are gzip
+    seg_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(gz_dir)
+        for f in fs
+        if f.endswith(".json.gz")
+    ]
+    assert seg_files, "expected .json.gz segment files"
+
+    # the partition column lands last in the read schema; realign
+    back = read_log(spark, gz_dir, fmt="json").select(*log.columns)
+    assert back.count() == 1500
+    assert back.exceptAll(log).count() == 0 and log.exceptAll(back).count() == 0
+
+    table = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "t"),
+        _parse_datatype_string(payload), "conv_id", 4,
+    )
+    replay = CdcStreamReplay(
+        spark, table, gz_dir + "/*", os.path.join(tmp_table_dir, "cp"),
+        _parse_datatype_string("lsn long, op string, batch_seq long, " + payload),
+        log_format="json",
+    )
+    replay.run_available()
+    expected = expected_final_state(log)
+    got = table.read()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
