@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "user_sessions",
     "doc_token_stats",
     "doc_near_dup_pairs",
+    "doc_simhash_near_dups",
     "pipeline_doc_words",
     "cdc_dedup_latest",
 ]
@@ -99,13 +100,13 @@ def main():
     spark = get_spark("dexspark-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # size the log off the events table (~40 change events per source
-    # event — large enough that per-micro-batch fixed costs amortize
-    # and the timed section measures the pipeline, not job scheduling,
-    # while keeping the whole bench (2x generate + 2x replay + query
-    # loop) bounded on a noisy shared VM)
+    # size the log off the events table (~160 change events per source
+    # event → 16M at sf0.1, matching the 16M-event scaling-evidence run
+    # in BENCH/BASELINE.md so headline and scaling numbers are the same
+    # workload; large enough that per-micro-batch fixed costs amortize
+    # and the timed section measures the pipeline, not job scheduling)
     n_src = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
-    n_events = int(os.environ.get("DEXSPARK_BENCH_EVENTS", n_src * 40))
+    n_events = int(os.environ.get("DEXSPARK_BENCH_EVENTS", n_src * 160))
 
     # Best of two full runs: the first pays one-time process costs a
     # long-running ingest daemon never re-pays (JVM codegen + C2 JIT

@@ -246,6 +246,82 @@ def cdc_replay_gzip_log_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+def cdc_replay_compacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake maintenance under the hard oracle: full replay, then
+    ``compact()`` (small-file bin-packing) and ``expire_snapshots()``
+    (vacuum to the live snapshot) — the maintained table must read back
+    EXACTLY the pre-maintenance state. Guards the invariant that
+    maintenance touches layout, never data (system columns preserved,
+    tombstones not resurrected)."""
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    for b in batch_range(log):
+        apply_changes(table, log.filter(F.col("batch_seq") == b), batch_id=f"c{b}")
+    table.compact()
+    table.expire_snapshots(keep_last=1)
+    return table.read()
+
+
+def conv_progress_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful streaming (applyInPandasWithState) under the
+    hard oracle: per-conversation running progress over the raw change
+    stream. Each micro-batch emits the cumulative state row per conv;
+    n_events strictly grows, so keeping each conv's max-n_events row
+    recovers the FINAL state deterministically — whatever the file/
+    micro-batch split was. The oracle computes the same totals
+    relationally."""
+    from dexspark.streaming.stateful import conversation_progress
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    log_dir = os.path.join(d, "slog")
+    log.repartition(4, F.col("batch_seq")).write.partitionBy("batch_seq").parquet(log_dir)
+    stream = (
+        spark.readStream.schema(
+            _parse_datatype_string("lsn long, op string, batch_seq long, " + PAYLOAD)
+        )
+        .option("maxFilesPerTrigger", 2)  # force several stateful batches
+        .parquet(log_dir + "/*")
+    )
+    out = conversation_progress(stream.select("conv_id", "turn_idx", "role", "lsn"))
+    sink = f"conv_progress_{abs(hash(d)) % 10**9}"
+    q = (
+        out.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", os.path.join(d, "cp"))
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(sink)
+    final = emitted.groupBy("conv_id").agg(
+        F.max(
+            F.struct("n_events", "max_lsn", "max_turn", "last_role")
+        ).alias("s")
+    )
+    return final.select(
+        "conv_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.max_turn").alias("max_turn"),
+        F.col("s.last_role").alias("last_role"),
+        F.col("s.max_lsn").alias("max_lsn"),
+    )
+
+
+ORACLE_CONV_PROGRESS = f"""
+WITH {LOG_CTE},
+agg AS (
+  SELECT conv_id, count(*) AS n_events, max(turn_idx) AS max_turn,
+         max(lsn) AS max_lsn
+  FROM log GROUP BY conv_id
+)
+SELECT a.conv_id, a.n_events, a.max_turn, l.role AS last_role, a.max_lsn
+FROM agg a JOIN log l ON l.conv_id = a.conv_id AND l.lsn = a.max_lsn
+"""
+
+
 def cdc_dedup_latest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dexspark.cdc.dedup import dedupe_latest
 
@@ -1425,6 +1501,8 @@ QUERIES: dict[str, tuple] = {
     "cdc_stream_replay_final_state": (cdc_stream_replay_final_state, ORACLE_REPLAY),
     "cdc_schema_evolution_replay": (cdc_schema_evolution_replay, ORACLE_EVOLUTION),
     "cdc_replay_gzip_log": (cdc_replay_gzip_log_q, ORACLE_REPLAY),
+    "cdc_replay_compacted": (cdc_replay_compacted_q, ORACLE_REPLAY),
+    "conv_progress_stateful": (conv_progress_stateful_q, ORACLE_CONV_PROGRESS),
     # -- corpus curation / similarity / multimodal --
     "doc_quality_scores": (doc_quality_scores_q, ORACLE_QUALITY),
     "doc_lang_id": (doc_lang_id_q, ORACLE_LANG),

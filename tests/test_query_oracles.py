@@ -28,6 +28,12 @@ SUBSET = [
     "emb_ann_lsh_topk",
     "media_feature_stats",
     "cdc_schema_evolution_replay",
+    # round-2 surfaces
+    "doc_simhash_near_dups",
+    "cdc_stream_replay_final_state",
+    "conv_progress_stateful",
+    "doc_gzip_unpack_roundtrip",
+    "q1_pricing_summary",
 ]
 
 
