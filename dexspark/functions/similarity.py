@@ -22,6 +22,7 @@ both shapes below survive that unchanged.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # LCG constants (numerical recipes); weights in [-1024, 1023] — integer
@@ -145,6 +146,138 @@ def _sig_fast(vec_col: Column, dim: int, n_bits: int, seed: int) -> Column:
             F.lit(0).cast("long")
         )
     return sig
+
+
+def _centroid_weight_int(c: int, d: int, dim: int, seed: int) -> int:
+    """Deterministic IVF centroid component in [-1024, 1023] — same
+    integer-LCG discipline as the LSH planes (separate stream via a
+    different prime), so any engine reproduces the coarse quantizer."""
+    idx = (seed * 104729 + c * dim + d) % _LCG_M
+    return ((_LCG_A * idx + _LCG_C) % _LCG_M) % 2048 - 1024
+
+
+def centroid_norm(c: int, dim: int, seed: int) -> float:
+    return sum(_centroid_weight_int(c, d, dim, seed) ** 2 for d in range(dim)) ** 0.5
+
+
+def _centroid_scores_udf(dim: int, n_centroids: int, seed: int):
+    """Arrow pandas UDF: per-vector array of K centroid scores
+    (<vec, centroid_c>/||centroid_c|| — cosine up to the vec's own
+    norm, a common positive factor, so argmax/ranking are unaffected).
+
+    Dense matmul is the one place expressions lose: K*dim unrolled
+    terms blow janino's 64KB method cap (measured at K=8, dim=64 —
+    whole-stage codegen emits a 16k-line class and falls back to
+    interpreted), and at real IVF sizes (K=2^12) they're not even
+    expressible. numpy over Arrow batches is the right tool — BUT the
+    accumulation loops over d explicitly so each score is the strict
+    left-to-right sum t0+t1+..., bit-identical to the SQL oracle's
+    sequential additions (np.dot's pairwise/SIMD summation would NOT
+    be)."""
+    import numpy as np
+
+    W = np.array(
+        [
+            [_centroid_weight_int(c, d, dim, seed) for d in range(dim)]
+            for c in range(n_centroids)
+        ],
+        dtype=np.float64,
+    )
+    norms = np.sqrt((W * W).sum(axis=1))
+
+    @F.pandas_udf("array<double>")
+    def scores(vecs: pd.Series) -> pd.Series:
+        arr = np.asarray(vecs.tolist(), dtype=np.float64)  # n x dim
+        acc = np.zeros((arr.shape[0], n_centroids), dtype=np.float64)
+        for d in range(dim):
+            acc += arr[:, [d]] * W[:, d]
+        acc /= norms
+        return pd.Series(list(acc))
+
+    return scores
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: a fixed coarse quantizer (the
+    deterministic LCG centroids) assigns every corpus vector to its
+    nearest cell — ONE cell each, a narrow map — and each query probes
+    its ``n_probe`` best cells, exact-cosine reranking only those
+    candidates. The inverted-file trade: recall bounded by the probe
+    list, compute cut from O(N·Q) to O(N·Q·n_probe/n_centroids).
+
+    Scale shape: the probe list (queries × n_probe) is broadcast, so
+    the corpus is never shuffled; at 10^9 vectors raise n_centroids
+    (2^12+) and persist the assignment as a partition/bucket key so a
+    probe prunes whole files. Returns (query_id, neighbor_id, rank,
+    score_x1e6) like the other top-k operators.
+    """
+    scores = _centroid_scores_udf(dim, n_centroids, seed)
+    # materialize the K-score array once per row (one Arrow batch
+    # pass); argmax / probe ranking are then cheap JVM expressions over
+    # that column — no K*dim expression tree, no codegen blowup
+    cell_arr = F.array(
+        *[
+            F.struct(
+                F.col("_scores")[c].alias("s"),
+                F.lit(-c).alias("negc"),
+                F.lit(c).alias("c"),
+            )
+            for c in range(n_centroids)
+        ]
+    )
+    c_assigned = (
+        corpus.select(
+            F.col(id_col).alias("_nid"),
+            F.col(vec_col).alias("_nvec"),
+            scores(F.col(vec_col)).alias("_scores"),
+        )
+        .select("_nid", "_nvec", F.array_max(cell_arr)["c"].alias("_cell"))
+    )
+    qexp = (
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            scores(F.col(vec_col)).alias("_scores"),
+        )
+        .select("_qid", "_qvec", F.explode(cell_arr).alias("p"))
+    )
+    wp = Window.partitionBy("_qid").orderBy(
+        F.col("p.s").desc(), F.col("p.c").asc()
+    )
+    probes = F.broadcast(
+        qexp.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= n_probe)
+        .select("_qid", "_qvec", F.col("p.c").alias("_cell"))
+    )
+    scored = (
+        c_assigned.join(probes, on="_cell")
+        .filter(F.col("_nid") != F.col("_qid"))
+        .select(
+            "_qid", "_nid", cosine(F.col("_qvec"), F.col("_nvec")).alias("_score")
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_score").desc(), F.col("_nid").asc())
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_nid").alias("neighbor_id"),
+            F.col("_rank").cast("int").alias("rank"),
+            F.round(F.col("_score") * 1e6).cast("long").alias("score_x1e6"),
+        )
+    )
 
 
 def ann_lsh_topk(

@@ -1009,6 +1009,76 @@ FROM r WHERE rank <= 5
 """
 
 
+IVF_CENTROIDS = 8
+IVF_PROBE = 2
+
+
+def emb_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the 'scale path' beyond flat LSH): deterministic
+    LCG coarse quantizer assigns each vector one cell; queries probe
+    their 2 best of 8 cells and exact-rerank. The oracle rebuilds the
+    same quantizer arithmetically, so assignment, probe list, and
+    ranking are all hash-checked."""
+    from dexspark.functions.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, queries, dim=EMB_DIM, k=5,
+        n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
+    )
+
+
+def _ivf_oracle_sql() -> str:
+    from dexspark.functions.similarity import _centroid_weight_int, centroid_norm
+
+    def score(c: int) -> str:
+        terms = " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * "
+            f"{float(_centroid_weight_int(c, d, EMB_DIM, 42))!r}"
+            for d in range(EMB_DIM)
+        )
+        return f"({terms}) / {centroid_norm(c, EMB_DIM, 42)!r}"
+
+    s_exprs = ", ".join(f"{score(c)} AS s_{c}" for c in range(IVF_CENTROIDS))
+    s_names = ", ".join(f"s_{c}" for c in range(IVF_CENTROIDS))
+    whens = " ".join(
+        f"WHEN s_{c} = m THEN {c}" for c in range(IVF_CENTROIDS)
+    )
+    expanded = " UNION ALL ".join(
+        f"SELECT vec_id, v, {c} AS c, s_{c} AS s FROM cs WHERE vec_id < 8"
+        for c in range(IVF_CENTROIDS)
+    )
+    return f"""
+WITH cs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {s_exprs} FROM embeddings
+), assigned AS (
+  SELECT vec_id, v, CASE {whens} END AS cell
+  FROM (SELECT *, greatest({s_names}) AS m FROM cs)
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, c AS cell FROM (
+    SELECT vec_id, v, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS pr
+    FROM ({expanded})
+  ) WHERE pr <= {IVF_PROBE}
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(p.qv, a.v)
+         / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS score
+  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       CAST(round(score * 1e6) AS BIGINT) AS score_x1e6
+FROM r WHERE rank <= 5
+"""
+
+
 def user_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over the event stream (window
     functions — absent from the reference, supplied by Spark, SURVEY
@@ -1511,6 +1581,7 @@ QUERIES: dict[str, tuple] = {
     "doc_fingerprint_groups": (doc_fingerprint_groups_q, ORACLE_FP_GROUPS),
     "emb_cosine_topk": (emb_cosine_topk_q, ORACLE_COSINE_TOPK),
     "emb_ann_lsh_topk": (emb_ann_lsh_topk_q, ORACLE_ANN_TOPK),
+    "emb_ivf_topk": (emb_ivf_topk_q, _ivf_oracle_sql()),
     "emb_cosine_near_dups": (emb_cosine_near_dups_q, ORACLE_EMB_NEAR_DUPS),
     "media_feature_stats": (media_feature_stats_q, ORACLE_MEDIA),
     "doc_gzip_unpack_roundtrip": (doc_gzip_unpack_roundtrip_q, ORACLE_GZIP_UNPACK),

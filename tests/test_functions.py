@@ -201,3 +201,30 @@ def test_minhash_signature_has_distinct_hash_functions(spark):
     )
     sig = minhash_signatures(df, num_hashes=16).collect()[0]["minhash"]
     assert len(set(sig)) == 16
+
+
+def test_ivf_topk_semantics(spark):
+    """IVF: one cell per corpus vector; a probe that covers the query's
+    own cell must surface an exact duplicate at rank 1 with cos=1."""
+    import pyspark.sql.functions as F
+
+    from dexspark.functions.similarity import ivf_topk
+
+    dim = 8
+    rows = [
+        (i, [float((i * 37 + d * 17) % 101 - 50) for d in range(dim)])
+        for i in range(40)
+    ]
+    rows.append((100, rows[5][1]))  # exact duplicate of vec 5
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, dim=dim, k=3, n_centroids=4, n_probe=2).collect()
+    assert 1 <= len(out) <= 3
+    by_rank = sorted(out, key=lambda r: r.rank)
+    # the duplicate shares the query's cell by construction (identical
+    # vector -> identical best centroid), so it MUST be found
+    assert by_rank[0].neighbor_id == 100 and by_rank[0].score_x1e6 == 10**6
+    scores = [r.score_x1e6 for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
