@@ -101,7 +101,13 @@ def minhash_lsh_pairs(
     collide in ≥1 LSH band. rows_per_band = num_hashes/bands sets the
     similarity knee. Scale shape: explode to (doc, band, band_hash),
     self-join per bucket — shuffle is K/B hashes per doc, candidates
-    bounded by real collisions."""
+    bounded by real collisions. Hot buckets (a boilerplate phrase
+    shared by millions of docs) skew the join key: AQE's skew-join
+    (enabled in dexspark.session) splits those shuffle partitions and
+    replicates the other side at runtime, so a hot bucket spreads
+    across tasks; the QUADRATIC pair count within a truly pathological
+    bucket is inherent to LSH and is capped upstream by raising
+    rows_per_band (fewer, more selective collisions)."""
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
     banded = sigs.select(
