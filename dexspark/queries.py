@@ -322,6 +322,100 @@ FROM agg a JOIN log l ON l.conv_id = a.conv_id AND l.lsn = a.max_lsn
 """
 
 
+def _replay_with_midpoint(spark: SparkSession, sf_dir: str):
+    """Shared setup: full replay, returning (table, v_mid) where v_mid
+    is the committed version right after the first half of the log."""
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    batches = batch_range(log)
+    thr = (batches.stop + 1) // 2
+    v_mid = None
+    for b in batches:
+        apply_changes(table, log.filter(F.col("batch_seq") == b), batch_id=f"t{b}")
+        if b == thr - 1:
+            v_mid = table.current_version()
+    return table, v_mid
+
+
+def cdc_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel: after the FULL replay, read
+    the table as-of the mid-replay version — it must equal a replay of
+    only the first half of the log. Later merges/compactions must not
+    perturb committed history."""
+    table, v_mid = _replay_with_midpoint(spark, sf_dir)
+    return table.read(version=v_mid)
+
+
+# state after batches < thr only, where thr = (max_batch + 2) // 2
+_MID_LATEST = """
+latest AS (
+  SELECT f.*, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM flagged f, thr WHERE reject_reason IS NULL AND batch_seq < thr.t
+)"""
+
+ORACLE_TIME_TRAVEL = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+thr AS (SELECT (max(batch_seq) + 2) // 2 AS t FROM log),
+{_MID_LATEST}
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def cdc_change_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed read-back (Delta table_changes / Iceberg changelog
+    analogue): diff the mid-replay snapshot against the final one into
+    I/U/D rows (D carries the old payload). The oracle recomputes both
+    states relationally and classifies the same diff."""
+    from dexspark.lake.changes import table_changes
+
+    table, v_mid = _replay_with_midpoint(spark, sf_dir)
+    return table_changes(table, v_mid, key_cols=["conv_id", "turn_idx"])
+
+
+ORACLE_CHANGE_FEED = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+thr AS (SELECT (max(batch_seq) + 2) // 2 AS t FROM log),
+{_MID_LATEST},
+mid AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts
+  FROM latest WHERE rn = 1 AND op <> 'D'
+),
+latest_all AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM flagged WHERE reject_reason IS NULL
+),
+fin AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts
+  FROM latest_all WHERE rn = 1 AND op <> 'D'
+),
+j AS (
+  SELECT
+    coalesce(m.conv_id, f.conv_id) AS conv_id,
+    coalesce(m.turn_idx, f.turn_idx) AS turn_idx,
+    CASE WHEN f.conv_id IS NOT NULL THEN f.role ELSE m.role END AS role,
+    CASE WHEN f.conv_id IS NOT NULL THEN f.text ELSE m.text END AS text,
+    CASE WHEN f.conv_id IS NOT NULL THEN f.tool ELSE m.tool END AS tool,
+    CASE WHEN f.conv_id IS NOT NULL THEN f.ts ELSE m.ts END AS ts,
+    CASE WHEN m.conv_id IS NULL THEN 'I'
+         WHEN f.conv_id IS NULL THEN 'D'
+         WHEN NOT (m.role IS NOT DISTINCT FROM f.role
+               AND m.text IS NOT DISTINCT FROM f.text
+               AND m.tool IS NOT DISTINCT FROM f.tool
+               AND m.ts   IS NOT DISTINCT FROM f.ts) THEN 'U' END AS op
+  FROM mid m FULL OUTER JOIN fin f
+    ON m.conv_id = f.conv_id AND m.turn_idx = f.turn_idx
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, op FROM j WHERE op IS NOT NULL
+"""
+
+
 def cdc_dedup_latest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dexspark.cdc.dedup import dedupe_latest
 
@@ -1572,6 +1666,8 @@ QUERIES: dict[str, tuple] = {
     "cdc_schema_evolution_replay": (cdc_schema_evolution_replay, ORACLE_EVOLUTION),
     "cdc_replay_gzip_log": (cdc_replay_gzip_log_q, ORACLE_REPLAY),
     "cdc_replay_compacted": (cdc_replay_compacted_q, ORACLE_REPLAY),
+    "cdc_time_travel": (cdc_time_travel_q, ORACLE_TIME_TRAVEL),
+    "cdc_change_feed": (cdc_change_feed_q, ORACLE_CHANGE_FEED),
     "conv_progress_stateful": (conv_progress_stateful_q, ORACLE_CONV_PROGRESS),
     # -- corpus curation / similarity / multimodal --
     "doc_quality_scores": (doc_quality_scores_q, ORACLE_QUALITY),
