@@ -94,10 +94,48 @@ def run_cdc_replay(spark, n_events: int, n_batches: int = 4, num_buckets: int = 
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _probe_chain(k: int) -> int:
+    import hashlib
+
+    h = hashlib.sha256(b"dexspark-probe")
+    for _ in range(k):
+        h = hashlib.sha256(h.digest())
+    return h.digest()[0]
+
+
+def pick_task_cpus(n_threads: int) -> str:
+    """Empirical SMT/oversubscription probe: if doubling process count
+    from N/2 to N yields <1.5x aggregate CPU throughput RIGHT NOW, the
+    extra threads contend (hyperthread siblings, or host co-tenants on
+    a virtualized box — sysfs topology hides both) and one Spark task
+    per two threads runs codegen-bound stages faster. The effect is
+    window-dependent on shared VMs (measured 16M-event replays at
+    local[32]: 57.4s@1 vs 39.3s@2 in one window, 41.3s@1 in another),
+    which is exactly why this measures current capacity instead of
+    trusting topology. ~5s, runs once per bench."""
+    if n_threads < 4:
+        return "1"
+    import multiprocessing as mp
+
+    def rate(p: int) -> float:
+        with mp.Pool(p) as pool:
+            pool.map(_probe_chain, [1000] * p)  # warm the pool
+            t0 = time.perf_counter()
+            pool.map(_probe_chain, [1_500_000] * p)
+            return p / (time.perf_counter() - t0)
+
+    return "2" if rate(n_threads) < 1.5 * rate(n_threads // 2) else "1"
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark("dexspark-bench", master=f"local[{cpus}]")
+    task_cpus = os.environ.get("DEXSPARK_TASK_CPUS") or pick_task_cpus(int(cpus))
+    spark = get_spark(
+        "dexspark-bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.task.cpus": task_cpus},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # size the log off the events table (~160 change events per source
@@ -145,6 +183,7 @@ def main():
                 "applied": applied,
                 "events_per_sec": round(n_events / elapsed, 1),
                 "all_runs_sec": [round(t, 3) for t in times],
+                "task_cpus": int(task_cpus),
             }
         )
     )

