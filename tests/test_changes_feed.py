@@ -98,3 +98,29 @@ def test_table_changes_across_schema_evolution(spark, tmp_table_dir):
     got = {(r.k, r.seq): (r.op, r.v, r.extra) for r in feed.collect()}
     # only 'a' changed: same v, extra went NULL -> "hello"
     assert got == {("a", 1): ("U", "x", "hello")}
+
+
+def test_table_changes_bucket_pruning(spark, tmp_table_dir):
+    """Bucket pruning is metadata-only and lossless: the pruned feed
+    equals the unpruned one, and a single-key merge marks strictly
+    fewer buckets than the table has."""
+    from dexspark.lake.changes import changed_buckets
+
+    t = _table(spark, tmp_table_dir)
+    v1 = t.current_version()
+    t.merge(
+        spark.createDataFrame(
+            [("a", 1, "x2", "U")], "k string, seq int, v string, op string"
+        ),
+        key_cols=["k", "seq"],
+    )
+    v2 = t.current_version()
+
+    cb = changed_buckets(t, v1, v2)
+    all_buckets = {f.bucket for f in t.manifest(v2).files}
+    assert cb and cb < all_buckets  # strictly pruned
+
+    pruned = table_changes(t, v1, v2, key_cols=["k", "seq"])
+    full = table_changes(t, v1, v2, key_cols=["k", "seq"], prune_buckets=False)
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+    assert {r.k for r in pruned.collect()} == {"a"}
