@@ -735,6 +735,67 @@ GROUP BY n_name
 """
 
 
+def q4_order_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery → LEFT SEMI hash join. Orders
+    with at least one heavily-discounted line item, counted per
+    priority. The semi-join probes once per order and never widens the
+    row — the right plan for an existence test at any scale."""
+    od = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    disc = li.filter(F.col("l_discount") >= 0.08).select("l_orderkey")
+    return (
+        od.join(disc, od.o_orderkey == disc.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.08)
+GROUP BY o_orderpriority
+"""
+
+
+def q17_small_quantity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar-aggregate comparison
+    (l_quantity < 0.2 * avg per part), decorrelated into an aggregate
+    join. The fractional comparison is done in EXACT integer form —
+    qty_c * 5 * n < sum_qty_c ⟺ qty < sum/(5n) — so no float average
+    ever decides a boundary row differently across engines. The
+    per-part aggregate is orders of magnitude smaller than lineitem;
+    AQE broadcasts it."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_cents("l_quantity")).alias("_sum_qty_c"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    j = li.join(per_part, "l_partkey")
+    small = j.filter(
+        _cents("l_quantity") * F.lit(5) * F.col("_n") < F.col("_sum_qty_c")
+    )
+    return small.agg(
+        F.sum(_cents("l_extendedprice")).alias("sum_price_x100"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_Q17 = f"""
+WITH pp AS (
+  SELECT l_partkey,
+         sum({_CENTS_SQL.format(col='l_quantity')}) AS sum_qty_c,
+         count(*) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT sum({_CENTS_SQL.format(col='l_extendedprice')}) AS sum_price_x100,
+       count(*) AS n_rows
+FROM lineitem l JOIN pp ON l.l_partkey = pp.l_partkey
+WHERE {_CENTS_SQL.format(col='l_quantity')} * 5 * pp.n < pp.sum_qty_c
+"""
+
+
 # --------------------------------------------------------------------------
 # documents: text analysis + dedup
 # --------------------------------------------------------------------------
@@ -1692,6 +1753,8 @@ QUERIES: dict[str, tuple] = {
     "revenue_rollup": (revenue_rollup_q, ORACLE_ROLLUP),
     "top_customers": (top_customers_q, ORACLE_TOP_CUSTOMERS),
     "q6_forecast_revenue": (q6_forecast_revenue_q, ORACLE_Q6),
+    "q4_order_priority": (q4_order_priority_q, ORACLE_Q4),
+    "q17_small_quantity": (q17_small_quantity_q, ORACLE_Q17),
     "churned_buyers": (churned_buyers_q, ORACLE_CHURNED),
     "lang_length_median": (lang_length_median_q, _oracle_lang_median()),
     "top_trigrams": (top_trigrams_q, ORACLE_TRIGRAMS),
