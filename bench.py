@@ -40,6 +40,11 @@ PAYLOAD = (
 )
 LOG_SCHEMA = "lsn long, op string, batch_seq long, " + PAYLOAD
 
+# Permanent superset of the r01 list (round-over-round comparability —
+# VERDICT r2 #8) plus the bounded later additions. Replay-shaped
+# queries (cdc_replay_gzip_log, cdc_quarantine_reprocess, …) are NOT
+# here: at sf0.1 they re-run ~40 micro-batch merges and would measure
+# driver orchestration, which the headline cdc_replay already covers.
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_revenue_by_order",
@@ -51,6 +56,8 @@ BENCH_QUERIES = [
     "doc_simhash_near_dups",
     "pipeline_doc_words",
     "cdc_dedup_latest",
+    "emb_ivf_topk",
+    "doc_gzip_unpack_roundtrip",
 ]
 
 

@@ -65,9 +65,10 @@ def cosine_topk(
     neighbor id so output is total-ordered and engine-independent.
 
     Plan shape: broadcast-nested-loop against the broadcast query set
-    (no shuffle of the corpus), then per-partition top-k
-    (sort_array+slice over collect_list, partially aggregated) and a
-    final k-bounded reduce — the full score matrix never shuffles.
+    (no shuffle of the corpus), then per-partition top-k via a
+    row_number window (external sort — spillable, never an in-memory
+    array of the whole group) and a final k-bounded reduce over the
+    P*k survivors — the full score matrix never shuffles.
     """
     q = F.broadcast(
         queries.select(
@@ -83,34 +84,33 @@ def cosine_topk(
             cosine(F.col("_qvec"), F.col("_nvec")).alias("_score"),
         )
     )
-    # two-phase bounded top-k: local slice per (query, shuffle-free
-    # partition), then combine the P*k survivors per query.
-    item = F.struct(
-        F.col("_score").alias("s"), (-F.col("_nid")).alias("negid"), F.col("_nid").alias("nid")
+    # two-phase bounded top-k via row_number windows: the local phase
+    # ranks within (query, input-partition) through Spark's EXTERNAL
+    # sort — spillable, O(1) heap per task — where the previous
+    # collect_list+slice materialized every scored row of a group in
+    # one in-memory array (unbounded as Q x partition-size grows).
+    # The final phase ranks the P*k survivors per query (tiny).
+    local_w = Window.partitionBy("_qid", "_p").orderBy(
+        F.col("_score").desc(), F.col("_nid").asc()
     )
     local = (
-        scored.groupBy("_qid", F.spark_partition_id().alias("_p"))
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list(item), asc=False), 1, k
-            ).alias("_top")
-        )
+        scored.withColumn("_p", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(local_w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_p")
+    )
+    final_w = Window.partitionBy("_qid").orderBy(
+        F.col("_score").desc(), F.col("_nid").asc()
     )
     final = (
-        local.select("_qid", F.explode("_top").alias("_it"))
-        .groupBy("_qid")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list("_it"), asc=False), 1, k
-            ).alias("_top")
-        )
-        .select("_qid", F.posexplode("_top").alias("_rank0", "_it"))
+        local.withColumn("_rank", F.row_number().over(final_w))
+        .filter(F.col("_rank") <= k)
     )
     return final.select(
         F.col("_qid").alias("query_id"),
-        F.col("_it.nid").alias("neighbor_id"),
-        (F.col("_rank0") + 1).cast("int").alias("rank"),
-        F.round(F.col("_it.s") * 1e6).cast("long").alias("score_x1e6"),
+        F.col("_nid").alias("neighbor_id"),
+        F.col("_rank").cast("int").alias("rank"),
+        F.round(F.col("_score") * 1e6).cast("long").alias("score_x1e6"),
     )
 
 

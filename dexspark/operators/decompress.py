@@ -27,6 +27,7 @@ from __future__ import annotations
 import gzip
 import io
 import zipfile
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -42,15 +43,24 @@ _GZIP_MAGIC = b"\x1f\x8b"
 
 def _expand(name: str, payload: bytes, depth: int, max_depth: int):
     """Yield (leaf_path, leaf_bytes, reason) for one payload,
-    recursing into nested archives."""
+    recursing into nested archives.
+
+    The depth bound only gates RECURSION into a further archive, so a
+    plain leaf nested inside exactly ``max_depth`` archives still comes
+    through as a leaf; only the max_depth+1'th decompression is refused.
+    Every decode failure a hostile payload can provoke (truncated gzip
+    → EOFError, corrupt deflate stream → zlib.error, encrypted zip
+    entry → RuntimeError, plus the library's own OSError/BadZipFile)
+    lands in the reject channel instead of failing the Spark task.
+    """
     if payload is None:
         yield name, None, None
         return
-    if depth >= max_depth:
-        yield name, None, "max_archive_depth"
-        return
     head = bytes(payload[:4])
     if head[:4] == _ZIP_MAGIC:
+        if depth >= max_depth:
+            yield name, None, "max_archive_depth"
+            return
         try:
             with zipfile.ZipFile(io.BytesIO(payload)) as zf:
                 for info in zf.infolist():
@@ -60,13 +70,16 @@ def _expand(name: str, payload: bytes, depth: int, max_depth: int):
                     yield from _expand(
                         f"{name}/{info.filename}", inner, depth + 1, max_depth
                     )
-        except zipfile.BadZipFile:
+        except (zipfile.BadZipFile, RuntimeError, zlib.error, OSError, EOFError):
             yield name, None, "bad_archive"
         return
     if head[:2] == _GZIP_MAGIC:
+        if depth >= max_depth:
+            yield name, None, "max_archive_depth"
+            return
         try:
             inner = gzip.decompress(payload)
-        except OSError:
+        except (OSError, EOFError, zlib.error):
             yield name, None, "bad_archive"
             return
         stripped = name[:-3] if name.endswith(".gz") else name

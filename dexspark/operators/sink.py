@@ -47,8 +47,13 @@ def write_routed(
     never the payload). Rows with a route outside ``routes`` are still
     written and reported under ``"_other"``."""
     if routes is None:
+        # NULL routes must not join the sort (None < str raises); they
+        # fall out of the observed per-route counts and surface under
+        # "_other" via the _total delta below.
         routes = sorted(
-            r[0] for r in df.select(route_col).distinct().collect()
+            r[0]
+            for r in df.select(route_col).distinct().collect()
+            if r[0] is not None
         )
     obs = Observation()
     stamped = df.withColumn(PROVENANCE_COL, F.lit(PROVENANCE)).observe(

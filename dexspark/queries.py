@@ -489,6 +489,207 @@ FROM ded WHERE rn = 1 GROUP BY batch_seq
 """
 
 
+def cdc_quarantine_reprocess_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter reprocessing under the hard oracle: full replay with
+    a quarantine sink, then a deterministic PARTIAL fix (even-lsn bad
+    roles corrected to 'user', null/blank texts recovered) flows back
+    through the normal validate → dedup → LSN-gated merge
+    (``reprocess_quarantine``). Output = final table state UNION the
+    rewritten quarantine, tagged by ``src`` — proving both that fixed
+    rows rejoined the stream (winning only when their lsn beats the
+    standing row, inserting when a delete had removed the key) and
+    that the quarantine was rewritten to exactly the still-invalid
+    rows. ≙ the reference error channel (FnOrchestrator.kt:95-111)
+    made replayable."""
+    from dexspark.cdc.apply import reprocess_quarantine
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    qschema = _parse_datatype_string(
+        "lsn long, op string, batch_seq long, " + PAYLOAD
+        + ", reject_reason string, batch_id string"
+    )
+    quarantine = LakeTable.create(
+        spark, os.path.join(d, "quarantine"), qschema, "conv_id", num_buckets=4,
+    )
+    for b in batch_range(log):
+        apply_changes(
+            table, log.filter(F.col("batch_seq") == b),
+            batch_id=f"b{b}", quarantine=quarantine,
+        )
+
+    def fix(df: DataFrame) -> DataFrame:
+        role_ok = F.col("role").isin("user", "assistant", "system", "tool")
+        return df.withColumn(
+            "role",
+            F.when(~role_ok & (F.pmod(F.col("lsn"), F.lit(2)) == 0), F.lit("user"))
+            .otherwise(F.col("role")),
+        ).withColumn(
+            "text",
+            F.when(
+                F.col("text").isNull() | (F.trim(F.col("text")) == ""),
+                F.concat(F.lit("recovered r"), F.col("lsn").cast("string")),
+            ).otherwise(F.col("text")),
+        )
+
+    reprocess_quarantine(table, quarantine, fix, batch_id="bq-retry")
+    state = table.read().select(
+        F.lit("state").alias("src"), "conv_id", "turn_idx", "role",
+        "text", "tool", "ts",
+        F.lit(None).cast("string").alias("reject_reason"),
+    )
+    outstanding = quarantine.read().select(
+        F.lit("quarantine").alias("src"), "conv_id", "turn_idx", "role",
+        "text", "tool", "ts", "reject_reason",
+    )
+    return state.unionByName(outstanding)
+
+
+# Mirrors the engine exactly: state0 = post-replay standing row per key
+# INCLUDING delete winners (the lake keeps tombstones, so a late old
+# update loses against the delete's LSN and cannot resurrect the key);
+# fixwin = max-lsn newly-valid fixed row per key; the strict-LSN merge
+# gate is the argmax over state0 ∪ fixwin because lsns are unique, and
+# a key whose winner is a delete stays absent from the final state.
+ORACLE_QUARANTINE_REPROCESS = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+fixed AS (
+  SELECT lsn, op,
+    CASE WHEN role NOT IN ('user','assistant','system','tool') AND lsn % 2 = 0
+         THEN 'user' ELSE role END AS role,
+    CASE WHEN text IS NULL OR trim(text) = ''
+         THEN 'recovered r' || CAST(lsn AS VARCHAR) ELSE text END AS text,
+    conv_id, turn_idx, tool, ts
+  FROM flagged WHERE reject_reason IS NOT NULL
+),
+reflagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM fixed),
+state0 AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts, lsn, op FROM (
+    SELECT conv_id, turn_idx, role, text, tool, ts, lsn, op,
+           row_number() OVER (
+             PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM flagged WHERE reject_reason IS NULL) t
+  WHERE rn = 1
+),
+fixwin AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts, lsn, op FROM (
+    SELECT conv_id, turn_idx, role, text, tool, ts, lsn, op,
+           row_number() OVER (
+             PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM reflagged WHERE reject_reason IS NULL) t
+  WHERE rn = 1
+),
+merged AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+    SELECT u.*, row_number() OVER (
+             PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM (SELECT * FROM state0 UNION ALL SELECT * FROM fixwin) u) t
+  WHERE rn = 1 AND op <> 'D'
+)
+SELECT 'state' AS src, conv_id, turn_idx, role, text, tool, ts,
+       CAST(NULL AS VARCHAR) AS reject_reason
+FROM merged
+UNION ALL
+SELECT 'quarantine' AS src, conv_id, turn_idx, role, text, tool, ts,
+       reject_reason
+FROM reflagged WHERE reject_reason IS NOT NULL
+"""
+
+
+def cdc_config_hot_reload_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live validation-config reload under the hard oracle
+    (≙ FnCacheUpdater.kt:22-46: a config-store change is picked up by
+    the running system without restart). The stream's ``cfg_provider``
+    re-resolves the config FROM A CONFIG FILE at every micro-batch; the
+    file is updated (role enum gains 'alien') after the first
+    availableNow window, so change events in batches < thr are
+    validated under the strict enum and batches >= thr under the
+    relaxed one. Final state therefore contains 'alien'-role turns
+    exactly where a post-change lsn won the key — the oracle recomputes
+    the phase-split validation relationally."""
+    import json
+
+    from dexspark.cdc.validate import ValidationConfig
+    from dexspark.sources.changelog import log_schema as mk_log_schema
+    from dexspark.streaming.replay import CdcStreamReplay
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    log_dir = os.path.join(d, "log")
+    cp = os.path.join(d, "cp")
+    cfg_path = os.path.join(d, "validation_cfg.json")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    thr = (batch_range(log).stop + 1) // 2
+    seg = log.repartition(4, F.col("batch_seq"))
+    (
+        seg.filter(F.col("batch_seq") < thr)
+        .write.partitionBy("batch_seq").parquet(log_dir)
+    )
+    with open(cfg_path, "w") as f:
+        json.dump({"roles": list(ValidationConfig().roles)}, f)
+
+    def provider() -> ValidationConfig:
+        # the live config cache: re-read per micro-batch
+        with open(cfg_path) as f:
+            return ValidationConfig(roles=tuple(json.load(f)["roles"]))
+
+    def replayer() -> CdcStreamReplay:
+        return CdcStreamReplay(
+            spark, table, log_dir + "/*", cp, mk_log_schema(),
+            cfg_provider=provider, max_files_per_trigger=2,
+            batch_id_prefix="hr",
+        )
+
+    replayer().run_available()  # strict phase
+    # ops updates the config store; NO new replay configuration — the
+    # same provider observes the change at the next micro-batch
+    with open(cfg_path, "w") as f:
+        json.dump({"roles": [*ValidationConfig().roles, "alien"]}, f)
+    (
+        seg.filter(F.col("batch_seq") >= thr)
+        .write.mode("append").partitionBy("batch_seq").parquet(log_dir)
+    )
+    replayer().run_available()  # relaxed phase (checkpoint resume)
+    return table.read()
+
+
+# Phase split mirrors the engine: thr = (max(batch_seq)+2) // 2 with
+# batch_seq = event_id // BATCH; 'alien' roles are valid only from
+# batch thr on (the relaxed enum), everything else is the standard
+# reason chain.
+ORACLE_HOT_RELOAD = f"""
+WITH {LOG_CTE},
+thr AS (SELECT (MAX(event_id) // {BATCH} + 2) // 2 AS t FROM events),
+flagged AS (
+  SELECT log.*,
+    CASE WHEN op = 'D' THEN NULL
+         WHEN role NOT IN ('user', 'assistant', 'system', 'tool')
+              AND NOT (role = 'alien'
+                       AND batch_seq >= (SELECT t FROM thr))
+           THEN 'bad_role'
+         WHEN role = 'tool' AND (tool IS NULL OR trim(tool) = '')
+           THEN 'missing_tool'
+         WHEN text IS NULL OR trim(text) = '' THEN 'malformed_text'
+         END AS reject_reason
+  FROM log
+),
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM flagged WHERE reject_reason IS NULL
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def route_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7 route lookup with fallback over the events stream (broadcast
     join; 'error' has no config entry → falls back to 'misc')."""
@@ -634,6 +835,12 @@ def _cents(c: str) -> "F.Column":
 
 _CENTS_SQL = "CAST(round({col} * 100) AS BIGINT)"
 
+# DuckDB widens SUM(BIGINT) to HUGEINT, which surfaces through Arrow as
+# decimal128(38,0); Spark's long sums are int64. The driver hashes typed
+# values, so every oracle SUM must be cast back to BIGINT or equal numbers
+# hash differently (root cause of the six round-2 hash_match:false rows).
+_SUM_BIGINT = "CAST(sum({expr}) AS BIGINT)"
+
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -653,10 +860,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-  sum({_CENTS_SQL.format(col='l_quantity')}) AS sum_qty_x100,
-  sum({_CENTS_SQL.format(col='l_extendedprice')}) AS sum_base_price_x100,
-  sum({_CENTS_SQL.format(col='l_extendedprice')}
-      * (100 - {_CENTS_SQL.format(col='l_discount')})) AS sum_disc_price_x10000,
+  {_SUM_BIGINT.format(expr=_CENTS_SQL.format(col='l_quantity'))} AS sum_qty_x100,
+  {_SUM_BIGINT.format(expr=_CENTS_SQL.format(col='l_extendedprice'))} AS sum_base_price_x100,
+  {_SUM_BIGINT.format(expr=_CENTS_SQL.format(col='l_extendedprice')
+      + ' * (100 - ' + _CENTS_SQL.format(col='l_discount') + ')')} AS sum_disc_price_x10000,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -665,8 +872,9 @@ GROUP BY l_returnflag, l_linestatus
 
 
 _REVENUE_X10000 = (
-    f"sum({_CENTS_SQL.format(col='l_extendedprice')}"
-    f" * (100 - {_CENTS_SQL.format(col='l_discount')})) AS revenue_x10000"
+    f"CAST(sum({_CENTS_SQL.format(col='l_extendedprice')}"
+    f" * (100 - {_CENTS_SQL.format(col='l_discount')})) AS BIGINT)"
+    f" AS revenue_x10000"
 )
 
 
@@ -789,7 +997,7 @@ WITH pp AS (
          count(*) AS n
   FROM lineitem GROUP BY l_partkey
 )
-SELECT sum({_CENTS_SQL.format(col='l_extendedprice')}) AS sum_price_x100,
+SELECT {_SUM_BIGINT.format(expr=_CENTS_SQL.format(col='l_extendedprice'))} AS sum_price_x100,
        count(*) AS n_rows
 FROM lineitem l JOIN pp ON l.l_partkey = pp.l_partkey
 WHERE {_CENTS_SQL.format(col='l_quantity')} * 5 * pp.n < pp.sum_qty_c
@@ -1309,7 +1517,7 @@ def revenue_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ROLLUP = f"""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       SUM({_CENTS_SQL.format(col='l_quantity')}) AS sum_qty_x100,
+       {_SUM_BIGINT.format(expr=_CENTS_SQL.format(col='l_quantity'))} AS sum_qty_x100,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -1745,6 +1953,11 @@ QUERIES: dict[str, tuple] = {
     "cdc_dedup_latest": (cdc_dedup_latest_q, ORACLE_DEDUP),
     "cdc_validate_rejects": (cdc_validate_rejects_q, ORACLE_REJECTS),
     "cdc_lineage_batches": (cdc_lineage_batches_q, ORACLE_LINEAGE),
+    "cdc_quarantine_reprocess": (
+        cdc_quarantine_reprocess_q,
+        ORACLE_QUARANTINE_REPROCESS,
+    ),
+    "cdc_config_hot_reload": (cdc_config_hot_reload_q, ORACLE_HOT_RELOAD),
     "route_events": (route_events_q, ORACLE_ROUTE),
     "route_events_2key": (route_events_2key_q, ORACLE_ROUTE_2KEY),
     "routed_sink_readback": (routed_sink_readback_q, ORACLE_SINK_READBACK),

@@ -128,3 +128,35 @@ try:
 
 except ImportError:  # hypothesis not installed
     pass
+
+def test_hostile_payloads_reject_not_crash(spark):
+    """ADVICE r2: every decode failure a hostile payload can provoke
+    must land in the reject channel, never fail the task. Truncated
+    gzip raises EOFError (not OSError); corrupt deflate raises
+    zlib.error — both previously escaped the handler."""
+    truncated_gz = gzip.compress(b"x" * 1000)[:12]  # gzip magic, cut body
+    df = spark.createDataFrame(
+        [("t.gz", bytearray(truncated_gz))], "name string, payload binary"
+    )
+    out = unpack_archives(df).collect()
+    assert len(out) == 1 and out[0].reject_reason == "bad_archive"
+    assert out[0].entry_bytes is None
+
+
+def test_leaf_at_max_depth_passes_through():
+    """ADVICE r2 off-by-one: a plain leaf nested inside exactly
+    max_depth archives is still a leaf — only recursing into the
+    (max_depth+1)'th archive is refused."""
+    from dexspark.operators.decompress import _expand
+
+    payload = b"leaf-data"
+    nested = payload
+    for i in range(3):
+        nested = _zip({f"l{i}": nested})
+    # 3 levels of zip, max_depth=3: the leaf IS reachable
+    got = list(_expand("root.zip", nested, 0, 3))
+    assert got == [("root.zip/l2/l1/l0", payload, None)]
+    # one level deeper than allowed: the inner archive is refused
+    deeper = _zip({"l3": nested})
+    got2 = list(_expand("root.zip", deeper, 0, 3))
+    assert got2 == [("root.zip/l3/l2/l1", None, "max_archive_depth")]

@@ -113,3 +113,20 @@ def test_write_routed_known_routes_single_pass(spark, tmp_table_dir):
     assert counts2["_other"] == 1 and counts2["csv"] == 1
     # rogue rows are written, not dropped
     assert read_route(spark, out + "_b", "rogue").count() == 1
+
+
+def test_write_routed_null_routes_discovery(spark, tmp_table_dir):
+    """ADVICE r2: NULL in the route column must not crash route
+    discovery (None is unsortable against str); NULL-routed rows are
+    written and reported under _other."""
+    df = spark.createDataFrame(
+        [(1, "csv"), (2, None), (3, "hl7"), (4, None)],
+        "event_id int, route string",
+    )
+    out = tmp_table_dir + "_nullroutes"
+    counts = write_routed(df, out)
+    assert counts["csv"] == 1 and counts["hl7"] == 1
+    assert counts["_other"] == 2
+    # NULL-routed rows land under the null partition, still readable
+    total = spark.read.option("basePath", out).parquet(out).count()
+    assert total == 4

@@ -34,15 +34,30 @@ SUBSET = [
     "conv_progress_stateful",
     "doc_gzip_unpack_roundtrip",
     "q1_pricing_summary",
+    # round-3 surfaces
+    "cdc_quarantine_reprocess",
+    "cdc_config_hot_reload",
 ]
 
 
 def canon(v):
+    """Type-tagged so heterogenous columns (e.g. nullable strings)
+    stay sortable; mirrors tools/check_oracles.canon."""
+    if v is None:
+        return ("n", "")
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, Decimal):
         return ("dec", str(v.normalize()))
     if isinstance(v, float):
         return ("f", round(v, 9))
-    return v
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, str):
+        return ("s", v)
+    if isinstance(v, (list, tuple)):
+        return ("a", tuple(canon(x) for x in v))
+    return ("o", type(v).__name__, str(v))
 
 
 @pytest.fixture(scope="module")
