@@ -109,7 +109,17 @@ def minhash_lsh_pairs(
     bucket is inherent to LSH and is capped upstream by raising
     rows_per_band (fewer, more selective collisions)."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    # Both sides of the self-join (and any downstream verification)
+    # consume the signature table; without a persist Spark recomputes
+    # the whole shingle-explode x K-hash aggregation per consumer
+    # (measured 2x on the r02 bench). Signatures are K longs per doc —
+    # orders of magnitude smaller than the texts — so MEMORY_AND_DISK
+    # is cheap at any scale; eviction is LRU if the cluster is tight.
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, seed
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     banded = sigs.select(
         id_col,
         F.explode(
@@ -156,8 +166,19 @@ def ngram_jaccard(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs: intersection/union of shingle
-    sets, returned as exact integer (inter, union) + x1000 ratio."""
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    sets, returned as exact integer (inter, union) + x1000 ratio.
+
+    The shingle expression is a higher-order function (interpreted,
+    not codegen'd), so computing it on a narrow input serializes the
+    whole corpus onto one task (a single parquet row group is not
+    byte-range splittable). Spread the input rows across the cluster
+    FIRST — same guard as minhash_signatures; this was the r02 bench
+    regression (5k docs shingled serially ≈ 8s of the 16s total)."""
+    src = df.select(id_col, text_col)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    sh = src.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
