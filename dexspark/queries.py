@@ -690,6 +690,134 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+_WIN_BASE_EPOCH = 1704067200  # 2024-01-01 00:00:00 UTC
+
+
+def stream_window_late_data_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed aggregation with a lateness watermark under
+    the hard oracle. Three availableNow replays over one checkpoint:
+
+    1. on-time phase (event minutes 0-59) — after it, watermark =
+       59 - 10 = 49 min, so windows ending ≤ 49 are finalized;
+    2. late phase: rows ≤ 9 min (target finalized windows → DROPPED),
+       rows 50-54 min (late but within delay → aggregated into their
+       still-open window), rows 60-119 min (new windows);
+    3. two flush ticks (role='_flush', far-future event time) that
+       only advance the watermark — filtered after the watermark node
+       — forcing append-mode emission of every real window.
+
+    Every watermark comparison in the data has a ≥ 5-minute margin, so
+    the emitted set is exact whatever the engine's boundary convention
+    — which is what lets a batch SQL oracle reproduce a streaming
+    lateness semantics bit-for-bit."""
+    from dexspark.streaming.windowed import windowed_counts
+
+    ev = load(spark, sf_dir, "events")
+    lsn = F.col("event_id")
+    role = (
+        F.when(F.pmod(lsn, 3) == 0, "user")
+        .when(F.pmod(lsn, 3) == 1, "assistant")
+        .otherwise("tool")
+    )
+    # phase-2 = lsn % 7 == 6 (coprime with 60, so phase-1 minutes
+    # still cover 0..59 and the watermark lands exactly at 49)
+    m = (
+        F.when(F.pmod(lsn, 7) != 6, F.pmod(lsn, 60))
+        .when(F.pmod(lsn, 21) == 6, F.pmod(lsn, 10))       # very late
+        .when(F.pmod(lsn, 21) == 13, F.lit(50) + F.pmod(lsn, 5))  # in-delay late
+        .otherwise(F.lit(60) + F.pmod(lsn, 60))            # next hour
+    )
+    rows = ev.select(
+        lsn.alias("lsn"),
+        role.alias("role"),
+        F.timestamp_seconds(
+            F.lit(_WIN_BASE_EPOCH) + m.cast("long") * 60
+        ).alias("ts"),
+    )
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    log_dir = os.path.join(d, "wlog")
+    cp = os.path.join(d, "cp")
+    out_dir = os.path.join(d, "wout")
+    ddl = "lsn long, role string, ts timestamp"
+    out_ddl = "w_start timestamp, w_end timestamp, role string, n long, lsn_sum long"
+
+    def run(max_files: int | None = None) -> None:
+        # append-mode parquet FILE sink: supports checkpoint recovery
+        # across availableNow replays (a memory sink does not) and is
+        # the production shape — each finalized window lands exactly
+        # once, committed through the sink's metadata log.
+        reader = spark.readStream.schema(_parse_datatype_string(ddl))
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        stream = reader.parquet(log_dir + "/*")
+        agg = windowed_counts(
+            stream, ts_col="ts", delay="10 minutes",
+            window_duration="5 minutes", group_cols=("role",),
+            sum_col="lsn",
+        )
+        q = (
+            agg.writeStream.format("parquet").option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    phase2 = F.pmod(F.col("lsn"), 7) == 6
+    rows.filter(~phase2).repartition(4).write.parquet(log_dir)
+    run()
+    rows.filter(phase2).repartition(2).write.mode("append").parquet(log_dir)
+    run()
+    # two flush ticks as two separate runs (one file each, so the
+    # batch split is deterministic): the first advances the watermark
+    # far past every real window; the second's batch starts AT that
+    # watermark and force-emits them all.
+    for i, m_flush in enumerate((10000, 20000)):
+        flush = spark.createDataFrame(
+            [(10**12 + i, "_flush", m_flush)], "lsn long, role string, m long"
+        ).select(
+            "lsn", "role",
+            F.timestamp_seconds(
+                F.lit(_WIN_BASE_EPOCH) + F.col("m") * 60
+            ).alias("ts"),
+        )
+        flush.coalesce(1).write.mode("append").parquet(log_dir)
+        run()
+    # flush ticks aggregate into their own far-future '_flush' window
+    # (a filter before the aggregate would be pushed below the
+    # watermark node and stop the ticks advancing it — see
+    # streaming/windowed.py); drop them from the emitted output here.
+    return (
+        spark.read.schema(_parse_datatype_string(out_ddl)).parquet(out_dir)
+        .filter(F.col("role") != "_flush")
+    )
+
+
+# Mirror: very-late rows (lsn%21=6) target windows finalized by the
+# phase-1 watermark and are dropped; everything else aggregates into
+# its 5-minute window.
+ORACLE_STREAM_WINDOW = f"""
+WITH src AS (
+  SELECT event_id AS lsn,
+    CASE event_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+         ELSE 'tool' END AS role,
+    CASE WHEN event_id % 7 <> 6 THEN event_id % 60
+         WHEN event_id % 21 = 6 THEN NULL
+         WHEN event_id % 21 = 13 THEN 50 + event_id % 5
+         ELSE 60 + event_id % 60 END AS m
+  FROM events
+),
+kept AS (SELECT * FROM src WHERE m IS NOT NULL)
+SELECT
+  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL ((m - m % 5)) MINUTE AS w_start,
+  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL ((m - m % 5) + 5) MINUTE AS w_end,
+  role,
+  count(*) AS n,
+  CAST(sum(lsn) AS BIGINT) AS lsn_sum
+FROM kept
+GROUP BY 1, 2, 3
+"""
+
+
 def route_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7 route lookup with fallback over the events stream (broadcast
     join; 'error' has no config entry → falls back to 'misc')."""
@@ -1958,6 +2086,7 @@ QUERIES: dict[str, tuple] = {
         ORACLE_QUARANTINE_REPROCESS,
     ),
     "cdc_config_hot_reload": (cdc_config_hot_reload_q, ORACLE_HOT_RELOAD),
+    "stream_window_late_data": (stream_window_late_data_q, ORACLE_STREAM_WINDOW),
     "route_events": (route_events_q, ORACLE_ROUTE),
     "route_events_2key": (route_events_2key_q, ORACLE_ROUTE_2KEY),
     "routed_sink_readback": (routed_sink_readback_q, ORACLE_SINK_READBACK),

@@ -1,0 +1,66 @@
+"""Event-time windowed aggregation with watermark-bounded late data.
+
+The core replay path deliberately does NOT need watermarks (the change
+log is LSN-ordered and the merge idempotent — SURVEY §2.2), but
+operational consumers of the same stream do: "events per 5-minute
+window per role" is an event-time aggregate where arrival order and
+event order diverge, and unbounded lateness would mean unbounded
+state. That is Structured Streaming's native watermark shape
+(≙ the reference's Event-Hub tail, RouteIngestedFile.kt:13-20, viewed
+as an event-time stream rather than an ordered log):
+
+- ``withWatermark(ts, delay)`` bounds state: a window whose end falls
+  behind the watermark is finalized, emitted once (append mode), and
+  evicted from the state store.
+- Late rows within the delay still aggregate into their open window;
+  rows later than the watermark target a finalized window and are
+  dropped — the documented, deterministic lateness contract.
+
+Scale notes: state is O(open windows x group keys), independent of
+stream length; the shuffle is on (window, group) like any streaming
+agg; at 10^10 events the delay knob trades completeness against state
+size, and the append-mode sink writes each window exactly once
+(idempotent downstream loads).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+    window_duration: str = "5 minutes",
+    group_cols: tuple[str, ...] = ("role",),
+    sum_col: str | None = "lsn",
+) -> DataFrame:
+    """Tumbling-window counts (+ optional exact sum) per group with a
+    lateness watermark. Returns a streaming DataFrame with columns
+    (w_start, w_end, *group_cols, n[, <sum_col>_sum]) suitable for an
+    append-mode sink.
+
+    Note there is deliberately NO row-filter parameter: a filter
+    placed "after" ``withWatermark`` is pushed below the
+    EventTimeWatermark node by the optimizer, so filtered rows would
+    silently stop advancing the watermark. Synthetic watermark ticks
+    (e.g. flush rows) must instead carry a sentinel group value and be
+    dropped from the SINK output (their own far-future window then
+    simply never finalizes, or is excluded on read).
+    """
+    s = stream.withWatermark(ts_col, delay)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias(f"{sum_col}_sum"))
+    return (
+        s.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), *group_cols)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            *group_cols,
+            "n",
+            *([f"{sum_col}_sum"] if sum_col is not None else []),
+        )
+    )

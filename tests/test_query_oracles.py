@@ -37,6 +37,7 @@ SUBSET = [
     # round-3 surfaces
     "cdc_quarantine_reprocess",
     "cdc_config_hot_reload",
+    "stream_window_late_data",
 ]
 
 
