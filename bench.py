@@ -61,8 +61,19 @@ BENCH_QUERIES = [
 ]
 
 
-def run_cdc_replay(spark, n_events: int, n_batches: int = 4, num_buckets: int = 64):
-    """Returns (elapsed_sec, applied). Generation + log write untimed."""
+def run_cdc_replay(
+    spark,
+    n_events: int,
+    n_batches: int = 4,
+    num_buckets: int = 64,
+    strategy: str = "cow",
+):
+    """Returns (elapsed_sec, applied). Generation + log write untimed.
+
+    ``strategy="mor"`` benches the merge-on-read write path (per-batch
+    delta commits, compaction every 2 batches so read-time resolve
+    stays bounded — the production pairing for high-frequency
+    micro-batches)."""
     work = tempfile.mkdtemp(prefix="dexspark_bench_")
     try:
         log_dir = os.path.join(work, "log")
@@ -91,6 +102,8 @@ def run_cdc_replay(spark, n_events: int, n_batches: int = 4, num_buckets: int = 
             # (see dexspark/cdc/dedup.py); salting is for pathological
             # single-key floods only and costs a second shuffle phase.
             salt_buckets=None,
+            strategy=strategy,
+            compact_every=2 if strategy == "mor" else None,
         )
         t0 = time.perf_counter()
         results = replay.run_available()
@@ -164,7 +177,17 @@ def main():
         times.append(elapsed)
     elapsed = min(times)
 
-    q_times: dict[str, float] = {"cdc_replay": round(elapsed, 3)}
+    # merge-on-read write path (delta commits + compact_every=2): the
+    # O(batch) commit story for high-frequency micro-batches
+    mor_times = []
+    for _ in range(2):
+        mor_elapsed, _mor_applied = run_cdc_replay(spark, n_events, strategy="mor")
+        mor_times.append(mor_elapsed)
+
+    q_times: dict[str, float] = {
+        "cdc_replay": round(elapsed, 3),
+        "cdc_replay_mor": round(min(mor_times), 3),
+    }
     for name in BENCH_QUERIES:
         fn, _ = QUERIES[name]
         # best of 2: first evaluation pays codegen compilation of the

@@ -58,8 +58,13 @@ def apply_changes(
     cfg: ValidationConfig | None = None,
     quarantine: LakeTable | None = None,
     salt_buckets: int | None = None,
+    strategy: str = "cow",
 ) -> dict[str, Any]:
-    """Validate → dedup → merge one batch. Idempotent on batch_id."""
+    """Validate → dedup → merge one batch. Idempotent on batch_id.
+
+    ``strategy`` selects the merge mode: "cow" rewrites affected
+    buckets (cheap reads), "mor" appends delta files (O(batch) writes,
+    read-time resolve) — see LakeTable.merge."""
     cfg = cfg or ValidationConfig()
     if batch_id in table.committed_batch_ids():
         return {"batch_id": batch_id, "skipped": True, "reason": "already_committed"}
@@ -146,6 +151,7 @@ def apply_changes(
             key_cols=list(cfg.key_cols),
             op_col=cfg.op_col,
             delete_value=cfg.delete_op,
+            strategy=strategy,
             bucket_stats={int(r["bucket"]): int(r["applied"]) for r in lineage_rows},
             summary={
                 "batch_id": batch_id,

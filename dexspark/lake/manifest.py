@@ -29,13 +29,26 @@ class DataFile:
     path: str  # relative to table root
     bucket: int
     schema_id: int
+    # "base" = fully-merged rows (COW output, appends, compaction);
+    # "delta" = merge-on-read change file — one pre-deduped row per key
+    # per batch, resolved against base at read time by max applied-LSN.
+    # Absent in pre-MOR manifests → parsed as "base" (format-compatible).
+    kind: str = "base"
 
     def to_json(self) -> dict[str, Any]:
-        return {"path": self.path, "bucket": self.bucket, "schema_id": self.schema_id}
+        d = {"path": self.path, "bucket": self.bucket, "schema_id": self.schema_id}
+        if self.kind != "base":
+            d["kind"] = self.kind
+        return d
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "DataFile":
-        return DataFile(path=d["path"], bucket=int(d["bucket"]), schema_id=int(d["schema_id"]))
+        return DataFile(
+            path=d["path"],
+            bucket=int(d["bucket"]),
+            schema_id=int(d["schema_id"]),
+            kind=d.get("kind", "base"),
+        )
 
 
 @dataclass

@@ -184,12 +184,42 @@ class LakeTable:
         if not files:
             empty = self.spark.createDataFrame([], current_sys)
             return empty if include_system else empty.drop(SYS_LSN, SYS_DELETED)
-        # group by writer schema; project+cast each group to current schema
+        # Merge-on-read resolution: a bucket holding delta files needs
+        # its rows collapsed to the max-applied-LSN winner per merge
+        # key. Buckets WITHOUT deltas skip the resolution entirely, so
+        # the extra shuffle is O(delta-touched buckets), not O(table)
+        # — compaction folds deltas back into base to bound it.
+        delta_buckets = {f.bucket for f in files if f.kind == "delta"}
+        if delta_buckets:
+            res_files = [f for f in files if f.bucket in delta_buckets]
+            clean_files = [f for f in files if f.bucket not in delta_buckets]
+            out = self._resolve_mor(
+                self._scan_files(res_files, m, current_sys), m, current_sys
+            )
+            if clean_files:
+                out = self._scan_files(clean_files, m, current_sys).unionByName(out)
+        else:
+            out = self._scan_files(files, m, current_sys)
+        if include_system:
+            return out
+        return out.filter(
+            ~F.coalesce(F.col(SYS_DELETED), F.lit(False))
+        ).drop(SYS_LSN, SYS_DELETED)
+
+    def _scan_files(
+        self, files: list[mf.DataFile], m: mf.Manifest, current_sys: StructType
+    ) -> DataFrame:
+        """Union the given files, each group read under its writer
+        schema and projected/cast to the current schema."""
         by_schema: dict[int, list[str]] = {}
         for f in files:
             by_schema.setdefault(f.schema_id, []).append(
                 os.path.join(self.table_dir, f.path)
             )
+        sys_fields = [
+            StructField(SYS_LSN, LongType(), True),
+            StructField(SYS_DELETED, BooleanType(), True),
+        ]
         parts = []
         for sid, paths in by_schema.items():
             writer_schema = StructType.fromJson(
@@ -201,15 +231,47 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if include_system:
-            return out
-        return out.filter(
-            ~F.coalesce(F.col(SYS_DELETED), F.lit(False))
-        ).drop(SYS_LSN, SYS_DELETED)
+        return out
+
+    def _resolve_mor(
+        self, df: DataFrame, m: mf.Manifest, current_sys: StructType
+    ) -> DataFrame:
+        """Collapse base+delta rows to one winner per merge key: the
+        row with the highest applied LSN (same commutative last-writer
+        -wins the COW gate enforces at write time, deferred to read).
+        max(struct) with the LSN leading — one hash aggregate with
+        map-side partial agg, no window sort (see cdc/dedup.py for the
+        measured rationale). Delete tombstones win like any row and
+        are filtered by the caller, so a late lower-LSN update cannot
+        resurrect a deleted key."""
+        keys = (m.properties.get("merge_keys") or m.bucket_key).split(",")
+        others = [c for c in df.columns if c not in keys]
+        packed = F.max(
+            F.struct(
+                F.col(SYS_LSN).alias("_l"),
+                *[F.col(c).alias(c) for c in others],
+            )
+        ).alias("_w")
+        return (
+            df.groupBy(*keys)
+            .agg(packed)
+            .select(
+                *[
+                    F.col(f"_w.{f.name}").alias(f.name)
+                    if f.name in others
+                    else F.col(f.name)
+                    for f in current_sys.fields
+                ]
+            )
+        )
 
     # ----------------------------------------------------------------- write
     def _write_data(
-        self, df: DataFrame, m: mf.Manifest, n_buckets_hint: int | None = None
+        self,
+        df: DataFrame,
+        m: mf.Manifest,
+        n_buckets_hint: int | None = None,
+        kind: str = "base",
     ) -> list[mf.DataFile]:
         """Write df (table columns) bucketed; return new DataFile entries.
 
@@ -250,6 +312,7 @@ class LakeTable:
                                 path=os.path.join(out_rel, entry, fn),
                                 bucket=bucket,
                                 schema_id=m.current_schema_id,
+                                kind=kind,
                             )
                         )
         return new_files
@@ -261,6 +324,7 @@ class LakeTable:
         summary: dict[str, Any],
         schemas: dict[int, str] | None = None,
         current_schema_id: int | None = None,
+        properties: dict[str, str] | None = None,
     ) -> mf.Manifest:
         nxt = mf.Manifest(
             version=base.version + 1,
@@ -271,7 +335,7 @@ class LakeTable:
             files=files,
             summary=summary,
             parent=base.version,
-            properties=base.properties,
+            properties=properties if properties is not None else base.properties,
         )
         try:
             mf.commit_manifest(self.table_dir, nxt)
@@ -308,8 +372,9 @@ class LakeTable:
         broadcast_threshold: int = 2_000_000,
         bucket_stats: dict[int, int] | None = None,
         lsn_col: str | None = "lsn",
+        strategy: str = "cow",
     ) -> dict[str, Any]:
-        """Copy-on-write MERGE.
+        """MERGE — copy-on-write (default) or merge-on-read.
 
         ``changes`` must be pre-deduplicated (exactly one row per key —
         see dexspark.cdc.dedup) and contain ``op_col`` plus every current
@@ -326,10 +391,27 @@ class LakeTable:
         newer data (the north rule's out-of-order requirement). Without
         it, last-write-wins by arrival order.
 
-        Only buckets containing at least one change key are read or
-        rewritten; all other data files carry over into the new snapshot
-        untouched.
+        ``strategy="cow"``: affected buckets are read and rewritten in
+        full; reads stay cheap (no resolve), writes pay O(bucket) per
+        touched bucket. Only buckets containing at least one change key
+        are read or rewritten; all other data files carry over into the
+        new snapshot untouched.
+
+        ``strategy="mor"``: the (deduped) change set is written as
+        per-bucket DELTA files and the commit is O(batch) — no target
+        read, no rewrite. Conflict resolution moves to read time: the
+        max-applied-LSN row per key wins (identical final state to the
+        COW gate, including tombstone protection). This is the shape
+        for high-frequency micro-batches at 10^10 events, where COW's
+        write amplification (a 1000-row batch rewriting 64 buckets of
+        a 100 TB table) dominates; ``compact()`` folds deltas back to
+        base to bound the read-time resolve. Requires unique LSNs per
+        key (the CDC contract) and records the merge key in the
+        manifest so reads can resolve. Mixing keyed MOR merges with
+        un-keyed ``append`` on the same table is unsupported.
         """
+        if strategy not in ("cow", "mor"):
+            raise ValueError(f"unknown merge strategy: {strategy!r}")
         m = self.manifest()
         current = self.schema()
         own_persist = bucket_stats is None
@@ -356,8 +438,6 @@ class LakeTable:
                 self._commit_next(m, m.files, info)
                 return info
 
-            untouched = [f for f in m.files if f.bucket not in affected]
-            target = self.read(buckets=affected, include_system=True)
             current_sys = StructType(
                 list(current.fields)
                 + [
@@ -365,8 +445,43 @@ class LakeTable:
                     StructField(SYS_DELETED, BooleanType(), True),
                 ]
             )
-
             conditional = lsn_col is not None and lsn_col in changes.columns
+
+            if strategy == "mor":
+                if not conditional:
+                    raise ValueError(
+                        "merge strategy 'mor' requires an LSN column: "
+                        "read-time resolution orders rows by applied LSN"
+                    )
+                # blind delta write: O(batch) I/O, no target scan. The
+                # read-time resolve needs the merge key — record it in
+                # the manifest on first use (immutable thereafter).
+                props = dict(m.properties)
+                declared = props.setdefault("merge_keys", ",".join(key_cols))
+                if declared != ",".join(key_cols):
+                    raise ValueError(
+                        f"merge key mismatch: table uses {declared!r}"
+                    )
+                delta = changes.withColumn(
+                    SYS_LSN,
+                    F.col(lsn_col).cast("long") if conditional else F.lit(-1).cast("long"),
+                ).withColumn(SYS_DELETED, F.col(op_col) == F.lit(delete_value))
+                new_files = self._write_data(
+                    _align(delta, current_sys), m,
+                    n_buckets_hint=len(affected), kind="delta",
+                )
+                info = {
+                    "operation": "merge",
+                    "strategy": "mor",
+                    "affected_buckets": sorted(affected),
+                    "change_rows": n_changes,
+                    **(summary or {}),
+                }
+                self._commit_next(m, m.files + new_files, info, properties=props)
+                return info
+
+            untouched = [f for f in m.files if f.bucket not in affected]
+            target = self.read(buckets=affected, include_system=True)
             if conditional:
                 # per-key LSN gate: column-pruned scan of (keys, _lsn)
                 # from the affected buckets joins against the (small)
@@ -441,9 +556,14 @@ class LakeTable:
         stale = {
             f.bucket for f in m.files if f.schema_id != m.current_schema_id
         }
+        # merge-on-read delta buckets always compact: read() resolves
+        # them (max-LSN winner per key incl. tombstones), so the
+        # rewrite below folds deltas into plain base files and the
+        # read-time resolve cost resets to zero for those buckets
+        deltas = {f.bucket for f in m.files if f.kind == "delta"}
         affected = {
             b for b, n in per_bucket.items() if n >= min_files_per_bucket
-        } | stale
+        } | stale | deltas
         if not affected:
             return {"operation": "compact", "affected_buckets": [], "skipped": True}
         untouched = [f for f in m.files if f.bucket not in affected]

@@ -266,6 +266,33 @@ def cdc_replay_compacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+def cdc_replay_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read replay under the hard oracle: every micro-batch
+    commits O(batch) delta files (no bucket rewrite — the write path
+    for high-frequency batches at 10^10 events), a mid-replay
+    ``compact()`` folds the first half's deltas into base, and the
+    remaining batches land as deltas on top of the compacted base. The
+    final state must equal the COW replay bit-for-bit — read-time
+    max-LSN resolution ≡ the COW write-time gate, across tombstones,
+    out-of-order LSNs, and the base/delta boundary."""
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    batches = batch_range(log)
+    mid = (batches.start + batches.stop) // 2
+    for b in batches:
+        apply_changes(
+            table, log.filter(F.col("batch_seq") == b),
+            batch_id=f"m{b}", strategy="mor",
+        )
+        if b == mid:
+            table.compact()
+    return table.read()
+
+
 def conv_progress_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-stateful streaming (applyInPandasWithState) under the
     hard oracle: per-conversation running progress over the raw change
@@ -2063,6 +2090,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_schema_evolution_replay": (cdc_schema_evolution_replay, ORACLE_EVOLUTION),
     "cdc_replay_gzip_log": (cdc_replay_gzip_log_q, ORACLE_REPLAY),
     "cdc_replay_compacted": (cdc_replay_compacted_q, ORACLE_REPLAY),
+    "cdc_replay_mor": (cdc_replay_mor_q, ORACLE_REPLAY),
     "cdc_time_travel": (cdc_time_travel_q, ORACLE_TIME_TRAVEL),
     "cdc_change_feed": (cdc_change_feed_q, ORACLE_CHANGE_FEED),
     "conv_progress_stateful": (conv_progress_stateful_q, ORACLE_CONV_PROGRESS),

@@ -53,6 +53,7 @@ class CdcStreamReplay:
         log_format: str = "parquet",
         compact_every: int | None = None,
         cfg_provider: Callable[[], ValidationConfig] | None = None,
+        strategy: str = "cow",
     ):
         self.spark = spark
         self.table = table
@@ -75,6 +76,10 @@ class CdcStreamReplay:
         # affected buckets at one file, but quarantine appends and
         # schema evolution fragment over time)
         self.compact_every = compact_every
+        # merge mode per micro-batch: "mor" makes each commit O(batch)
+        # (delta append) — pair with compact_every so read-time resolve
+        # stays bounded on a long-running ingest
+        self.strategy = strategy
         self._applied_since_compact = 0
         self.results: list[dict[str, Any]] = []
 
@@ -87,6 +92,7 @@ class CdcStreamReplay:
             cfg=cfg,
             quarantine=self.quarantine,
             salt_buckets=self.salt_buckets,
+            strategy=self.strategy,
         )
         self.results.append(res)
         if self.compact_every and not res.get("skipped"):

@@ -266,3 +266,35 @@ def test_reprocess_quarantine_converges(spark, tmp_table_dir):
     r3 = reprocess_quarantine(table, q, fix, batch_id="r3")
     assert r3["still_quarantined"] == 0 and r3["applied"] > 0
     assert q.read().count() == 0
+
+
+def test_replay_mor_equals_cow(spark, tmp_table_dir):
+    """Full replay under merge-on-read (deltas + mid-replay compaction)
+    must produce the identical final state as copy-on-write."""
+    import os
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from dexspark.cdc.generator import gen_change_log
+
+    payload = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    log = gen_change_log(spark, 3000, n_convs=40, n_batches=4)
+    tables = {}
+    for strat in ("cow", "mor"):
+        t = LakeTable.create(
+            spark, os.path.join(tmp_table_dir, strat),
+            _parse_datatype_string(payload), "conv_id", 8,
+        )
+        for b in range(4):
+            apply_changes(
+                t, log.filter(F.col("batch_seq") == b),
+                batch_id=f"{strat}{b}", strategy=strat,
+            )
+            if strat == "mor" and b == 1:
+                t.compact()
+        tables[strat] = t
+    cow, mor = tables["cow"].read(), tables["mor"].read()
+    assert cow.exceptAll(mor).count() == 0
+    assert mor.exceptAll(cow).count() == 0
+    # the MOR table really did defer work: deltas present after replay
+    assert any(f.kind == "delta" for f in tables["mor"].manifest().files)

@@ -241,3 +241,105 @@ def test_merge_redelivered_batch_is_noop_by_lsn(spark, tmp_table_dir):
     t.merge(batch, key_cols=["k", "seq"])  # verbatim redelivery
     after = {(r.k, r.seq, r.v) for r in t.read().collect()}
     assert before == after == {("a", 1, "x"), ("b", 2, "y")}
+
+
+# ----------------------------------------------------------- merge-on-read
+
+def _chg(spark, rows):
+    return spark.createDataFrame(
+        rows, "k string, seq int, v string, op string, lsn long"
+    )
+
+
+def test_mor_merge_upsert_delete(spark, tmp_table_dir):
+    """MOR end state identical to COW: upsert + delete + insert."""
+    t = _mk(spark, tmp_table_dir, [])
+    t.merge(
+        _chg(spark, [("a", 1, "x", "I", 1), ("b", 2, "y", "I", 2), ("c", 3, "z", "I", 3)]),
+        key_cols=["k"], strategy="mor",
+    )
+    t.merge(
+        _chg(spark, [("a", 1, "x2", "U", 10), ("c", 3, None, "D", 11), ("d", 4, "w", "I", 12)]),
+        key_cols=["k"], strategy="mor",
+    )
+    got = {(r.k, r.seq, r.v) for r in t.read().collect()}
+    assert got == {("a", 1, "x2"), ("b", 2, "y"), ("d", 4, "w")}
+    # every merge appended deltas; no base rewrite happened
+    kinds = [f.kind for f in t.manifest().files]
+    assert kinds.count("delta") >= 2 and "base" not in kinds
+
+
+def test_mor_commit_is_o_batch(spark, tmp_table_dir):
+    """A MOR merge must carry every pre-existing file forward untouched
+    (the O(batch) write-amplification contract)."""
+    t = _mk(spark, tmp_table_dir, [])
+    t.merge(
+        _chg(spark, [(f"k{i}", i, f"v{i}", "I", i) for i in range(200)]),
+        key_cols=["k"], strategy="mor",
+    )
+    before = {f.path for f in t.manifest().files}
+    info = t.merge(
+        _chg(spark, [("k7", 7, "NEW", "U", 1000)]), key_cols=["k"], strategy="mor"
+    )
+    assert info["strategy"] == "mor"
+    after = {f.path for f in t.manifest().files}
+    assert before <= after  # nothing rewritten or dropped
+    assert len(after - before) <= 2  # just the new delta file(s)
+    got = dict((r.k, r.v) for r in t.read().collect())
+    assert got["k7"] == "NEW" and got["k0"] == "v0" and len(got) == 200
+
+
+def test_mor_out_of_order_and_tombstone(spark, tmp_table_dir):
+    """Read-time resolution is commutative: a late lower-LSN update
+    loses to the standing row AND to a delete tombstone."""
+    t = _mk(spark, tmp_table_dir, [])
+    t.merge(_chg(spark, [("a", 1, "new", "U", 50), ("b", 1, "alive", "I", 10)]),
+            key_cols=["k"], strategy="mor")
+    t.merge(_chg(spark, [("b", 1, None, "D", 40)]), key_cols=["k"], strategy="mor")
+    # redelivered old batch: lower LSNs must not clobber
+    t.merge(_chg(spark, [("a", 1, "old", "U", 5), ("b", 1, "zombie", "U", 20)]),
+            key_cols=["k"], strategy="mor")
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {("a", "new")}  # b stays deleted, a keeps lsn-50 row
+
+
+def test_mor_compact_folds_deltas_to_base(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, [])
+    t.merge(_chg(spark, [(f"k{i}", i, f"v{i}", "I", i) for i in range(50)]),
+            key_cols=["k"], strategy="mor")
+    t.merge(_chg(spark, [("k1", 1, "U1", "U", 100), ("k2", 2, None, "D", 101)]),
+            key_cols=["k"], strategy="mor")
+    before = {(r.k, r.v) for r in t.read().collect()}
+    info = t.compact()
+    assert not info.get("skipped")
+    m = t.manifest()
+    assert all(f.kind == "base" for f in m.files)
+    assert {(r.k, r.v) for r in t.read().collect()} == before
+    assert len(before) == 49  # k2 deleted
+    # tombstone state survives compaction: a stale update still loses
+    t.merge(_chg(spark, [("k2", 2, "zombie", "U", 60)]), key_cols=["k"], strategy="mor")
+    assert dict((r.k, r.v) for r in t.read().collect()).get("k2") is None
+
+
+def test_mor_time_travel_and_change_feed(spark, tmp_table_dir):
+    from dexspark.lake.changes import table_changes
+
+    t = _mk(spark, tmp_table_dir, [])
+    t.merge(_chg(spark, [("a", 1, "x", "I", 1), ("b", 2, "y", "I", 2)]),
+            key_cols=["k"], strategy="mor")
+    v1 = t.current_version()
+    t.merge(_chg(spark, [("a", 1, "x2", "U", 10), ("b", 2, None, "D", 11),
+                         ("c", 3, "z", "I", 12)]),
+            key_cols=["k"], strategy="mor")
+    assert {(r.k, r.v) for r in t.read(version=v1).collect()} == {("a", "x"), ("b", "y")}
+    feed = {(r.k, r.op) for r in table_changes(t, v1, key_cols=["k"]).collect()}
+    assert feed == {("a", "U"), ("b", "D"), ("c", "I")}
+
+
+def test_mor_requires_lsn(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, [])
+    with pytest.raises(ValueError, match="LSN"):
+        t.merge(
+            spark.createDataFrame([("a", 1, "x", "I")], "k string, seq int, v string, op string"),
+            key_cols=["k"], strategy="mor",
+        )
