@@ -1,0 +1,114 @@
+"""Physical-plan regression tests: the properties that make these
+queries scale are asserted, not assumed. A refactor that silently
+introduces a cartesian product, loses a filter pushdown, shuffles a
+config lookup, or turns the bounded top-k into a global sort fails
+here — BEFORE it costs anything at 100 TB. (Plans come from
+``executedPlan`` with AQE, at sf0.001 — the assertions are about plan
+SHAPE, which is scale-invariant for these properties, except where
+noted.)"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from dexspark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str, execute: bool = False) -> str:
+    """Physical plan string. ``execute=True`` runs the query first so
+    AQE finalizes the plan (codegen ``*(n)`` markers only appear on
+    ``isFinalPlan=true``)."""
+    fn, _ = QUERIES[name]
+    df = fn(spark, SF_DIR)
+    if execute:
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+needs_data = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver test data not present"
+)
+
+# Queries whose plans must be clean of unconditional scale-killers.
+# emb_cosine_topk is exempt from the BNLJ ban: its broadcast-nested-loop
+# against the (small, broadcast) query set is the documented design —
+# the corpus side streams, only Q rows replicate.
+AUDITED = [
+    "q1_pricing_summary",
+    "q3_revenue_by_order",
+    "q5_nation_volume",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "top_customers",
+    "route_events",
+    "doc_near_dup_pairs",
+    "doc_token_stats",
+    "user_sessions",
+]
+
+
+@needs_data
+@pytest.mark.parametrize("name", AUDITED)
+def test_no_cartesian_or_nested_loop(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a BNL join"
+
+
+@needs_data
+@pytest.mark.parametrize("name", AUDITED)
+def test_whole_stage_codegen_present(spark, name):
+    # "*(n)" prefixes mark codegen'd spans; a plan with none has fallen
+    # entirely out of Tungsten (e.g. an interpreted expression crept
+    # into the hot path)
+    assert "*(" in plan_of(spark, name, execute=True), f"{name} has no codegen span"
+
+
+@needs_data
+def test_scan_pushdown_q6(spark):
+    """Q6's range predicates must reach the parquet scan. (Spark
+    truncates long PushedFilters lists with '...', so match inside the
+    bracket without requiring it to close.)"""
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert re.search(r"PushedFilters: \[[^\]]*(GreaterThan|LessThan)", plan), plan
+
+
+@needs_data
+def test_top_customers_is_bounded_topk(spark):
+    """limit-after-sort must compile to TakeOrderedAndProject (k-bounded
+    per-partition reduce) — never a global Sort + CollectLimit."""
+    plan = plan_of(spark, "top_customers")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+@needs_data
+def test_route_lookup_broadcasts(spark):
+    """The config lookup join must broadcast the config side — the
+    event stream is never shuffled for a routing decision (≙ the
+    reference's in-memory config map, RouteIngestedFile.kt:41-55)."""
+    plan = plan_of(spark, "route_events")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+@needs_data
+def test_q5_dims_broadcast(spark):
+    """supplier/nation carry explicit broadcast hints; no shuffle join
+    may appear at test scale (AQE may choose SMJ for the fact side at
+    real scale — that is correct and not asserted against here)."""
+    plan = plan_of(spark, "q5_nation_volume")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+@needs_data
+def test_cosine_topk_bnlj_is_broadcast_side_only(spark):
+    """The deliberate BNLJ: queries (small) must be the broadcast side."""
+    fn, _ = QUERIES["emb_cosine_topk"]
+    plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
