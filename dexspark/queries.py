@@ -845,6 +845,119 @@ GROUP BY 1, 2, 3
 """
 
 
+# Sparse deterministic minute map for the session-window query: intra-
+# cluster diffs 1-3 min (merge), inter-cluster diffs >= 6 min (split) —
+# no diff ever equals the 5-min gap, so the session-merge boundary
+# convention can never decide a row differently across engines.
+_SESS_MINUTES = (0, 2, 4, 15, 17, 30, 32, 34, 45, 47, 49, 59)
+
+
+def stream_session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SESSION windows with a lateness watermark under the
+    hard oracle. Same three-phase availableNow scheme as
+    ``stream_window_late_data``: an on-time phase (sparse minute
+    clusters per key), a late phase (rows at minutes 0-4 target
+    sessions finalized by the phase-1 watermark → DROPPED; rows at
+    55-56 are in-delay and MERGE into the still-open tail session;
+    rows at 70+ open fresh sessions), and two flush ticks under a
+    sentinel key. Every merge/split decision has a >= 1-minute margin
+    from the exact-gap boundary and every lateness decision a >= 5-min
+    margin from the watermark, so a batch lag+cumsum sessionization
+    reproduces the emitted set exactly."""
+    from dexspark.streaming.windowed import session_counts
+
+    ev = load(spark, sf_dir, "events")
+    lsn = F.col("event_id")
+    minute_map = F.array(*[F.lit(v) for v in _SESS_MINUTES])
+    m = (
+        F.when(
+            F.pmod(lsn, 7) != 6,
+            F.element_at(minute_map, (F.pmod(lsn, 12) + 1).cast("int")),
+        )
+        .when(F.pmod(lsn, 21) == 6, F.pmod(lsn, 5))            # too late
+        .when(F.pmod(lsn, 21) == 13, F.lit(55) + F.pmod(lsn, 2))  # in-delay
+        .otherwise(F.lit(70) + F.pmod(lsn, 9) * 6)             # fresh
+    )
+    rows = ev.select(
+        lsn.alias("lsn"),
+        F.pmod(lsn, 11).cast("long").alias("uid"),
+        F.timestamp_seconds(
+            F.lit(_WIN_BASE_EPOCH) + m.cast("long") * 60
+        ).alias("ts"),
+    )
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    log_dir = os.path.join(d, "slog")
+    cp = os.path.join(d, "cp")
+    out_dir = os.path.join(d, "sout")
+    ddl = "lsn long, uid long, ts timestamp"
+    out_ddl = "s_start timestamp, s_end timestamp, uid long, n long, lsn_sum long"
+
+    def run() -> None:
+        stream = (
+            spark.readStream.schema(_parse_datatype_string(ddl))
+            .parquet(log_dir + "/*")
+        )
+        agg = session_counts(
+            stream, ts_col="ts", gap="5 minutes", delay="10 minutes",
+            group_cols=("uid",), sum_col="lsn",
+        )
+        q = (
+            agg.writeStream.format("parquet").option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    phase2 = F.pmod(F.col("lsn"), 7) == 6
+    rows.filter(~phase2).repartition(4).write.parquet(log_dir)
+    run()
+    rows.filter(phase2).repartition(2).write.mode("append").parquet(log_dir)
+    run()
+    for i, m_flush in enumerate((10000, 20000)):
+        flush = spark.createDataFrame(
+            [(10**12 + i, -1, m_flush)], "lsn long, uid long, m long"
+        ).select(
+            "lsn", "uid",
+            F.timestamp_seconds(
+                F.lit(_WIN_BASE_EPOCH) + F.col("m") * 60
+            ).alias("ts"),
+        )
+        flush.coalesce(1).write.mode("append").parquet(log_dir)
+        run()
+    return (
+        spark.read.schema(_parse_datatype_string(out_ddl)).parquet(out_dir)
+        .filter(F.col("uid") >= 0)
+    )
+
+
+ORACLE_SESSION_WINDOWS = f"""
+WITH src AS (
+  SELECT event_id AS lsn, event_id % 11 AS uid,
+    CASE WHEN event_id % 7 <> 6
+           THEN {list(_SESS_MINUTES)}[CAST(event_id % 12 AS INTEGER) + 1]
+         WHEN event_id % 21 = 6 THEN NULL
+         WHEN event_id % 21 = 13 THEN 55 + event_id % 2
+         ELSE 70 + (event_id % 9) * 6 END AS m
+  FROM events
+),
+kept AS (SELECT * FROM src WHERE m IS NOT NULL),
+marked AS (
+  SELECT *, CASE WHEN m - lag(m) OVER w > 5 THEN 1 ELSE 0 END AS brk
+  FROM kept WINDOW w AS (PARTITION BY uid ORDER BY m, lsn)
+),
+sess AS (
+  SELECT *, SUM(brk) OVER (
+    PARTITION BY uid ORDER BY m, lsn ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT
+  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (MIN(m)) MINUTE AS s_start,
+  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (MAX(m) + 5) MINUTE AS s_end,
+  uid, count(*) AS n, CAST(sum(lsn) AS BIGINT) AS lsn_sum
+FROM sess GROUP BY uid, sid
+"""
+
+
 def route_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7 route lookup with fallback over the events stream (broadcast
     join; 'error' has no config entry → falls back to 'misc')."""
@@ -2115,6 +2228,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "cdc_config_hot_reload": (cdc_config_hot_reload_q, ORACLE_HOT_RELOAD),
     "stream_window_late_data": (stream_window_late_data_q, ORACLE_STREAM_WINDOW),
+    "stream_session_windows": (stream_session_windows_q, ORACLE_SESSION_WINDOWS),
     "route_events": (route_events_q, ORACLE_ROUTE),
     "route_events_2key": (route_events_2key_q, ORACLE_ROUTE_2KEY),
     "routed_sink_readback": (routed_sink_readback_q, ORACLE_SINK_READBACK),

@@ -64,3 +64,42 @@ def windowed_counts(
             *([f"{sum_col}_sum"] if sum_col is not None else []),
         )
     )
+
+
+def session_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "5 minutes",
+    delay: str = "10 minutes",
+    group_cols: tuple[str, ...] = ("uid",),
+    sum_col: str | None = "lsn",
+) -> DataFrame:
+    """Gap-based SESSION windows per key with a lateness watermark —
+    the streaming shape of sessionization (the batch equivalent is the
+    lag+cumsum window in queries.user_sessions). A session's extent is
+    the union of each event's [ts, ts+gap) range: events closer than
+    the gap merge, the emitted end is last-event + gap, and a session
+    is finalized (emitted once, state evicted) when the watermark
+    passes its end. Rows whose entire [ts, ts+gap) range is behind the
+    watermark are dropped — same lateness contract as windowed_counts,
+    same no-filter-before-the-watermark-node caveat.
+
+    Scale: state is O(open sessions), keyed shuffle like any streaming
+    agg; the gap knob bounds how long a session can stay open ONLY in
+    event time, so the delay knob still governs state lifetime.
+    """
+    s = stream.withWatermark(ts_col, delay)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias(f"{sum_col}_sum"))
+    return (
+        s.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *group_cols)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            *group_cols,
+            "n",
+            *([f"{sum_col}_sum"] if sum_col is not None else []),
+        )
+    )

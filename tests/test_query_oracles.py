@@ -38,6 +38,7 @@ SUBSET = [
     "cdc_quarantine_reprocess",
     "cdc_config_hot_reload",
     "stream_window_late_data",
+    "stream_session_windows",
     "cdc_replay_mor",
 ]
 
