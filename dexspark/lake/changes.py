@@ -112,3 +112,50 @@ def table_changes(
         .filter(F.col(op_col).isNotNull())
         .select(*out_cols, F.col(op_col))
     )
+
+
+def mirror_table(
+    src: LakeTable,
+    dst: LakeTable,
+    key_cols: list[str] | None = None,
+    batch_id_prefix: str = "mirror",
+) -> list[dict]:
+    """Incrementally subscribe ``dst`` to ``src``'s change feed —
+    the closed CDC loop (log → table → change feed → table), Delta's
+    ``readChangeFeed`` as a subscriber.
+
+    Each unmirrored snapshot version of ``src`` becomes one merge into
+    ``dst``: the version diff (one row per changed key, classified
+    I/U/D) is applied with the version number as the LSN — versions
+    are monotone, so the strict-LSN gate gives the same commutative
+    replay guarantees as the primary ingest, and the per-version batch
+    id in ``dst``'s ledger makes re-mirroring a committed version a
+    no-op (exactly-once across crashes of the mirror job itself).
+    Maintenance-only versions (compaction, expiry survivors) diff to
+    zero rows and commit an empty ledger entry. Schema evolution on
+    ``src`` is replayed onto ``dst`` before the first merge that needs
+    it. Call repeatedly — it resumes from the last mirrored version.
+    """
+    m = src.manifest()
+    key_cols = key_cols or [m.bucket_key]
+    from dexspark.lake import manifest as mf
+
+    versions = mf.available_versions(src.table_dir)
+    done = dst.committed_batch_ids()
+    results: list[dict] = []
+    for prev, cur in zip(versions, versions[1:]):
+        batch_id = f"{batch_id_prefix}-v{cur}"
+        if batch_id in done:
+            continue
+        if src.schema(cur).json() != dst.schema().json():
+            dst.evolve_schema(src.schema(cur))
+        feed = table_changes(src, prev, cur, key_cols=key_cols).withColumn(
+            "lsn", F.lit(cur).cast("long")
+        )
+        info = dst.merge(
+            feed,
+            key_cols=key_cols,
+            summary={"batch_id": batch_id, "mirrored_version": cur},
+        )
+        results.append(info)
+    return results

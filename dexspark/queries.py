@@ -293,6 +293,43 @@ def cdc_replay_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+def cdc_feed_mirror_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed CDC loop under the hard oracle: replay half the log
+    into an upstream table, MIRROR its change feed into a downstream
+    table (per-snapshot diffs applied with the version as LSN —
+    log → table → change feed → table), replay the rest, mirror again
+    (resumes from the dst ledger), and return the DOWNSTREAM state.
+    The mirror subscriber never sees the original log, only snapshot
+    diffs, and the downstream table uses a different bucket count — so
+    matching the replay oracle proves the feed is a complete, exactly
+    -once change stream and the mirror re-buckets it correctly."""
+    from dexspark.lake.changes import mirror_table
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    src = LakeTable.create(
+        spark, os.path.join(d, "upstream"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    dst = LakeTable.create(
+        spark, os.path.join(d, "downstream"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=8,
+    )
+    batches = batch_range(log)
+    mid = (batches.start + batches.stop) // 2
+    for b in batches:
+        apply_changes(
+            src, log.filter(F.col("batch_seq") == b), batch_id=f"f{b}"
+        )
+        if b == mid:
+            mirror_table(src, dst, key_cols=["conv_id", "turn_idx"])
+    mirror_table(src, dst, key_cols=["conv_id", "turn_idx"])
+    # exactly-once: re-running the mirror finds every version already
+    # in the dst ledger and applies nothing
+    assert mirror_table(src, dst, key_cols=["conv_id", "turn_idx"]) == []
+    return dst.read()
+
+
 def conv_progress_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-stateful streaming (applyInPandasWithState) under the
     hard oracle: per-conversation running progress over the raw change
@@ -2204,6 +2241,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_replay_gzip_log": (cdc_replay_gzip_log_q, ORACLE_REPLAY),
     "cdc_replay_compacted": (cdc_replay_compacted_q, ORACLE_REPLAY),
     "cdc_replay_mor": (cdc_replay_mor_q, ORACLE_REPLAY),
+    "cdc_feed_mirror": (cdc_feed_mirror_q, ORACLE_REPLAY),
     "cdc_time_travel": (cdc_time_travel_q, ORACLE_TIME_TRAVEL),
     "cdc_change_feed": (cdc_change_feed_q, ORACLE_CHANGE_FEED),
     "conv_progress_stateful": (conv_progress_stateful_q, ORACLE_CONV_PROGRESS),

@@ -124,3 +124,37 @@ def test_table_changes_bucket_pruning(spark, tmp_table_dir):
     full = table_changes(t, v1, v2, key_cols=["k", "seq"], prune_buckets=False)
     assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
     assert {r.k for r in pruned.collect()} == {"a"}
+
+
+def test_mirror_table_closed_loop(spark, tmp_table_dir):
+    """mirror_table keeps a downstream table equal to upstream through
+    upserts, deletes, maintenance-only versions, and resumption — with
+    a different bucket count, and exactly-once on re-run."""
+    import os
+
+    from dexspark.lake.changes import mirror_table
+
+    src = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "src"),
+        _parse_datatype_string(SCHEMA_DDL), "k", 4,
+    )
+    dst = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "dst"),
+        _parse_datatype_string(SCHEMA_DDL), "k", 2,
+    )
+    chg = "k string, seq int, v string, op string, lsn long"
+    src.merge(spark.createDataFrame(
+        [("a", 1, "x", "I", 1), ("b", 2, "y", "I", 2)], chg), key_cols=["k"])
+    mirror_table(src, dst, key_cols=["k"])
+    assert {(r.k, r.v) for r in dst.read().collect()} == {("a", "x"), ("b", "y")}
+
+    # upsert + delete + a maintenance-only version, then resume
+    src.merge(spark.createDataFrame(
+        [("a", 1, "x2", "U", 10), ("b", 2, None, "D", 11), ("c", 3, "z", "I", 12)],
+        chg), key_cols=["k"])
+    src.compact(min_files_per_bucket=1)  # diff-empty version
+    res = mirror_table(src, dst, key_cols=["k"])
+    assert len(res) == 2  # one real diff + one empty maintenance diff
+    assert {(r.k, r.v) for r in dst.read().collect()} == {("a", "x2"), ("c", "z")}
+    # exactly-once: nothing left to mirror
+    assert mirror_table(src, dst, key_cols=["k"]) == []

@@ -40,6 +40,7 @@ SUBSET = [
     "stream_window_late_data",
     "stream_session_windows",
     "cdc_replay_mor",
+    "cdc_feed_mirror",
 ]
 
 
