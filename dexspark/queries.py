@@ -516,6 +516,68 @@ WHERE reject_reason IS NOT NULL GROUP BY reject_reason
 """
 
 
+def cdc_validate_ts_monotonic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ts-monotonicity validation stage under the hard oracle
+    (north-rule requirement: per-conv ts monotone by turn). The derived
+    log's ts is deterministically REGRESSED by 2h on lsn % 23 == 0, so
+    those rows land strictly before every earlier turn's max. Returns
+    every rejected row with its reason — the oracle mirrors the full
+    reason chain INCLUDING the engine's exact monotonicity semantics:
+    per-(conv, turn) max ts, running max over strictly earlier turns,
+    reject when a non-delete row's ts falls below it (the engine
+    computes this as agg + broadcast join-back, never a shuffle of the
+    event stream — dexspark/cdc/validate.py:116-146)."""
+    from dexspark.cdc.validate import REASON_COL, flag_events
+
+    log = derive_log(spark, sf_dir)
+    jitter = (
+        F.when(F.pmod(F.col("lsn"), 23) == 0, F.lit(-7200))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    log = log.withColumn(
+        "ts", F.timestamp_seconds(F.unix_timestamp(F.col("ts")) + jitter)
+    )
+    flagged = flag_events(log)
+    return flagged.filter(F.col(REASON_COL).isNotNull()).select(
+        "lsn", "conv_id", "turn_idx", REASON_COL
+    )
+
+
+ORACLE_TS_MONOTONIC = f"""
+WITH {LOG_CTE},
+j AS (
+  SELECT * REPLACE (
+    ts + INTERVAL (CASE WHEN lsn % 23 = 0 THEN -7200 ELSE 0 END) SECOND AS ts
+  ) FROM log
+),
+tm AS (
+  SELECT conv_id, turn_idx, MAX(ts) AS turn_ts FROM j GROUP BY 1, 2
+),
+pm AS (
+  SELECT conv_id, turn_idx, MAX(turn_ts) OVER (
+    PARTITION BY conv_id ORDER BY turn_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM tm
+),
+f AS (
+  SELECT j.*, pm.prev_max,
+    CASE WHEN op = 'D' THEN NULL
+         WHEN role NOT IN ('user', 'assistant', 'system', 'tool')
+           THEN 'bad_role'
+         WHEN role = 'tool' AND (tool IS NULL OR trim(tool) = '')
+           THEN 'missing_tool'
+         WHEN text IS NULL OR trim(text) = '' THEN 'malformed_text'
+         WHEN prev_max IS NOT NULL AND ts < prev_max
+           THEN 'ts_not_monotonic'
+         END AS reject_reason
+  FROM j LEFT JOIN pm USING (conv_id, turn_idx)
+)
+SELECT lsn, conv_id, turn_idx, reject_reason
+FROM f WHERE reject_reason IS NOT NULL
+"""
+
+
 def cdc_lineage_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-batch lineage after a real replay: applied (post-dedup) rows,
     rejected rows, lsn range — read back from the committed manifest
@@ -2259,6 +2321,10 @@ QUERIES: dict[str, tuple] = {
     "doc_gzip_unpack_roundtrip": (doc_gzip_unpack_roundtrip_q, ORACLE_GZIP_UNPACK),
     "cdc_dedup_latest": (cdc_dedup_latest_q, ORACLE_DEDUP),
     "cdc_validate_rejects": (cdc_validate_rejects_q, ORACLE_REJECTS),
+    "cdc_validate_ts_monotonic": (
+        cdc_validate_ts_monotonic_q,
+        ORACLE_TS_MONOTONIC,
+    ),
     "cdc_lineage_batches": (cdc_lineage_batches_q, ORACLE_LINEAGE),
     "cdc_quarantine_reprocess": (
         cdc_quarantine_reprocess_q,

@@ -41,6 +41,7 @@ SUBSET = [
     "stream_session_windows",
     "cdc_replay_mor",
     "cdc_feed_mirror",
+    "cdc_validate_ts_monotonic",
 ]
 
 
