@@ -13,8 +13,11 @@ Subcommands:
 - ``replay``  — tail the change log (AvailableNow trigger) and apply
   every pending segment through validate → dedup → MERGE; resumable
   from the checkpoint; creates the table on first run.
-- ``compact`` — bin-pack small files / migrate stale-schema files.
+- ``compact`` — bin-pack small files / migrate stale-schema files
+  (also folds merge-on-read delta files back into base).
 - ``expire``  — expire old snapshots and vacuum unreferenced files.
+- ``mirror``  — subscribe a downstream table to an upstream table's
+  change feed (per-snapshot diffs, exactly-once, resumable).
 - ``status``  — print snapshot version, row count, committed batches.
 
 ≙ the reference's deployment unit (an Azure Functions app wired by
@@ -76,6 +79,8 @@ def cmd_replay(args) -> int:
         salt_buckets=args.salt or None,
         max_files_per_trigger=args.max_files_per_trigger or None,
         log_format=args.log_format,
+        strategy=args.strategy,
+        compact_every=args.compact_every or None,
     )
     results = replay.run_available()
     for r in results:
@@ -92,6 +97,25 @@ def cmd_compact(args) -> int:
 def cmd_expire(args) -> int:
     spark = _spark(args)
     print(json.dumps(LakeTable(spark, args.table).expire_snapshots(args.keep_last)))
+    return 0
+
+
+def cmd_mirror(args) -> int:
+    spark = _spark(args)
+    src = LakeTable(spark, args.source)
+    if LakeTable.exists(args.table):
+        dst = LakeTable(spark, args.table)
+    else:
+        m = src.manifest()
+        dst = LakeTable.create(
+            spark, args.table, src.schema(), m.bucket_key,
+            args.buckets or m.num_buckets,
+        )
+    from dexspark.lake.changes import mirror_table
+
+    keys = args.keys.split(",") if args.keys else None
+    for r in mirror_table(src, dst, key_cols=keys):
+        print(json.dumps(r, default=str))
     return 0
 
 
@@ -136,6 +160,12 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help='evolved payload columns in the log, e.g. "model string"',
     )
+    r.add_argument(
+        "--strategy", choices=["cow", "mor"], default="cow",
+        help="merge mode: cow rewrites affected buckets; mor appends "
+             "O(batch) delta files (pair with --compact-every)",
+    )
+    r.add_argument("--compact-every", type=int, default=0)
     r.set_defaults(fn=cmd_replay)
 
     c = sub.add_parser("compact", help="bin-pack small data files")
@@ -147,6 +177,13 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=10)
     e.set_defaults(fn=cmd_expire)
+
+    mi = sub.add_parser("mirror", help="mirror an upstream table's change feed")
+    mi.add_argument("--source", required=True)
+    mi.add_argument("--table", required=True)
+    mi.add_argument("--keys", default="conv_id,turn_idx")
+    mi.add_argument("--buckets", type=int, default=0)
+    mi.set_defaults(fn=cmd_mirror)
 
     s = sub.add_parser("status", help="print table status")
     s.add_argument("--table", required=True)
