@@ -122,3 +122,59 @@ def test_replay_final_state_matches_model_any_batching(spark, tmp_path_factory, 
     expected = {k for k, (lsn, op) in model.items() if op != "D"}
     got = {(r.conv_id, r.turn_idx) for r in table.read().collect()}
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events_strategy,
+    st.integers(min_value=2, max_value=5),
+    st.randoms(use_true_random=False),
+    st.integers(min_value=0, max_value=4),
+)
+def test_mor_replay_any_batching_any_order(
+    spark, tmp_path_factory, evs, n_batches, rng, compact_at
+):
+    """Merge-on-read replay is commutative: ANY batch partitioning,
+    applied in ANY order, with a compaction injected at an arbitrary
+    point, converges to the same final state as the Python model —
+    the read-time max-LSN resolve must behave exactly like the COW
+    write-time gate under adversarial schedules."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from dexspark.cdc.apply import apply_changes
+    from dexspark.lake.table import LakeTable
+
+    seen = {}
+    canon = []
+    for conv, turn, lsn, op in evs:
+        op = seen.setdefault((conv, turn, lsn), op)
+        canon.append((conv, turn, lsn, op))
+    uniq = {}
+    for conv, turn, lsn, op in canon:
+        uniq[(conv, turn, lsn)] = (conv, turn, lsn, op)
+    ordered = sorted(uniq.values(), key=lambda e: e[2])
+
+    size = max(1, len(ordered) // n_batches)
+    chunks = [ordered[s : s + size] for s in range(0, len(ordered), size)]
+    order = list(range(len(chunks)))
+    rng.shuffle(order)  # adversarial: batches arrive out of order
+
+    d = tmp_path_factory.mktemp("prop_mor")
+    payload = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    table = LakeTable.create(
+        spark, str(d), _parse_datatype_string(payload), "conv_id", num_buckets=4
+    )
+    for i, b in enumerate(order):
+        df = spark.createDataFrame(_rows(chunks[b]), SCHEMA)
+        apply_changes(table, df, batch_id=f"pm{b}", strategy="mor")
+        if i == min(compact_at, len(order) - 1):
+            table.compact()
+
+    model = {}
+    for conv, turn, lsn, op in ordered:
+        k = (f"c{conv}", turn)
+        if k not in model or lsn >= model[k][0]:
+            model[k] = (lsn, op)
+    expected = {k for k, (lsn, op) in model.items() if op != "D"}
+    got = {(r.conv_id, r.turn_idx) for r in table.read().collect()}
+    assert got == expected
