@@ -217,6 +217,48 @@ def cdc_stream_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame
     return table.read()
 
 
+def cdc_stream_replay_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming × merge-on-read composition under the hard oracle:
+    the same tail / checkpoint / mid-stream-restart harness as
+    ``cdc_stream_replay_final_state``, but every micro-batch commits
+    O(batch) delta files and the replay auto-compacts every 2 applied
+    batches (the production pairing for a long-running MOR ingest).
+    Crossing a restart AND the base/delta boundary must still land on
+    the batch oracle's exact final state."""
+    from dexspark.sources.changelog import log_schema as mk_log_schema
+    from dexspark.streaming.replay import CdcStreamReplay
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    log_dir = os.path.join(d, "log")
+    cp = os.path.join(d, "cp")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    thr = (batch_range(log).stop + 1) // 2
+    seg = log.repartition(4, F.col("batch_seq"))
+    (
+        seg.filter(F.col("batch_seq") < thr)
+        .write.partitionBy("batch_seq").parquet(log_dir)
+    )
+
+    def replayer() -> CdcStreamReplay:
+        return CdcStreamReplay(
+            spark, table, log_dir + "/*", cp, mk_log_schema(),
+            max_files_per_trigger=2, batch_id_prefix="sm",
+            strategy="mor", compact_every=2,
+        )
+
+    replayer().run_available()
+    (
+        seg.filter(F.col("batch_seq") >= thr)
+        .write.mode("append").partitionBy("batch_seq").parquet(log_dir)
+    )
+    replayer().run_available()
+    return table.read()
+
+
 def cdc_replay_gzip_log_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-segment ingestion (≙ FnDecompressor.kt:38-139 for the
     transport case): the change log lands as gzip'd JSON-lines segments
@@ -2304,6 +2346,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_replay_compacted": (cdc_replay_compacted_q, ORACLE_REPLAY),
     "cdc_replay_mor": (cdc_replay_mor_q, ORACLE_REPLAY),
     "cdc_feed_mirror": (cdc_feed_mirror_q, ORACLE_REPLAY),
+    "cdc_stream_replay_mor": (cdc_stream_replay_mor_q, ORACLE_REPLAY),
     "cdc_time_travel": (cdc_time_travel_q, ORACLE_TIME_TRAVEL),
     "cdc_change_feed": (cdc_change_feed_q, ORACLE_CHANGE_FEED),
     "conv_progress_stateful": (conv_progress_stateful_q, ORACLE_CONV_PROGRESS),
