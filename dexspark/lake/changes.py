@@ -122,7 +122,12 @@ def mirror_table(
 ) -> list[dict]:
     """Incrementally subscribe ``dst`` to ``src``'s change feed —
     the closed CDC loop (log → table → change feed → table), Delta's
-    ``readChangeFeed`` as a subscriber.
+    ``readChangeFeed`` as a subscriber. ≙ the reference's pub-sub
+    fan-out consumed end-to-end: Event Grid routes each staged write
+    to per-route topics and downstream systems re-ingest from there
+    (eventgridsystemtopic/dex-rs-file-ingested/template.json:48-106);
+    here the "topic" is the snapshot diff and the subscriber is
+    another table with full exactly-once semantics.
 
     Each unmirrored snapshot version of ``src`` becomes one merge into
     ``dst``: the version diff (one row per changed key, classified

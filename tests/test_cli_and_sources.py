@@ -117,3 +117,37 @@ def test_gzip_json_segments_batch_and_stream(spark, tmp_table_dir):
     got = table.read()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_cli_mor_replay_and_mirror(spark, tmp_table_dir):
+    """CLI composition: MOR replay with auto-compaction, then mirror a
+    downstream table from the change feed — downstream equals upstream."""
+    log = gen_change_log(spark, 3000, n_convs=50, n_batches=2)
+    log_dir = os.path.join(tmp_table_dir, "log")
+    log.coalesce(2).write.parquet(log_dir)
+    table_dir = os.path.join(tmp_table_dir, "tbl")
+    mirror_dir = os.path.join(tmp_table_dir, "mir")
+    cp = os.path.join(tmp_table_dir, "cp")
+
+    rc = main(
+        [
+            "replay",
+            "--log", log_dir,
+            "--table", table_dir,
+            "--checkpoint", cp,
+            "--buckets", "8",
+            "--strategy", "mor",
+            "--compact-every", "2",
+        ]
+    )
+    assert rc == 0
+    assert main(
+        ["mirror", "--source", table_dir, "--table", mirror_dir, "--buckets", "4"]
+    ) == 0
+    src = LakeTable(spark, table_dir).read()
+    dst = LakeTable(spark, mirror_dir).read()
+    assert src.exceptAll(dst).count() == 0
+    assert dst.exceptAll(src).count() == 0
+    # idempotent second mirror run
+    assert main(["mirror", "--source", table_dir, "--table", mirror_dir]) == 0
+    assert LakeTable(spark, mirror_dir).read().count() == src.count()
