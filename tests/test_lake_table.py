@@ -343,3 +343,28 @@ def test_mor_requires_lsn(spark, tmp_table_dir):
             spark.createDataFrame([("a", 1, "x", "I")], "k string, seq int, v string, op string"),
             key_cols=["k"], strategy="mor",
         )
+
+
+def test_mor_across_schema_evolution(spark, tmp_table_dir):
+    """Deltas written under an evolved schema resolve correctly against
+    base rows written under the old one (per-writer-schema scan groups
+    feed one resolve)."""
+    t = _mk(spark, tmp_table_dir, [])
+    t.merge(_chg(spark, [("a", 1, "x", "I", 1), ("b", 2, "y", "I", 2)]),
+            key_cols=["k"], strategy="mor")
+    wide = StructType(list(SCHEMA.fields) + [StructField("extra", StringType())])
+    t.evolve_schema(wide)
+    t.merge(
+        spark.createDataFrame(
+            [("a", 1, "x2", "e1", "U", 10), ("c", 3, "z", "e2", "I", 11)],
+            "k string, seq int, v string, extra string, op string, lsn long",
+        ),
+        key_cols=["k"], strategy="mor",
+    )
+    got = {(r.k, r.v, r.extra) for r in t.read().collect()}
+    assert got == {("a", "x2", "e1"), ("b", "y", None), ("c", "z", "e2")}
+    # compaction folds both schema generations into current-schema base
+    t.compact()
+    m = t.manifest()
+    assert all(f.kind == "base" and f.schema_id == m.current_schema_id for f in m.files)
+    assert {(r.k, r.v, r.extra) for r in t.read().collect()} == got
