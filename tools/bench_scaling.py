@@ -40,6 +40,9 @@ LEVELS = tuple(
     int(x)
     for x in os.environ.get("DEXSPARK_SCALE_LEVELS", "2,8,32").split(",")
 )
+# merge strategy for the measured job (cow | mor) — the north rule's
+# efficiency criterion applies to whichever write path is the headline
+STRATEGY = os.environ.get("DEXSPARK_SCALE_STRATEGY", "cow")
 
 
 def _cpu_task(n: int) -> int:
@@ -71,11 +74,11 @@ def run_at(cores: int, n_events: int, trials: int) -> dict:
     spark = get_spark(f"dexspark-scale-{cores}", master=f"local[{cores}]")
     spark.sparkContext.setLogLevel("ERROR")
     # warm-up to exclude JVM/codegen cold start from the comparison
-    run_cdc_replay(spark, max(10_000, n_events // 32))
+    run_cdc_replay(spark, max(10_000, n_events // 32), strategy=STRATEGY)
     times = []
     applied = 0
     for i in range(trials):
-        elapsed, applied = run_cdc_replay(spark, n_events)
+        elapsed, applied = run_cdc_replay(spark, n_events, strategy=STRATEGY)
         times.append(elapsed)
         print(
             f"  local[{cores}] trial {i}: {elapsed:.1f}s "
@@ -144,7 +147,8 @@ def main():
         for lo, hi in pairs
     )
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as fh:
+    out_md = "BENCH/BASELINE.md" if STRATEGY == "cow" else f"BENCH/BASELINE_{STRATEGY}.md"
+    with open(out_md, "w") as fh:
         fh.write(
             f"""# BENCH baseline — two-parallelism scaling evidence
 
