@@ -66,7 +66,34 @@ _WIDENINGS = {
 
 
 class CommitConflict(Exception):
-    """Another writer committed the same version first."""
+    """Another writer committed the same version first.
+
+    Raised to callers only after the optimistic retry machinery gives
+    up: rebase-safe commits (pure additions, or rewrites whose input
+    files are still live in the new head) are re-pointed at the new
+    head automatically; rebase-unsafe ones are recomputed from the new
+    head by the operation's retry loop (up to ``MAX_COMMIT_RETRIES``).
+    ≙ the reference's at-least-once activity retry under Durable
+    Functions (FnOrchestrator.kt:182-192) — a lost race costs a retry,
+    never the job.
+    """
+
+
+# recompute attempts per mutating operation before surfacing the
+# conflict; each attempt re-reads the head manifest so livelock would
+# need a sustained faster writer on the SAME buckets
+MAX_COMMIT_RETRIES = 8
+
+
+def _conflict_backoff(attempt: int) -> None:
+    """Jittered exponential backoff between recompute attempts — breaks
+    the lockstep where two writers with similar compute windows keep
+    invalidating each other (same shape as Iceberg's
+    commit.retry.min-wait-ms ladder)."""
+    import random
+    import time
+
+    time.sleep(min(2.0, 0.05 * (2 ** attempt)) * (0.5 + random.random()))
 
 
 class LakeTable:
@@ -345,21 +372,150 @@ class LakeTable:
             ) from e
         return nxt
 
+    def _data_changed_in(
+        self, read_from: mf.Manifest, head: mf.Manifest, buckets: set[int]
+    ) -> bool:
+        """Did any commit in (read_from, head] CHANGE DATA in ``buckets``?
+
+        Walks the parent chain classifying each intervening commit:
+        ``compact`` and ``evolve_schema`` are content-preserving
+        (layout/metadata only — a bucket's ROWS are identical before
+        and after), so they never count; a ``merge`` counts iff its
+        recorded affected_buckets intersect; anything else (append,
+        overwrite, unknown) counts iff its file-level diff against its
+        parent touches ``buckets``. A broken chain (expired manifest
+        mid-race) conservatively counts as changed."""
+        v = head
+        while v.version > read_from.version:
+            op = v.summary.get("operation")
+            if op in ("compact", "evolve_schema"):
+                pass
+            elif op == "merge" and "affected_buckets" in v.summary:
+                if set(v.summary["affected_buckets"]) & buckets:
+                    return True
+            else:
+                try:
+                    parent = self.manifest(v.version - 1)
+                except FileNotFoundError:
+                    return True
+                ppaths = {f.path for f in parent.files}
+                vpaths = {f.path for f in v.files}
+                if any(
+                    f.bucket in buckets for f in v.files if f.path not in ppaths
+                ) or any(
+                    f.bucket in buckets for f in parent.files if f.path not in vpaths
+                ):
+                    return True
+            if v.version - 1 == read_from.version:
+                break
+            try:
+                v = self.manifest(v.version - 1)
+            except FileNotFoundError:
+                return True
+        return False
+
+    def _commit_delta(
+        self,
+        read_from: mf.Manifest,
+        removed_paths: set[str],
+        added: list[mf.DataFile],
+        summary: dict[str, Any],
+        prop_updates: dict[str, str] | None = None,
+        affected_buckets: set[int] | None = None,
+        max_rebases: int = 10,
+    ) -> mf.Manifest:
+        """Commit a file-level delta with optimistic rebase.
+
+        Two modes, chosen by ``affected_buckets``:
+
+        - ADDITIVE (None): ``removed_paths`` must be empty; the commit
+          only adds files (append, MOR delta merge). Always rebasable —
+          re-pointed at ``head.files + added``. Read-time LSN
+          resolution makes concurrent rows in the same bucket
+          commutative, so no safety condition is needed.
+        - REPLACEMENT (a bucket set): the operation computed a FULL
+          replacement of those buckets' content from ``read_from``'s
+          view (COW merge, compact). Rebase re-points the commit at
+          ``[f for f in head.files if f.bucket not in affected] +
+          added`` — valid iff no intervening commit CHANGED DATA in the
+          affected buckets (``_data_changed_in``). Concurrent
+          compactions are content-preserving and thus never block the
+          rebase — the key property that lets a scheduled OPTIMIZE run
+          alongside a COW ingest without livelocking either side.
+
+        Rebase keeps the head's schemas/current_schema_id (schema ids
+        are append-only, so our files' writer-schema tags stay valid)
+        and re-applies ``prop_updates`` on top of the head's
+        properties, failing loudly on a merge-key disagreement.
+        Unsafe → raises CommitConflict for the caller's recompute loop.
+        ≙ Iceberg's optimistic concurrency (validate + retry), the
+        engine analogue of the reference's activity retry
+        (FnOrchestrator.kt:182-192).
+        """
+        base = read_from
+        for _ in range(max_rebases + 1):
+            props = None
+            if prop_updates is not None:
+                props = dict(base.properties)
+                for k, v in prop_updates.items():
+                    if k in props and props[k] != v:
+                        raise ValueError(
+                            f"property conflict on {k!r}: "
+                            f"table has {props[k]!r}, commit wants {v!r}"
+                        )
+                    props[k] = v
+            if affected_buckets is None:
+                files = [f for f in base.files if f.path not in removed_paths]
+            else:
+                files = [f for f in base.files if f.bucket not in affected_buckets]
+            files = files + added
+            try:
+                return self._commit_next(
+                    base,
+                    files,
+                    summary,
+                    schemas=base.schemas,
+                    current_schema_id=base.current_schema_id,
+                    properties=props,
+                )
+            except CommitConflict:
+                head = self.manifest()
+                if affected_buckets is not None and self._data_changed_in(
+                    read_from, head, affected_buckets
+                ):
+                    raise CommitConflict(
+                        "rebase unsafe: a concurrent commit changed data in "
+                        "a bucket this operation rewrote — recompute from "
+                        "the new head"
+                    ) from None
+                base = head
+        raise CommitConflict(f"gave up after {max_rebases} rebases")
+
     def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> None:
         m = self.manifest()
         current = self.schema()
         new_files = self._write_data(_align(df, current), m)
-        self._commit_next(
-            m, m.files + new_files, {"operation": "append", **(summary or {})}
+        # purely additive: always rebasable, never recomputes
+        self._commit_delta(
+            m, set(), new_files, {"operation": "append", **(summary or {})}
         )
 
     def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> None:
         m = self.manifest()
         current = self.schema()
         new_files = self._write_data(_align(df, current), m)
-        self._commit_next(
-            m, new_files, {"operation": "overwrite", **(summary or {})}
-        )
+        info = {"operation": "overwrite", **(summary or {})}
+        base = m
+        for attempt in range(MAX_COMMIT_RETRIES + 1):
+            try:
+                # overwrite does not depend on prior content — clobber
+                # whatever head it lands on (snapshot-replace semantics)
+                self._commit_next(base, new_files, info)
+                return
+            except CommitConflict:
+                if attempt == MAX_COMMIT_RETRIES:
+                    raise
+                base = self.manifest()
 
     # ----------------------------------------------------------------- merge
     def merge(
@@ -412,10 +568,11 @@ class LakeTable:
         """
         if strategy not in ("cow", "mor"):
             raise ValueError(f"unknown merge strategy: {strategy!r}")
-        m = self.manifest()
-        current = self.schema()
+        m0 = self.manifest()
         own_persist = bucket_stats is None
-        changes = changes.withColumn(BUCKET_COL, self._bucket_expr(m))
+        # bucket_key / num_buckets are immutable table identity — the
+        # bucket column stays valid across conflict recomputes
+        changes = changes.withColumn(BUCKET_COL, self._bucket_expr(m0))
         if own_persist:
             changes = changes.persist()
         try:
@@ -425,113 +582,188 @@ class LakeTable:
                 bucket_stats = {int(r[BUCKET_COL]): int(r["count"]) for r in stats}
             affected = set(bucket_stats)
             n_changes = int(sum(bucket_stats.values()))
+            batch_id = (summary or {}).get("batch_id")
 
-            if n_changes == 0:
-                # nothing to do — still commit the (empty) summary so the
-                # batch ledger records it and replay stays idempotent
-                info = {
-                    "operation": "merge",
-                    "affected_buckets": [],
-                    "change_rows": 0,
-                    **(summary or {}),
-                }
-                self._commit_next(m, m.files, info)
-                return info
-
-            current_sys = StructType(
-                list(current.fields)
-                + [
-                    StructField(SYS_LSN, LongType(), True),
-                    StructField(SYS_DELETED, BooleanType(), True),
-                ]
-            )
-            conditional = lsn_col is not None and lsn_col in changes.columns
-
-            if strategy == "mor":
-                if not conditional:
-                    raise ValueError(
-                        "merge strategy 'mor' requires an LSN column: "
-                        "read-time resolution orders rows by applied LSN"
+            for attempt in range(MAX_COMMIT_RETRIES + 1):
+                m = self.manifest() if attempt else m0
+                if attempt and batch_id is not None and (
+                    batch_id in self.committed_batch_ids()
+                ):
+                    # a concurrent writer landed this very batch while
+                    # we were losing the race — exactly-once holds
+                    return {
+                        "operation": "merge",
+                        "skipped": True,
+                        "reason": "already_committed",
+                        "batch_id": batch_id,
+                    }
+                try:
+                    return self._merge_attempt(
+                        m, changes, key_cols, op_col, delete_value,
+                        summary, broadcast_threshold, lsn_col, strategy,
+                        affected, n_changes,
                     )
-                # blind delta write: O(batch) I/O, no target scan. The
-                # read-time resolve needs the merge key — record it in
-                # the manifest on first use (immutable thereafter).
-                props = dict(m.properties)
-                declared = props.setdefault("merge_keys", ",".join(key_cols))
-                if declared != ",".join(key_cols):
-                    raise ValueError(
-                        f"merge key mismatch: table uses {declared!r}"
-                    )
-                delta = changes.withColumn(
-                    SYS_LSN,
-                    F.col(lsn_col).cast("long") if conditional else F.lit(-1).cast("long"),
-                ).withColumn(SYS_DELETED, F.col(op_col) == F.lit(delete_value))
-                new_files = self._write_data(
-                    _align(delta, current_sys), m,
-                    n_buckets_hint=len(affected), kind="delta",
-                )
-                info = {
-                    "operation": "merge",
-                    "strategy": "mor",
-                    "affected_buckets": sorted(affected),
-                    "change_rows": n_changes,
-                    **(summary or {}),
-                }
-                self._commit_next(m, m.files + new_files, info, properties=props)
-                return info
+                except CommitConflict:
+                    if attempt == MAX_COMMIT_RETRIES:
+                        raise
+                    # recompute from the new head: the target view this
+                    # attempt merged against is stale (files written by
+                    # the failed attempt stay unreferenced — expire
+                    # clears orphans with their snapshots)
+                    _conflict_backoff(attempt)
+                    continue
+            raise AssertionError("unreachable")
+        finally:
+            if own_persist:
+                changes.unpersist()
 
-            untouched = [f for f in m.files if f.bucket not in affected]
-            target = self.read(buckets=affected, include_system=True)
-            if conditional:
-                # per-key LSN gate: column-pruned scan of (keys, _lsn)
-                # from the affected buckets joins against the (small)
-                # change set; losers drop out before any rewrite.
-                # Tombstoned rows participate — a late old update loses
-                # against the tombstone's delete LSN.
-                t_lsn = target.select(
-                    *key_cols, F.col(SYS_LSN).alias("_t_lsn")
-                )
-                winners = (
-                    changes.join(t_lsn, on=key_cols, how="left")
-                    .filter(
-                        F.col("_t_lsn").isNull()
-                        | (F.col(lsn_col) > F.col("_t_lsn"))
-                    )
-                    .drop("_t_lsn")
-                )
-                upsert_src = winners.withColumn(
-                    SYS_LSN, F.col(lsn_col).cast("long")
-                )
-            else:
-                upsert_src = changes
+    def _merge_attempt(
+        self,
+        m: mf.Manifest,
+        changes: DataFrame,
+        key_cols: list[str],
+        op_col: str,
+        delete_value: str,
+        summary: dict[str, Any] | None,
+        broadcast_threshold: int,
+        lsn_col: str | None,
+        strategy: str,
+        affected: set[int],
+        n_changes: int,
+    ) -> dict[str, Any]:
+        """One merge computation + commit against manifest ``m``.
 
-            upsert_src = upsert_src.withColumn(
-                SYS_DELETED, F.col(op_col) == F.lit(delete_value)
-            )
-            keys = upsert_src.select(*key_cols)
-            if n_changes <= broadcast_threshold:
-                keys = F.broadcast(keys)
-            survivors = target.join(keys, on=key_cols, how="left_anti")
-
-            # deletes become tombstones (conditional path) or drop the
-            # row physically (unconditional legacy path)
-            if not conditional:
-                upsert_src = upsert_src.filter(~F.col(SYS_DELETED))
-            upserts = _align(upsert_src, current_sys)
-            new_data = _align(survivors, current_sys).unionByName(upserts)
-
-            new_files = self._write_data(new_data, m, n_buckets_hint=len(affected))
+        Raises CommitConflict when the commit loses the version race
+        AND cannot be rebased (see _commit_delta) — the caller
+        recomputes from the fresh head."""
+        current = StructType.fromJson(
+            __import__("json").loads(m.schemas[m.current_schema_id])
+        )
+        if n_changes == 0:
+            # nothing to do — still commit the (empty) summary so the
+            # batch ledger records it and replay stays idempotent
             info = {
                 "operation": "merge",
+                "affected_buckets": [],
+                "change_rows": 0,
+                **(summary or {}),
+            }
+            self._commit_delta(m, set(), [], info)
+            return info
+
+        current_sys = StructType(
+            list(current.fields)
+            + [
+                StructField(SYS_LSN, LongType(), True),
+                StructField(SYS_DELETED, BooleanType(), True),
+            ]
+        )
+        conditional = lsn_col is not None and lsn_col in changes.columns
+
+        if strategy == "mor":
+            if not conditional:
+                raise ValueError(
+                    "merge strategy 'mor' requires an LSN column: "
+                    "read-time resolution orders rows by applied LSN"
+                )
+            # blind delta write: O(batch) I/O, no target scan. The
+            # read-time resolve needs the merge key — record it in
+            # the manifest on first use (immutable thereafter).
+            declared = m.properties.get("merge_keys", ",".join(key_cols))
+            if declared != ",".join(key_cols):
+                raise ValueError(
+                    f"merge key mismatch: table uses {declared!r}"
+                )
+            delta = changes.withColumn(
+                SYS_LSN, F.col(lsn_col).cast("long")
+            ).withColumn(SYS_DELETED, F.col(op_col) == F.lit(delete_value))
+            new_files = self._write_data(
+                _align(delta, current_sys), m,
+                n_buckets_hint=len(affected), kind="delta",
+            )
+            info = {
+                "operation": "merge",
+                "strategy": "mor",
                 "affected_buckets": sorted(affected),
                 "change_rows": n_changes,
                 **(summary or {}),
             }
-            self._commit_next(m, untouched + new_files, info)
+            # additive (delta files only): rebases over any concurrent
+            # commit — LSN resolution at read time makes bucket overlap
+            # with a concurrent writer commutative
+            self._commit_delta(
+                m, set(), new_files, info,
+                prop_updates={"merge_keys": declared},
+            )
             return info
-        finally:
-            if own_persist:
-                changes.unpersist()
+
+        untouched = [f for f in m.files if f.bucket not in affected]
+        removed = {f.path for f in m.files if f.bucket in affected}
+        target = self.read(version=m.version, buckets=affected, include_system=True)
+        if conditional:
+            # per-key LSN gate: column-pruned scan of (keys, _lsn)
+            # from the affected buckets joins against the (small)
+            # change set; losers drop out before any rewrite.
+            # Tombstoned rows participate — a late old update loses
+            # against the tombstone's delete LSN.
+            t_lsn = target.select(
+                *key_cols, F.col(SYS_LSN).alias("_t_lsn")
+            )
+            winners = (
+                changes.join(t_lsn, on=key_cols, how="left")
+                .filter(
+                    F.col("_t_lsn").isNull()
+                    | (F.col(lsn_col) > F.col("_t_lsn"))
+                )
+                .drop("_t_lsn")
+            )
+            upsert_src = winners.withColumn(
+                SYS_LSN, F.col(lsn_col).cast("long")
+            )
+        else:
+            upsert_src = changes
+
+        upsert_src = upsert_src.withColumn(
+            SYS_DELETED, F.col(op_col) == F.lit(delete_value)
+        )
+        keys = upsert_src.select(*key_cols)
+        if n_changes <= broadcast_threshold:
+            keys = F.broadcast(keys)
+        survivors = target.join(keys, on=key_cols, how="left_anti")
+
+        # deletes become tombstones (conditional path) or drop the
+        # row physically (unconditional legacy path)
+        if not conditional:
+            upsert_src = upsert_src.filter(~F.col(SYS_DELETED))
+        upserts = _align(upsert_src, current_sys)
+        new_data = _align(survivors, current_sys).unionByName(upserts)
+
+        new_files = self._write_data(new_data, m, n_buckets_hint=len(affected))
+        info = {
+            "operation": "merge",
+            "affected_buckets": sorted(affected),
+            "change_rows": n_changes,
+            **(summary or {}),
+        }
+        # content-dependent rewrite: rebasable only while the affected
+        # buckets stay untouched by concurrent commits. merge_keys is
+        # recorded for COW too (conditional merges only, where the key
+        # is a real row identity) so downstream consumers — the
+        # change-feed mirror's key default — can recover it.
+        props = (
+            {"merge_keys": m.properties.get("merge_keys", ",".join(key_cols))}
+            if conditional
+            else None
+        )
+        if props and props["merge_keys"] != ",".join(key_cols):
+            raise ValueError(
+                f"merge key mismatch: table uses {props['merge_keys']!r}"
+            )
+        self._commit_delta(
+            m, removed, new_files, info,
+            prop_updates=props, affected_buckets=affected,
+        )
+        return info
 
     # ----------------------------------------------------------- maintenance
     def compact(
@@ -549,37 +781,56 @@ class LakeTable:
         compaction after evolve_schema physically migrates old files
         forward and ``read`` stops needing per-schema scan groups.
         """
-        m = self.manifest()
-        per_bucket: dict[int, int] = {}
-        for f in m.files:
-            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
-        stale = {
-            f.bucket for f in m.files if f.schema_id != m.current_schema_id
-        }
-        # merge-on-read delta buckets always compact: read() resolves
-        # them (max-LSN winner per key incl. tombstones), so the
-        # rewrite below folds deltas into plain base files and the
-        # read-time resolve cost resets to zero for those buckets
-        deltas = {f.bucket for f in m.files if f.kind == "delta"}
-        affected = {
-            b for b, n in per_bucket.items() if n >= min_files_per_bucket
-        } | stale | deltas
-        if not affected:
-            return {"operation": "compact", "affected_buckets": [], "skipped": True}
-        untouched = [f for f in m.files if f.bucket not in affected]
-        # keep the per-row applied-LSN through the rewrite — losing it
-        # would let an old redelivered change beat a compacted row
-        data = self.read(buckets=affected, include_system=True)
-        new_files = self._write_data(data, m, n_buckets_hint=len(affected))
-        info = {
-            "operation": "compact",
-            "affected_buckets": sorted(affected),
-            "files_before": sum(per_bucket[b] for b in affected),
-            "files_after": len(new_files),
-            **(summary or {}),
-        }
-        self._commit_next(m, untouched + new_files, info)
-        return info
+        for attempt in range(MAX_COMMIT_RETRIES + 1):
+            m = self.manifest()
+            per_bucket: dict[int, int] = {}
+            for f in m.files:
+                per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+            stale = {
+                f.bucket for f in m.files if f.schema_id != m.current_schema_id
+            }
+            # merge-on-read delta buckets always compact: read() resolves
+            # them (max-LSN winner per key incl. tombstones), so the
+            # rewrite below folds deltas into plain base files and the
+            # read-time resolve cost resets to zero for those buckets
+            deltas = {f.bucket for f in m.files if f.kind == "delta"}
+            affected = {
+                b for b, n in per_bucket.items() if n >= min_files_per_bucket
+            } | stale | deltas
+            if not affected:
+                return {
+                    "operation": "compact",
+                    "affected_buckets": [],
+                    "skipped": True,
+                }
+            removed = {f.path for f in m.files if f.bucket in affected}
+            # keep the per-row applied-LSN through the rewrite — losing it
+            # would let an old redelivered change beat a compacted row
+            data = self.read(
+                version=m.version, buckets=affected, include_system=True
+            )
+            new_files = self._write_data(data, m, n_buckets_hint=len(affected))
+            info = {
+                "operation": "compact",
+                "affected_buckets": sorted(affected),
+                "files_before": sum(per_bucket[b] for b in affected),
+                "files_after": len(new_files),
+                **(summary or {}),
+            }
+            try:
+                # maintenance yields to the data plane: a concurrent
+                # write into a compacted bucket aborts this attempt and
+                # the loop recomputes over the fresh head (≙ Iceberg's
+                # RewriteDataFiles conflict behavior)
+                self._commit_delta(
+                    m, removed, new_files, info, affected_buckets=affected
+                )
+                return info
+            except CommitConflict:
+                if attempt == MAX_COMMIT_RETRIES:
+                    raise
+                _conflict_backoff(attempt)
+        raise AssertionError("unreachable")
 
     def expire_snapshots(self, keep_last: int = 1) -> dict[str, Any]:
         """Vacuum: delete manifests older than the last ``keep_last``
@@ -630,32 +881,41 @@ class LakeTable:
         Reference has no schema evolution (configs fixed, SURVEY §2.2);
         this is the north-rule requirement: ALTER-like DDL mid-replay.
         """
-        m = self.manifest()
-        current = self.schema()
-        if new_schema.json() == current.json():
-            return False
-        cur_fields = {f.name: f for f in current.fields}
-        for f in new_schema.fields:
-            if f.name in cur_fields:
-                old = cur_fields[f.name].dataType
-                if old != f.dataType and (old, f.dataType) not in _WIDENINGS:
-                    raise ValueError(
-                        f"illegal type change for {f.name}: {old} -> {f.dataType}"
-                    )
-        for name in cur_fields:
-            if name not in new_schema.fieldNames():
-                raise ValueError(f"dropping column {name!r} is not supported")
-        new_sid = max(m.schemas) + 1
-        schemas = dict(m.schemas)
-        schemas[new_sid] = new_schema.json()
-        self._commit_next(
-            m,
-            m.files,
-            {"operation": "evolve_schema", "schema_id": new_sid},
-            schemas=schemas,
-            current_schema_id=new_sid,
-        )
-        return True
+        for attempt in range(MAX_COMMIT_RETRIES + 1):
+            m = self.manifest()
+            current = self.schema(m.version)
+            if new_schema.json() == current.json():
+                return False
+            cur_fields = {f.name: f for f in current.fields}
+            for f in new_schema.fields:
+                if f.name in cur_fields:
+                    old = cur_fields[f.name].dataType
+                    if old != f.dataType and (old, f.dataType) not in _WIDENINGS:
+                        raise ValueError(
+                            f"illegal type change for {f.name}: {old} -> {f.dataType}"
+                        )
+            for name in cur_fields:
+                if name not in new_schema.fieldNames():
+                    raise ValueError(f"dropping column {name!r} is not supported")
+            new_sid = max(m.schemas) + 1
+            schemas = dict(m.schemas)
+            schemas[new_sid] = new_schema.json()
+            try:
+                # metadata-only: recompute on conflict is one manifest
+                # re-read + re-validate against the (possibly evolved)
+                # new head
+                self._commit_next(
+                    m,
+                    m.files,
+                    {"operation": "evolve_schema", "schema_id": new_sid},
+                    schemas=schemas,
+                    current_schema_id=new_sid,
+                )
+                return True
+            except CommitConflict:
+                if attempt == MAX_COMMIT_RETRIES:
+                    raise
+        raise AssertionError("unreachable")
 
 
 def _align(df: DataFrame, schema: StructType) -> DataFrame:

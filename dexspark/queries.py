@@ -308,6 +308,58 @@ def cdc_replay_compacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+def cdc_replay_concurrent_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-race hardening under the hard oracle (round-3 verdict
+    item #1): the full replay runs while a MAINTENANCE THREAD
+    repeatedly compacts the same table — a scheduled OPTIMIZE racing a
+    live ingest, the exact scenario where an unhandled CommitConflict
+    used to kill one writer. Optimistic retry-with-rebase
+    (lake/table.py::_commit_delta: compactions are content-preserving,
+    so COW rewrites rebase over them; compact recomputes when data
+    lands mid-rewrite) must land EVERY batch exactly once, whatever
+    the interleaving — so the final state equals the serial-replay
+    oracle bit-for-bit. ≙ the reference's at-least-once activity retry
+    under Durable Functions (FnOrchestrator.kt:182-192)."""
+    import threading
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    done = threading.Event()
+    maint_errors: list[Exception] = []
+
+    def maintainer() -> None:
+        from dexspark.lake.table import CommitConflict
+
+        while not done.is_set():
+            try:
+                table.compact(min_files_per_bucket=1)
+            except CommitConflict:
+                # maintenance yields to the data plane; next scheduled
+                # run retries — never the ingest's problem
+                pass
+            except Exception as e:  # pragma: no cover
+                maint_errors.append(e)
+                return
+            done.wait(0.5)
+
+    th = threading.Thread(target=maintainer)
+    th.start()
+    try:
+        for b in batch_range(log):
+            apply_changes(
+                table, log.filter(F.col("batch_seq") == b), batch_id=f"x{b}"
+            )
+    finally:
+        done.set()
+        th.join(timeout=300)
+    assert not maint_errors, maint_errors
+    return table.read()
+
+
 def cdc_replay_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read replay under the hard oracle: every micro-batch
     commits O(batch) delta files (no bucket rewrite — the write path
@@ -2345,6 +2397,10 @@ QUERIES: dict[str, tuple] = {
     "cdc_replay_gzip_log": (cdc_replay_gzip_log_q, ORACLE_REPLAY),
     "cdc_replay_compacted": (cdc_replay_compacted_q, ORACLE_REPLAY),
     "cdc_replay_mor": (cdc_replay_mor_q, ORACLE_REPLAY),
+    "cdc_replay_concurrent_maintenance": (
+        cdc_replay_concurrent_maintenance_q,
+        ORACLE_REPLAY,
+    ),
     "cdc_feed_mirror": (cdc_feed_mirror_q, ORACLE_REPLAY),
     "cdc_stream_replay_mor": (cdc_stream_replay_mor_q, ORACLE_REPLAY),
     "cdc_time_travel": (cdc_time_travel_q, ORACLE_TIME_TRAVEL),
