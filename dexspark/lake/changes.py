@@ -18,9 +18,12 @@ I/O is O(changed data), not O(table).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import re
 
-from dexspark.lake.table import LakeTable, _align
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StructField, StructType
+
+from dexspark.lake.table import _WIDENINGS, LakeTable, _align
 
 
 def changed_buckets(
@@ -47,40 +50,34 @@ def changed_buckets(
     }
 
 
-def table_changes(
-    table: LakeTable,
-    from_version: int,
-    to_version: int | None = None,
-    key_cols: list[str] | None = None,
+def _default_keys(table: LakeTable, key_cols: list[str] | None) -> list[str]:
+    """Resolve the row-identity columns for a snapshot diff. Prefer the
+    manifest's recorded ``merge_keys`` (written by every conditional
+    merge — COW and MOR) over the bucket key: for composite-key tables
+    the bucket key alone is a PARTIAL key, and a full-outer join on it
+    would pair unrelated rows and corrupt downstream merges."""
+    if key_cols:
+        return key_cols
+    m = table.manifest()
+    declared = m.properties.get("merge_keys")
+    return declared.split(",") if declared else [m.bucket_key]
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    payload: list[str],
     op_col: str = "op",
-    prune_buckets: bool = True,
 ) -> DataFrame:
-    """Rows that changed between two snapshots, classified I/U/D.
+    """Classify the rows of two keyed snapshots into I/U/D.
 
-    Output schema = current payload schema of ``to_version`` plus
-    ``op_col``; D rows carry the deleted row's (old) payload. Rows
-    identical in both snapshots are dropped.
-
-    ``prune_buckets`` (default) restricts BOTH snapshot reads to the
-    buckets whose files differ between the versions (a manifest-only
-    computation), so the diff's I/O and join are O(changed data), not
-    O(table) — the property that makes a change feed usable on a
-    100 TB table where one batch touched a handful of buckets."""
-    m = table.manifest(to_version)
-    key_cols = key_cols or [m.bucket_key]
-    new_schema = table.schema(to_version)
-    payload = [f.name for f in new_schema.fields]
+    Both inputs must carry exactly the ``payload`` columns (old already
+    aligned to new's schema) with one row per key. Output = payload +
+    ``op_col``; D rows carry the deleted row's (old) payload; identical
+    rows are dropped by a null-safe struct compare before anything
+    wide happens, so the output is O(changed rows)."""
     non_keys = [c for c in payload if c not in key_cols]
-
-    buckets = None
-    if prune_buckets:
-        buckets = sorted(changed_buckets(table, from_version, to_version))
-
-    old = _align(
-        table.read(version=from_version, buckets=buckets), new_schema
-    )
-    new = table.read(version=to_version, buckets=buckets)
-
     o = old.select(
         *[F.col(c).alias(f"_o_{c}") for c in payload],
         *[F.col(c) for c in key_cols],
@@ -114,11 +111,86 @@ def table_changes(
     )
 
 
+def table_changes(
+    table: LakeTable,
+    from_version: int,
+    to_version: int | None = None,
+    key_cols: list[str] | None = None,
+    op_col: str = "op",
+    prune_buckets: bool = True,
+) -> DataFrame:
+    """Rows that changed between two snapshots, classified I/U/D.
+
+    Output schema = current payload schema of ``to_version`` plus
+    ``op_col``; D rows carry the deleted row's (old) payload. Rows
+    identical in both snapshots are dropped. ``key_cols`` defaults to
+    the manifest's recorded merge keys (see ``_default_keys``).
+
+    ``prune_buckets`` (default) restricts BOTH snapshot reads to the
+    buckets whose files differ between the versions (a manifest-only
+    computation), so the diff's I/O and join are O(changed data), not
+    O(table) — the property that makes a change feed usable on a
+    100 TB table where one batch touched a handful of buckets."""
+    key_cols = _default_keys(table, key_cols)
+    new_schema = table.schema(to_version)
+    payload = [f.name for f in new_schema.fields]
+
+    buckets = None
+    if prune_buckets:
+        buckets = sorted(changed_buckets(table, from_version, to_version))
+
+    old = _align(
+        table.read(version=from_version, buckets=buckets), new_schema
+    )
+    new = table.read(version=to_version, buckets=buckets)
+    return snapshot_diff(old, new, key_cols, payload, op_col=op_col)
+
+
+def _covers(have: StructType, want: StructType) -> bool:
+    """True if a table with schema ``have`` can hold every ``want``
+    row: each wanted field exists with the same type or a legal
+    widening of it."""
+    hf = {f.name: f.dataType for f in have.fields}
+    for f in want.fields:
+        if f.name not in hf:
+            return False
+        if hf[f.name] != f.dataType and (f.dataType, hf[f.name]) not in _WIDENINGS:
+            return False
+    return True
+
+
+def _merged_schema(dst_schema: StructType, src_schema: StructType) -> StructType:
+    """dst's schema evolved just enough to cover src's: existing fields
+    widened where src is wider (never narrowed — the direction bug the
+    old mirror had: it evolved dst toward src even when dst was newer,
+    and evolve_schema rightly refused to drop/narrow), new src fields
+    appended."""
+    have = {f.name for f in dst_schema.fields}
+    src_f = {f.name: f for f in src_schema.fields}
+    out = []
+    for f in dst_schema.fields:
+        s = src_f.get(f.name)
+        if s is not None and s.dataType != f.dataType and (
+            f.dataType, s.dataType
+        ) in _WIDENINGS:
+            out.append(StructField(f.name, s.dataType, True))
+        else:
+            out.append(f)
+    out.extend(f for f in src_schema.fields if f.name not in have)
+    return StructType(out)
+
+
+def _ensure_covers(dst: LakeTable, src_schema: StructType) -> None:
+    if not _covers(dst.schema(), src_schema):
+        dst.evolve_schema(_merged_schema(dst.schema(), src_schema))
+
+
 def mirror_table(
     src: LakeTable,
     dst: LakeTable,
     key_cols: list[str] | None = None,
     batch_id_prefix: str = "mirror",
+    per_version: bool = False,
 ) -> list[dict]:
     """Incrementally subscribe ``dst`` to ``src``'s change feed —
     the closed CDC loop (log → table → change feed → table), Delta's
@@ -129,38 +201,102 @@ def mirror_table(
     here the "topic" is the snapshot diff and the subscriber is
     another table with full exactly-once semantics.
 
-    Each unmirrored snapshot version of ``src`` becomes one merge into
-    ``dst``: the version diff (one row per changed key, classified
-    I/U/D) is applied with the version number as the LSN — versions
-    are monotone, so the strict-LSN gate gives the same commutative
-    replay guarantees as the primary ingest, and the per-version batch
-    id in ``dst``'s ledger makes re-mirroring a committed version a
-    no-op (exactly-once across crashes of the mirror job itself).
-    Maintenance-only versions (compaction, expiry survivors) diff to
-    zero rows and commit an empty ledger entry. Schema evolution on
-    ``src`` is replayed onto ``dst`` before the first merge that needs
-    it. Call repeatedly — it resumes from the last mirrored version.
+    Catch-up is ONE composed diff last-mirrored→head applied as ONE
+    merge (O(1) merges per wake-up however far the mirror lags —
+    adjacent-version diffs compose because each is a full state delta),
+    with the head version as the LSN: versions are monotone, so the
+    strict-LSN gate gives the same commutative replay guarantees as
+    the primary ingest, and the per-head batch id in ``dst``'s ledger
+    makes re-mirroring a no-op (exactly-once across crashes of the
+    mirror job itself). ``per_version=True`` keeps the one-merge-per-
+    version loop as an audit mode (per-version lineage in the dst
+    ledger; same final state by LSN monotonicity).
+
+    Self-healing around retention: if ``expire_snapshots`` on src has
+    dropped the last-mirrored version (or a fresh dst faces a src with
+    expired history), the incremental diff is impossible — the mirror
+    falls back to a full-state RESYNC (dst-vs-src snapshot diff,
+    O(table) reads, still one merge) instead of silently skipping the
+    gap, which is the divergence bug the old version loop had.
+
+    ``key_cols`` defaults to src's recorded merge keys (bucket_key
+    only as a last resort — a partial key on composite-key tables
+    would pair unrelated rows; see ``_default_keys``). Schema
+    evolution on src is replayed onto dst only when dst does not
+    already cover src's schema (never narrowing). Call repeatedly —
+    it resumes from the last mirrored version.
     """
-    m = src.manifest()
-    key_cols = key_cols or [m.bucket_key]
     from dexspark.lake import manifest as mf
 
+    key_cols = _default_keys(src, key_cols)
     versions = mf.available_versions(src.table_dir)
-    done = dst.committed_batch_ids()
-    results: list[dict] = []
-    for prev, cur in zip(versions, versions[1:]):
-        batch_id = f"{batch_id_prefix}-v{cur}"
-        if batch_id in done:
-            continue
-        if src.schema(cur).json() != dst.schema().json():
-            dst.evolve_schema(src.schema(cur))
-        feed = table_changes(src, prev, cur, key_cols=key_cols).withColumn(
-            "lsn", F.lit(cur).cast("long")
-        )
-        info = dst.merge(
-            feed,
-            key_cols=key_cols,
-            summary={"batch_id": batch_id, "mirrored_version": cur},
-        )
-        results.append(info)
-    return results
+    if not versions:
+        return []
+    head = versions[-1]
+    done = {str(i) for i in dst.committed_batch_ids()}
+    pat = re.compile(re.escape(batch_id_prefix) + r"-v(\d+)$")
+    hits = [int(g.group(1)) for i in done if (g := pat.match(i))]
+    mirrored = max(hits) if hits else None
+    if mirrored is not None and mirrored >= head:
+        return []
+
+    is_create = (
+        src.manifest(versions[0]).summary.get("operation") == "create"
+    )
+
+    if per_version:
+        # audit mode: one merge per version, full per-version lineage.
+        # Refuses to run across a retention gap (the silent-divergence
+        # bug): the chain must start at the create manifest or at an
+        # already-mirrored version.
+        if not is_create and (mirrored is None or mirrored not in versions):
+            raise ValueError(
+                "mirror gap: src history starts at version "
+                f"{versions[0]} (not the create manifest) and the last "
+                f"mirrored version {mirrored} is not retained — run a "
+                "composed mirror_table() (it resyncs) or re-create dst"
+            )
+        results: list[dict] = []
+        for prev, cur in zip(versions, versions[1:]):
+            batch_id = f"{batch_id_prefix}-v{cur}"
+            if batch_id in done:
+                continue
+            _ensure_covers(dst, src.schema(cur))
+            feed = table_changes(src, prev, cur, key_cols=key_cols).withColumn(
+                "lsn", F.lit(cur).cast("long")
+            )
+            info = dst.merge(
+                feed,
+                key_cols=key_cols,
+                summary={"batch_id": batch_id, "mirrored_version": cur},
+            )
+            results.append(info)
+        return results
+
+    _ensure_covers(dst, src.schema(head))
+    if mirrored is not None and mirrored in versions:
+        feed = table_changes(src, mirrored, head, key_cols=key_cols)
+        mode = "incremental"
+    elif mirrored is None and is_create:
+        feed = table_changes(src, versions[0], head, key_cols=key_cols)
+        mode = "incremental"
+    else:
+        # retention gap: full-state repair diff (same classify path,
+        # unpruned — both sides read in full, exactly once)
+        payload = [f.name for f in dst.schema().fields]
+        dst_state = dst.read()
+        src_state = _align(src.read(version=head), dst.schema())
+        feed = snapshot_diff(dst_state, src_state, key_cols, payload)
+        mode = "resync"
+    batch_id = f"{batch_id_prefix}-v{head}"
+    info = dst.merge(
+        feed.withColumn("lsn", F.lit(head).cast("long")),
+        key_cols=key_cols,
+        summary={
+            "batch_id": batch_id,
+            "mirrored_version": head,
+            "mirror_mode": mode,
+            "mirrored_from": mirrored,
+        },
+    )
+    return [info]

@@ -154,7 +154,223 @@ def test_mirror_table_closed_loop(spark, tmp_table_dir):
         chg), key_cols=["k"])
     src.compact(min_files_per_bucket=1)  # diff-empty version
     res = mirror_table(src, dst, key_cols=["k"])
-    assert len(res) == 2  # one real diff + one empty maintenance diff
+    # composed catch-up: the 2-version backlog (merge + maintenance)
+    # lands as ONE merge commit
+    assert len(res) == 1
     assert {(r.k, r.v) for r in dst.read().collect()} == {("a", "x2"), ("c", "z")}
     # exactly-once: nothing left to mirror
     assert mirror_table(src, dst, key_cols=["k"]) == []
+
+
+def test_mirror_backlog_lands_in_one_merge(spark, tmp_table_dir):
+    """A 10-version backlog mirrors as ONE composed diff + ONE merge
+    commit (VERDICT r3 item #3: O(1) merges per catch-up, not
+    O(versions))."""
+    import os
+
+    from dexspark.lake.changes import mirror_table
+
+    chg = "k string, seq int, v string, op string, lsn long"
+    src = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "src"),
+        _parse_datatype_string(SCHEMA_DDL), "k", 4,
+    )
+    dst = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "dst"),
+        _parse_datatype_string(SCHEMA_DDL), "k", 2,
+    )
+    for i in range(10):
+        src.merge(
+            spark.createDataFrame([(f"k{i % 4}", i, f"v{i}", "U", i)], chg),
+            key_cols=["k"],
+        )
+    v_dst_before = dst.current_version()
+    res = mirror_table(src, dst, key_cols=["k"])
+    assert len(res) == 1
+    # exactly one merge commit landed on dst
+    assert dst.current_version() == v_dst_before + 1
+    got = {(r.k, r.v) for r in dst.read().collect()}
+    assert got == {("k0", "v8"), ("k1", "v9"), ("k2", "v6"), ("k3", "v7")}
+    assert mirror_table(src, dst, key_cols=["k"]) == []
+
+
+def test_mirror_per_version_audit_mode(spark, tmp_table_dir):
+    """per_version=True keeps the one-merge-per-version audit loop and
+    matches the composed mode's final state."""
+    import os
+
+    from dexspark.lake.changes import mirror_table
+
+    chg = "k string, seq int, v string, op string, lsn long"
+    src = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "src"),
+        _parse_datatype_string(SCHEMA_DDL), "k", 4,
+    )
+    dst = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "dst"),
+        _parse_datatype_string(SCHEMA_DDL), "k", 2,
+    )
+    for i in range(4):
+        src.merge(
+            spark.createDataFrame([(f"k{i}", i, f"v{i}", "I", i)], chg),
+            key_cols=["k"],
+        )
+    res = mirror_table(src, dst, key_cols=["k"], per_version=True)
+    assert len(res) == 4  # one merge per source version
+    got = {(r.k, r.v) for r in dst.read().collect()}
+    assert got == {("k0", "v0"), ("k1", "v1"), ("k2", "v2"), ("k3", "v3")}
+
+
+def test_mirror_resyncs_across_expired_history(spark, tmp_table_dir):
+    """If src expired the last-mirrored version, the mirror must NOT
+    silently skip the gap (the old divergence bug) — it falls back to
+    a full-state resync and converges."""
+    import os
+
+    from dexspark.lake.changes import mirror_table
+
+    chg = "k string, seq int, v string, op string, lsn long"
+    src = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "src"),
+        _parse_datatype_string(SCHEMA_DDL), "k", 4,
+    )
+    dst = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "dst"),
+        _parse_datatype_string(SCHEMA_DDL), "k", 2,
+    )
+    src.merge(spark.createDataFrame(
+        [("a", 1, "x", "I", 1), ("b", 2, "y", "I", 2)], chg), key_cols=["k"])
+    mirror_table(src, dst, key_cols=["k"])
+    # src advances AND expires past the mirror horizon
+    src.merge(spark.createDataFrame(
+        [("a", 1, "x2", "U", 10), ("b", 2, None, "D", 11), ("c", 3, "z", "I", 12)],
+        chg), key_cols=["k"])
+    src.expire_snapshots(keep_last=1)
+    res = mirror_table(src, dst, key_cols=["k"])
+    assert len(res) == 1
+    assert res[0]["mirror_mode"] == "resync"
+    assert {(r.k, r.v) for r in dst.read().collect()} == {("a", "x2"), ("c", "z")}
+    # open a REAL gap (expire past the resynced version) — audit mode
+    # must refuse rather than silently skip it
+    src.merge(spark.createDataFrame([("d", 4, "w", "I", 20)], chg), key_cols=["k"])
+    src.merge(spark.createDataFrame([("e", 5, "u", "I", 21)], chg), key_cols=["k"])
+    src.expire_snapshots(keep_last=1)
+    import pytest
+
+    with pytest.raises(ValueError, match="mirror gap"):
+        mirror_table(src, dst, key_cols=["k"], per_version=True)
+
+
+def test_mirror_fresh_dst_against_expired_src_bootstraps(spark, tmp_table_dir):
+    """A brand-new replica of a src whose create manifest is expired
+    bootstraps via resync instead of silently mirroring nothing."""
+    import os
+
+    from dexspark.lake.changes import mirror_table
+
+    chg = "k string, seq int, v string, op string, lsn long"
+    src = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "src"),
+        _parse_datatype_string(SCHEMA_DDL), "k", 4,
+    )
+    src.merge(spark.createDataFrame(
+        [("a", 1, "x", "I", 1), ("b", 2, "y", "I", 2)], chg), key_cols=["k"])
+    src.expire_snapshots(keep_last=1)
+    dst = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "dst"),
+        _parse_datatype_string(SCHEMA_DDL), "k", 2,
+    )
+    res = mirror_table(src, dst, key_cols=["k"])
+    assert len(res) == 1 and res[0]["mirror_mode"] == "resync"
+    assert {(r.k, r.v) for r in dst.read().collect()} == {("a", "x"), ("b", "y")}
+
+
+def test_mirror_skips_evolution_when_dst_already_covers(spark, tmp_table_dir):
+    """ADVICE fix: dst newer/wider than src must NOT trigger
+    evolve_schema toward the narrower schema (which raised
+    'dropping column not supported')."""
+    import os
+
+    from dexspark.lake.changes import mirror_table
+
+    chg = "k string, seq int, v string, op string, lsn long"
+    src = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "src"),
+        _parse_datatype_string(SCHEMA_DDL), "k", 4,
+    )
+    src.merge(spark.createDataFrame([("a", 1, "x", "I", 1)], chg), key_cols=["k"])
+    # dst created wider (e.g. from a later src schema)
+    dst = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "dst"),
+        _parse_datatype_string(SCHEMA_DDL + ", extra string"), "k", 2,
+    )
+    res = mirror_table(src, dst, key_cols=["k"])
+    assert len(res) == 1
+    rows = dst.read().collect()
+    assert {(r.k, r.v, r.extra) for r in rows} == {("a", "x", None)}
+    # dst schema untouched (no narrowing attempted)
+    assert dst.schema().fieldNames() == ["k", "seq", "v", "extra"]
+
+
+def test_mirror_replays_src_evolution_onto_dst(spark, tmp_table_dir):
+    """src evolving mid-history: cmd_mirror-style dst (created at an
+    old schema) is evolved forward exactly once, and the mirrored
+    state carries the new column."""
+    import os
+
+    from pyspark.sql.types import StructField, StringType
+
+    from dexspark.lake.changes import mirror_table
+
+    chg = "k string, seq int, v string, op string, lsn long"
+    src = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "src"),
+        _parse_datatype_string(SCHEMA_DDL), "k", 4,
+    )
+    dst = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "dst"),
+        _parse_datatype_string(SCHEMA_DDL), "k", 2,
+    )
+    src.merge(spark.createDataFrame([("a", 1, "x", "I", 1)], chg), key_cols=["k"])
+    mirror_table(src, dst, key_cols=["k"])
+    src.evolve_schema(
+        _parse_datatype_string(SCHEMA_DDL + ", extra string")
+    if False else __import__("pyspark.sql.types", fromlist=["StructType"]).StructType(
+        list(src.schema().fields) + [StructField("extra", StringType())]
+    ))
+    src.merge(
+        spark.createDataFrame(
+            [("b", 2, "y", "hello", "I", 5)],
+            "k string, seq int, v string, extra string, op string, lsn long",
+        ),
+        key_cols=["k"],
+    )
+    res = mirror_table(src, dst, key_cols=["k"])
+    assert len(res) == 1
+    assert dst.schema().fieldNames() == ["k", "seq", "v", "extra"]
+    got = {(r.k, r.v, r.extra) for r in dst.read().collect()}
+    assert got == {("a", "x", None), ("b", "y", "hello")}
+
+
+def test_default_keys_prefer_recorded_merge_keys(spark, tmp_table_dir):
+    """ADVICE fix: table_changes/mirror default to the manifest's
+    recorded merge_keys, not the (possibly partial) bucket key."""
+    import os
+
+    t = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "t"),
+        _parse_datatype_string(SCHEMA_DDL), "k", 4,
+    )
+    chg = "k string, seq int, v string, op string, lsn long"
+    v0 = t.current_version()
+    # composite merge key (k, seq) over bucket key k
+    t.merge(
+        spark.createDataFrame(
+            [("a", 1, "x", "I", 1), ("a", 2, "y", "I", 2)], chg
+        ),
+        key_cols=["k", "seq"],
+    )
+    # default keys = recorded merge_keys → both (a,1) and (a,2) appear
+    feed = table_changes(t, v0)
+    got = {(r.k, r.seq, r.op) for r in feed.collect()}
+    assert got == {("a", 1, "I"), ("a", 2, "I")}
