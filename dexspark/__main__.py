@@ -81,6 +81,7 @@ def cmd_replay(args) -> int:
         log_format=args.log_format,
         strategy=args.strategy,
         compact_every=args.compact_every or None,
+        compact_delta_depth=args.compact_delta_depth or None,
     )
     results = replay.run_available()
     for r in results:
@@ -116,6 +117,31 @@ def cmd_mirror(args) -> int:
     keys = args.keys.split(",") if args.keys else None
     for r in mirror_table(src, dst, key_cols=keys):
         print(json.dumps(r, default=str))
+    return 0
+
+
+def cmd_reprocess(args) -> int:
+    """Dead-letter replay from the CLI: pull the quarantine table,
+    apply a declarative fix spec (JSON: remap/set/coalesce — ≙ the
+    reference's config-driven error functions, OrchestratorDtos.kt:
+    22-25), and run the corrected rows through the normal validate →
+    dedup → merge path under a fresh batch id. Rows that STILL fail
+    validation stay quarantined; everything else rejoins the table
+    with full exactly-once + lineage semantics."""
+    spark = _spark(args)
+    from dexspark.cdc.apply import fix_from_spec, reprocess_quarantine
+
+    with open(args.fix_config) as fh:
+        spec = json.load(fh)
+    table = LakeTable(spark, args.table)
+    quarantine = LakeTable(spark, args.quarantine)
+    res = reprocess_quarantine(
+        table,
+        quarantine,
+        fix_from_spec(spec),
+        batch_id=args.batch_id,
+    )
+    print(json.dumps(res, default=str))
     return 0
 
 
@@ -166,6 +192,12 @@ def main(argv: list[str] | None = None) -> int:
              "O(batch) delta files (pair with --compact-every)",
     )
     r.add_argument("--compact-every", type=int, default=0)
+    r.add_argument(
+        "--compact-delta-depth", type=int, default=0,
+        help="compact when any bucket holds this many outstanding MOR "
+             "delta files (bounds read-time resolve depth; tracks read "
+             "amplification instead of batch count)",
+    )
     r.set_defaults(fn=cmd_replay)
 
     c = sub.add_parser("compact", help="bin-pack small data files")
@@ -184,6 +216,19 @@ def main(argv: list[str] | None = None) -> int:
     mi.add_argument("--keys", default="conv_id,turn_idx")
     mi.add_argument("--buckets", type=int, default=0)
     mi.set_defaults(fn=cmd_mirror)
+
+    rp = sub.add_parser(
+        "reprocess", help="fix + replay quarantined (dead-letter) rows"
+    )
+    rp.add_argument("--table", required=True)
+    rp.add_argument("--quarantine", required=True)
+    rp.add_argument(
+        "--fix-config", required=True,
+        help='JSON fix spec, e.g. {"remap": {"role": {"alien": "user"}}, '
+             '"coalesce": {"text": "(redacted)"}}',
+    )
+    rp.add_argument("--batch-id", required=True)
+    rp.set_defaults(fn=cmd_reprocess)
 
     s = sub.add_parser("status", help="print table status")
     s.add_argument("--table", required=True)

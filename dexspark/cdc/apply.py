@@ -179,6 +179,38 @@ def apply_changes(
         flagged.unpersist()
 
 
+def fix_from_spec(spec: dict[str, Any]):
+    """Build a quarantine-correction function from a declarative spec —
+    the config-driven shape of the reference's error functions
+    (OrchestratorDtos.kt:22-25: per-step error handlers are named +
+    parameterized in config, not code). Keys, applied in this order:
+
+    - ``remap``:    {col: {old_value: new_value}} — value substitution
+      (e.g. fix a misspelled role emitted by a bad producer)
+    - ``set``:      {col: literal} — unconditional constant override
+    - ``coalesce``: {col: literal} — fill NULLs only
+
+    All three compile to codegen'd CASE/COALESCE expressions — the fix
+    runs at scan speed, no Python on the data path."""
+    remap = spec.get("remap", {})
+    setv = spec.get("set", {})
+    coal = spec.get("coalesce", {})
+
+    def fix(df: DataFrame) -> DataFrame:
+        for col, mapping in remap.items():
+            expr = F.col(col)
+            for old, new in mapping.items():
+                expr = F.when(F.col(col) == F.lit(old), F.lit(new)).otherwise(expr)
+            df = df.withColumn(col, expr)
+        for col, v in setv.items():
+            df = df.withColumn(col, F.lit(v))
+        for col, v in coal.items():
+            df = df.withColumn(col, F.coalesce(F.col(col), F.lit(v)))
+        return df
+
+    return fix
+
+
 def reprocess_quarantine(
     table: LakeTable,
     quarantine: LakeTable,

@@ -52,6 +52,7 @@ class CdcStreamReplay:
         batch_id_prefix: str = "stream",
         log_format: str = "parquet",
         compact_every: int | None = None,
+        compact_delta_depth: int | None = None,
         cfg_provider: Callable[[], ValidationConfig] | None = None,
         strategy: str = "cow",
     ):
@@ -76,6 +77,14 @@ class CdcStreamReplay:
         # affected buckets at one file, but quarantine appends and
         # schema evolution fragment over time)
         self.compact_every = compact_every
+        # merge-on-read read-amplification bound: compact as soon as any
+        # bucket accumulates this many outstanding DELTA files. Unlike
+        # compact_every (a batch counter), this tracks what actually
+        # drives read cost — the per-bucket resolve depth — so a hot
+        # bucket triggers compaction early and a cold table never
+        # compacts needlessly. Metadata-only check (manifest scan, no
+        # data I/O) per micro-batch.
+        self.compact_delta_depth = compact_delta_depth
         # merge mode per micro-batch: "mor" makes each commit O(batch)
         # (delta append) — pair with compact_every so read-time resolve
         # stays bounded on a long-running ingest
@@ -83,7 +92,19 @@ class CdcStreamReplay:
         self._applied_since_compact = 0
         self.results: list[dict[str, Any]] = []
 
+    def _delta_depth(self) -> int:
+        """Max outstanding delta files in any one bucket — the
+        read-time resolve depth. Manifest-only, no data I/O."""
+        per_bucket: dict[int, int] = {}
+        for f in self.table.manifest().files:
+            if f.kind == "delta":
+                per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+        return max(per_bucket.values(), default=0)
+
     def _foreach_batch(self, batch_df, epoch_id: int) -> None:
+        import time
+
+        t0 = time.monotonic()
         cfg = self.cfg_provider() if self.cfg_provider is not None else self.cfg
         res = apply_changes(
             self.table,
@@ -94,14 +115,38 @@ class CdcStreamReplay:
             salt_buckets=self.salt_buckets,
             strategy=self.strategy,
         )
+        # per-micro-batch operational metrics (≙ the reference's
+        # per-step replay-aware logging, FnOrchestrator.kt:194-204):
+        # wall seconds, processed rows (applied post-dedup + rejected),
+        # and throughput — the signal an ingest daemon alerts on
+        wall = time.monotonic() - t0
+        rows = int(res.get("applied", 0)) + int(res.get("rejected", 0))
+        res["metrics"] = {
+            "epoch_id": int(epoch_id),
+            "wall_sec": round(wall, 3),
+            "rows": rows,
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+        }
         self.results.append(res)
-        if self.compact_every and not res.get("skipped"):
+        if res.get("skipped"):
+            return
+        if self.compact_delta_depth and (
+            self._delta_depth() >= self.compact_delta_depth
+        ):
+            info = self.table.compact()
+            info["trigger"] = "delta_depth"
+            self.results.append(info)
+            self._applied_since_compact = 0
+            return
+        if self.compact_every:
             self._applied_since_compact += 1
             if self._applied_since_compact >= self.compact_every:
                 self._applied_since_compact = 0
                 # skipped runs are recorded too — "checked, nothing
                 # fragmented" is operational signal
-                self.results.append(self.table.compact())
+                info = self.table.compact()
+                info["trigger"] = "batch_count"
+                self.results.append(info)
 
     def run_available(self) -> list[dict[str, Any]]:
         """Process everything currently in log_dir, then stop

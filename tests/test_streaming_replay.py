@@ -152,3 +152,56 @@ def test_stream_replay_config_hot_reload(spark, tmp_table_dir):
     assert rejected > 0 and applied > 0
     got_roles = {r.role for r in table.read().select("role").distinct().collect()}
     assert got_roles == {"moderator"}
+
+
+def test_stream_replay_batch_metrics(spark, tmp_table_dir):
+    """Every micro-batch result carries operational metrics (wall
+    seconds, processed rows, throughput) — the per-step logging an
+    ingest daemon alerts on (VERDICT r3 item #6)."""
+    log = gen_change_log(spark, 2000, n_convs=30, n_batches=2)
+    table, log_dir, _ = _setup(spark, tmp_table_dir)
+    log.coalesce(2).write.parquet(log_dir, mode="append")
+    replay = CdcStreamReplay(
+        spark, table, log_dir, os.path.join(tmp_table_dir, "cp_m"),
+        _parse_datatype_string(LOG_SCHEMA), max_files_per_trigger=1,
+    )
+    replay.run_available()
+    applied = [r for r in replay.results if "metrics" in r]
+    assert applied and all(not r["skipped"] for r in applied)
+    for r in applied:
+        m = r["metrics"]
+        assert m["wall_sec"] > 0
+        assert m["rows"] == r["applied"] + r["rejected"]
+        assert m["rows_per_sec"] > 0
+        assert isinstance(m["epoch_id"], int)
+    # epochs are distinct and ordered
+    epochs = [r["metrics"]["epoch_id"] for r in applied]
+    assert epochs == sorted(set(epochs))
+
+
+def test_stream_replay_delta_depth_compaction(spark, tmp_table_dir):
+    """compact_delta_depth triggers compaction from READ AMPLIFICATION
+    (outstanding deltas per bucket), not batch count (VERDICT r3 item
+    #5): depth stays bounded across the whole run and the final state
+    is exact."""
+    log = gen_change_log(spark, 2000, n_convs=30, n_batches=6)
+    table, log_dir, _ = _setup(spark, tmp_table_dir)
+    log.repartition(6, F.col("batch_seq")).write.partitionBy(
+        "batch_seq"
+    ).parquet(log_dir, mode="append")
+    replay = CdcStreamReplay(
+        spark, table, log_dir + "/*", os.path.join(tmp_table_dir, "cp_d"),
+        _parse_datatype_string(LOG_SCHEMA), max_files_per_trigger=1,
+        strategy="mor", compact_delta_depth=2,
+    )
+    replay.run_available()
+    compacts = [
+        r for r in replay.results if r.get("trigger") == "delta_depth"
+    ]
+    assert compacts, "delta-depth compaction never fired"
+    # depth is bounded by the knob at the end of the run
+    assert replay._delta_depth() < 2 + 1
+    expected = expected_final_state(log)
+    got = table.read()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
