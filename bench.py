@@ -191,12 +191,11 @@ def main():
         "cdc_replay": round(elapsed, 3),
         "cdc_replay_mor": round(min(mor_times), 3),
     }
-    # headline = the faster of the two write strategies (both are
-    # exactly-once and land the identical final state; which one a
-    # deployment picks is a knob, and the engine's throughput is the
-    # better of them) — disclosed via headline_strategy
-    headline_strategy = "cow" if elapsed <= min(mor_times) else "mor"
-    elapsed = min(elapsed, min(mor_times))
+    # headline = COW, pinned: rounds 1–2 measured COW, so keeping the
+    # basis fixed preserves round-over-round comparability (the point
+    # of the fixed query list). MOR is reported alongside as
+    # cdc_replay_mor; headline_strategy stays as metadata.
+    headline_strategy = "cow"
     for name in BENCH_QUERIES:
         fn, _ = QUERIES[name]
         # best of 2: first evaluation pays codegen compilation of the

@@ -65,10 +65,13 @@ def cosine_topk(
     neighbor id so output is total-ordered and engine-independent.
 
     Plan shape: broadcast-nested-loop against the broadcast query set
-    (no shuffle of the corpus), then per-partition top-k via a
-    row_number window (external sort — spillable, never an in-memory
-    array of the whole group) and a final k-bounded reduce over the
-    P*k survivors — the full score matrix never shuffles.
+    (the corpus scan itself never shuffles), then ONE row-level
+    shuffle of the Q x N scored matrix into (_qid, _p) groups whose
+    top-k comes from a row_number window over Spark's EXTERNAL sort —
+    spillable, O(1) heap per task, never an in-memory array of the
+    whole group — and a final k-bounded reduce over the P*k
+    survivors. The shuffle is the cost of exactness; the scale paths
+    that avoid it are ann_lsh_topk / ivf_topk below.
     """
     q = F.broadcast(
         queries.select(
@@ -287,26 +290,52 @@ def ann_lsh_topk(
     k: int = 5,
     n_bits: int = 8,
     seed: int = 42,
+    n_bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: candidates = same LSH bucket, exact cosine
-    rerank within bucket. Returns (query_id, neighbor_id, rank,
-    score_x1e6). Queries whose bucket holds < k neighbors return fewer
-    rows — that is the accuracy/cost trade the operator makes.
+    """Approximate top-k: candidates = same LSH bucket in ANY of
+    ``n_bands`` independent signature families (OR-amplification —
+    the same banding MinHash-LSH uses for near-dups), exact cosine
+    rerank on the candidate union. Returns (query_id, neighbor_id,
+    rank, score_x1e6). Queries with < k candidates return fewer rows —
+    that is the accuracy/cost trade the operator makes; raise
+    ``n_bands`` to push recall toward 1 at linear candidate cost
+    (P(miss) = (1 - p^n_bits)^n_bands for per-bit agreement p).
+
+    Plan shape: the corpus explodes to n_bands (band, signature) rows
+    — a narrow map, no shuffle — and equi-joins the broadcast query
+    signatures on the band-qualified bucket; a pair matching several
+    bands is scored per match and collapsed by a (qid, nid) group-by
+    (scores are deterministic, max = first), so the one real shuffle
+    is candidate-bounded. At 10^9 vectors: persist the exploded
+    signature column as a bucket/partition key and the join prunes
+    whole files per band.
     """
-    sig_c = _sig_fast(F.col(vec_col), dim, n_bits, seed)
+    band_sigs = [
+        _sig_fast(F.col(vec_col), dim, n_bits, seed + 1009 * b)
+        + F.lit(b * (2**n_bits)).cast("long")
+        for b in range(n_bands)
+    ]
     c = corpus.select(
         F.col(id_col).alias("_nid"),
         F.col(vec_col).alias("_nvec"),
-        sig_c.alias("_bucket"),
+        F.explode(F.array(*band_sigs)).alias("_bucket"),
     )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("_qid"),
             F.col(vec_col).alias("_qvec"),
-            _sig_fast(F.col(vec_col), dim, n_bits, seed).alias("_bucket"),
+            F.explode(
+                F.array(
+                    *[
+                        _sig_fast(F.col(vec_col), dim, n_bits, seed + 1009 * b)
+                        + F.lit(b * (2**n_bits)).cast("long")
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("_bucket"),
         )
     )
     scored = (
@@ -314,6 +343,8 @@ def ann_lsh_topk(
         .filter(F.col("_nid") != F.col("_qid"))
         .select("_qid", "_nid", cosine(F.col("_qvec"), F.col("_nvec")).alias("_score"))
     )
+    if n_bands > 1:
+        scored = scored.groupBy("_qid", "_nid").agg(F.max("_score").alias("_score"))
     w = Window.partitionBy("_qid").orderBy(
         F.col("_score").desc(), F.col("_nid").asc()
     )

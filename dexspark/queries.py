@@ -913,23 +913,32 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 _WIN_BASE_EPOCH = 1704067200  # 2024-01-01 00:00:00 UTC
 
 
-def stream_window_late_data_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time windowed aggregation with a lateness watermark under
-    the hard oracle. Three availableNow replays over one checkpoint:
+def _windowed_stream_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str,
+    slide: str | None,
+) -> DataFrame:
+    """Shared harness for the tumbling/sliding event-time window
+    queries: three availableNow replays over one checkpoint:
 
     1. on-time phase (event minutes 0-59) — after it, watermark =
        59 - 10 = 49 min, so windows ending ≤ 49 are finalized;
-    2. late phase: rows ≤ 9 min (target finalized windows → DROPPED),
-       rows 50-54 min (late but within delay → aggregated into their
-       still-open window), rows 60-119 min (new windows);
+    2. late phase: rows ≤ 9 min (every window they belong to is
+       finalized → DROPPED), rows 50-54 min (late but within delay →
+       aggregated into their still-open window(s)), rows 60-119 min
+       (new windows);
     3. two flush ticks (role='_flush', far-future event time) that
        only advance the watermark — filtered after the watermark node
        — forcing append-mode emission of every real window.
 
-    Every watermark comparison in the data has a ≥ 5-minute margin, so
-    the emitted set is exact whatever the engine's boundary convention
-    — which is what lets a batch SQL oracle reproduce a streaming
-    lateness semantics bit-for-bit."""
+    Every watermark comparison in the data has a ≥ 5-minute margin
+    FOR BOTH window shapes (tumbling 5-min: late-row window ends ≤ 15
+    and in-delay ends ≥ 55 vs watermark 49; sliding 10-min/5-min: the
+    two windows of a ≤ 9-min row end ≤ 15, the two of a 50-54-min row
+    end at 55/60), so the emitted set is exact whatever the engine's
+    boundary convention — which is what lets a batch SQL oracle
+    reproduce a streaming lateness semantics bit-for-bit."""
     from dexspark.streaming.windowed import windowed_counts
 
     ev = load(spark, sf_dir, "events")
@@ -972,8 +981,8 @@ def stream_window_late_data_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = reader.parquet(log_dir + "/*")
         agg = windowed_counts(
             stream, ts_col="ts", delay="10 minutes",
-            window_duration="5 minutes", group_cols=("role",),
-            sum_col="lsn",
+            window_duration=window_duration, group_cols=("role",),
+            sum_col="lsn", slide=slide,
         )
         q = (
             agg.writeStream.format("parquet").option("path", out_dir)
@@ -1012,6 +1021,24 @@ def stream_window_late_data_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_window_late_data_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute event-time windows with a lateness watermark
+    under the hard oracle — see ``_windowed_stream_replay``."""
+    return _windowed_stream_replay(spark, sf_dir, "5 minutes", None)
+
+
+def stream_sliding_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) 10-minute windows every 5 minutes, same
+    watermark contract — see ``_windowed_stream_replay``. Each kept
+    row lands in exactly TWO overlapping windows (Spark expands the
+    row per window before the shuffle); lateness is per-window, and
+    the minute map keeps both windows of every kept late row open
+    (ends 55/60 vs watermark 49) and both windows of every too-late
+    row finalized (ends ≤ 15), so the batch oracle just doubles each
+    kept row across start offsets {0, -5}."""
+    return _windowed_stream_replay(spark, sf_dir, "10 minutes", "5 minutes")
+
+
 # Mirror: very-late rows (lsn%21=6) target windows finalized by the
 # phase-1 watermark and are dropped; everything else aggregates into
 # its 5-minute window.
@@ -1034,6 +1061,36 @@ SELECT
   count(*) AS n,
   CAST(sum(lsn) AS BIGINT) AS lsn_sum
 FROM kept
+GROUP BY 1, 2, 3
+"""
+
+
+# Sliding variant of the same minute map: each kept row contributes to
+# its TWO 10-minute windows, starts (m - m%5) and (m - m%5 - 5); the
+# lsn%21=6 rows have both windows behind the watermark and vanish.
+ORACLE_SLIDING_WINDOW = """
+WITH src AS (
+  SELECT event_id AS lsn,
+    CASE event_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+         ELSE 'tool' END AS role,
+    CASE WHEN event_id % 7 <> 6 THEN event_id % 60
+         WHEN event_id % 21 = 6 THEN NULL
+         WHEN event_id % 21 = 13 THEN 50 + event_id % 5
+         ELSE 60 + event_id % 60 END AS m
+  FROM events
+),
+kept AS (SELECT * FROM src WHERE m IS NOT NULL),
+expanded AS (
+  SELECT lsn, role, (m - m % 5 - off) AS ws
+  FROM kept CROSS JOIN (SELECT unnest([0, 5]) AS off) offs
+)
+SELECT
+  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (ws) MINUTE AS w_start,
+  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (ws + 10) MINUTE AS w_end,
+  role,
+  count(*) AS n,
+  CAST(sum(lsn) AS BIGINT) AS lsn_sum
+FROM expanded
 GROUP BY 1, 2, 3
 """
 
@@ -1148,6 +1205,121 @@ SELECT
   TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (MAX(m) + 5) MINUTE AS s_end,
   uid, count(*) AS n, CAST(sum(lsn) AS BIGINT) AS lsn_sum
 FROM sess GROUP BY uid, sid
+"""
+
+
+def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join under the hard oracle
+    (≙ the reference correlating a report stream with asynchronous
+    metadata events, RouteIngestedFile.kt:24-38). Two file streams
+    derived from ``events`` — probes (even lsn) and enrichments (odd
+    lsn), both keyed uid = (lsn//2) % 23 — joined inner on uid with
+    r_ts in [l_ts, l_ts + 4 minutes], both sides watermarked at 10
+    minutes. Two availableNow replays over one checkpoint:
+
+    1. on-time phase (minutes 0-59 both sides) — inner-join matches
+       emit eagerly in this batch; afterwards both watermarks = 49;
+    2. late phase: right rows at minutes 55-58 (within delay → join
+       against buffered left state, whose eviction horizon is
+       49 - 4 = 45 < 51 = the earliest possible partner, margin 6)
+       and rows ≤ 9 min on BOTH sides (behind the watermark → dropped
+       at input; their partners' state is independently evicted, so
+       the outcome is margin-safe under either mechanism).
+
+    No flush ticks needed: inner joins emit on match, not on window
+    finalization. The batch oracle is therefore the plain inner
+    interval join of all kept rows."""
+    from dexspark.streaming.joins import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    lsn = F.col("event_id")
+    h = (lsn / 2).cast("long")  # per-side dense counter
+    # left (even lsn): on-time minutes 0-59, or very-late (dropped)
+    m_left = F.when(F.pmod(h, 7) != 6, F.pmod(h, 60)).otherwise(F.pmod(h, 10))
+    # right (odd lsn): on-time, in-delay late (55-58), or very-late
+    m_right = (
+        F.when(F.pmod(h, 7) != 6, F.pmod(h, 60))
+        .when(F.pmod(h, 14) == 6, F.lit(55) + F.pmod(h, 4))
+        .otherwise(F.pmod(h, 10))
+    )
+    base = ev.select(
+        lsn.alias("lsn"),
+        F.pmod(h, 23).alias("uid"),
+        F.when(F.pmod(lsn, 2) == 0, m_left).otherwise(m_right).alias("m"),
+        (F.pmod(h, 7) == 6).alias("phase2"),
+    ).withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(_WIN_BASE_EPOCH) + F.col("m").cast("long") * 60),
+    )
+    left_rows = base.filter(F.pmod(F.col("lsn"), 2) == 0).select(
+        F.col("lsn").alias("l_lsn"), "uid", F.col("ts").alias("l_ts"), "phase2"
+    )
+    right_rows = base.filter(F.pmod(F.col("lsn"), 2) == 1).select(
+        F.col("lsn").alias("r_lsn"), "uid", F.col("ts").alias("r_ts"), "phase2"
+    )
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    l_dir, r_dir = os.path.join(d, "probe"), os.path.join(d, "enrich")
+    cp, out_dir = os.path.join(d, "cp"), os.path.join(d, "jout")
+    l_ddl = "l_lsn long, uid long, l_ts timestamp"
+    r_ddl = "r_lsn long, uid long, r_ts timestamp"
+    out_ddl = "l_lsn long, uid long, l_ts timestamp, r_lsn long, r_ts timestamp"
+
+    def run() -> None:
+        left_s = (
+            spark.readStream.schema(_parse_datatype_string(l_ddl))
+            .parquet(l_dir + "/*")
+        )
+        right_s = (
+            spark.readStream.schema(_parse_datatype_string(r_ddl))
+            .parquet(r_dir + "/*")
+        )
+        joined = interval_join(
+            left_s, right_s, key="uid", left_ts="l_ts", right_ts="r_ts",
+            delay="10 minutes", max_delta="4 minutes",
+        )
+        q = (
+            joined.writeStream.format("parquet").option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    for df, path in ((left_rows, l_dir), (right_rows, r_dir)):
+        df.filter(~F.col("phase2")).drop("phase2").repartition(4).write.parquet(path)
+    run()
+    for df, path in ((left_rows, l_dir), (right_rows, r_dir)):
+        df.filter(F.col("phase2")).drop("phase2").repartition(2).write.mode(
+            "append"
+        ).parquet(path)
+    run()
+    return spark.read.schema(_parse_datatype_string(out_ddl)).parquet(out_dir)
+
+
+# Mirror: kept rows are everything except the very-late ones (left
+# h%7=6; right h%14=13 — right h%14=6 is the in-delay 55-58 band,
+# which the streaming join DOES match); the result is the plain
+# interval inner join of the kept sides.
+ORACLE_INTERVAL_JOIN = """
+WITH src AS (
+  SELECT event_id AS lsn, (event_id // 2) AS h, (event_id // 2) % 23 AS uid
+  FROM events
+),
+left_s AS (
+  SELECT lsn AS l_lsn, uid, h % 60 AS m
+  FROM src WHERE lsn % 2 = 0 AND h % 7 <> 6
+),
+right_s AS (
+  SELECT lsn AS r_lsn, uid,
+    CASE WHEN h % 7 <> 6 THEN h % 60 ELSE 55 + h % 4 END AS m
+  FROM src WHERE lsn % 2 = 1 AND h % 14 <> 13
+)
+SELECT
+  l.l_lsn, l.uid,
+  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (l.m) MINUTE AS l_ts,
+  r.r_lsn,
+  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (r.m) MINUTE AS r_ts
+FROM left_s l JOIN right_s r
+  ON l.uid = r.uid AND r.m BETWEEN l.m AND l.m + 4
 """
 
 
@@ -1795,20 +1967,24 @@ def emb_ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, queries, dim=EMB_DIM, k=5, n_bits=ANN_BITS)
 
 
-def _ann_proj_sql(bit: int) -> str:
-    # mirror of dexspark.functions.similarity._plane_weight (seed=42):
-    # idx = (42*7919 + bit*64 + d); w = ((A*idx + C) % 2^31) % 2048 - 1024
+def _ann_proj_sql(bit: int, seed: int = 42) -> str:
+    # mirror of dexspark.functions.similarity._plane_weight:
+    # idx = (seed*7919 + bit*64 + d); w = ((A*idx + C) % 2^31) % 2048 - 1024
     return (
         "list_sum([CAST(embedding[d+1] AS DOUBLE) * CAST("
-        f"((1103515245 * (332598 + {bit} * 64 + d) + 12345) % 2147483648) "
+        f"((1103515245 * ({seed * 7919} + {bit} * 64 + d) + 12345) % 2147483648) "
         "% 2048 - 1024 AS DOUBLE) for d in range(0, 64)])"
     )
 
 
-_ANN_SIG_SQL = " + ".join(
-    f"(CASE WHEN {_ann_proj_sql(b)} >= 0 THEN {2 ** b} ELSE 0 END)"
-    for b in range(ANN_BITS)
-)
+def _ann_sig_sql(seed: int = 42) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_ann_proj_sql(b, seed)} >= 0 THEN {2 ** b} ELSE 0 END)"
+        for b in range(ANN_BITS)
+    )
+
+
+_ANN_SIG_SQL = _ann_sig_sql(42)
 
 ORACLE_ANN_TOPK = f"""
 WITH sigs AS (
@@ -1822,6 +1998,65 @@ WITH sigs AS (
          list_dot_product(q.qv, s.v)
          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(s.v, s.v))) AS score
   FROM sigs s JOIN q ON s.bucket = q.bucket AND s.vec_id <> q.query_id
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       CAST(round(score * 1e6) AS BIGINT) AS score_x1e6
+FROM r WHERE rank <= 5
+"""
+
+
+ANN_BANDS = 4
+
+
+def emb_ann_multiband_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified multi-band LSH top-k: 4 independent 4-bit
+    signature families; a corpus vector is a candidate if it shares a
+    bucket with the query in ANY band (P(miss) = (1-p^4)^4 — the same
+    amplification MinHash banding uses for near-dups). The oracle
+    rebuilds every band's planes arithmetically and mirrors the
+    band-union + per-pair max-score collapse, so candidate generation
+    across all four families is hash-checked."""
+    from dexspark.functions.similarity import ann_lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_lsh_topk(
+        emb, queries, dim=EMB_DIM, k=5, n_bits=ANN_BITS, n_bands=ANN_BANDS
+    )
+
+
+def _ann_multiband_oracle_sql() -> str:
+    # band b: plane seed 42 + 1009*b, bucket offset b * 2^ANN_BITS —
+    # mirrors ann_lsh_topk(n_bands=ANN_BANDS) exactly
+    band_cols = ", ".join(
+        f"(({_ann_sig_sql(42 + 1009 * b)}) + {b * (2 ** ANN_BITS)}) AS bucket_{b}"
+        for b in range(ANN_BANDS)
+    )
+    expanded = " UNION ALL ".join(
+        f"SELECT vec_id, v, bucket_{b} AS bucket FROM sigs"
+        for b in range(ANN_BANDS)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {band_cols}
+  FROM embeddings
+), expanded AS (
+  {expanded}
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM expanded WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         MAX(list_dot_product(q.qv, s.v)
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(s.v, s.v)))) AS score
+  FROM expanded s JOIN q ON s.bucket = q.bucket AND s.vec_id <> q.query_id
+  GROUP BY 1, 2
 ), r AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
@@ -2414,6 +2649,7 @@ QUERIES: dict[str, tuple] = {
     "doc_fingerprint_groups": (doc_fingerprint_groups_q, ORACLE_FP_GROUPS),
     "emb_cosine_topk": (emb_cosine_topk_q, ORACLE_COSINE_TOPK),
     "emb_ann_lsh_topk": (emb_ann_lsh_topk_q, ORACLE_ANN_TOPK),
+    "emb_ann_multiband_topk": (emb_ann_multiband_topk_q, _ann_multiband_oracle_sql()),
     "emb_ivf_topk": (emb_ivf_topk_q, _ivf_oracle_sql()),
     "emb_cosine_near_dups": (emb_cosine_near_dups_q, ORACLE_EMB_NEAR_DUPS),
     "media_feature_stats": (media_feature_stats_q, ORACLE_MEDIA),
@@ -2432,6 +2668,8 @@ QUERIES: dict[str, tuple] = {
     "cdc_config_hot_reload": (cdc_config_hot_reload_q, ORACLE_HOT_RELOAD),
     "stream_window_late_data": (stream_window_late_data_q, ORACLE_STREAM_WINDOW),
     "stream_session_windows": (stream_session_windows_q, ORACLE_SESSION_WINDOWS),
+    "stream_sliding_window": (stream_sliding_window_q, ORACLE_SLIDING_WINDOW),
+    "stream_interval_join": (stream_interval_join_q, ORACLE_INTERVAL_JOIN),
     "route_events": (route_events_q, ORACLE_ROUTE),
     "route_events_2key": (route_events_2key_q, ORACLE_ROUTE_2KEY),
     "routed_sink_readback": (routed_sink_readback_q, ORACLE_SINK_READBACK),

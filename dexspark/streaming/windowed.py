@@ -35,11 +35,22 @@ def windowed_counts(
     window_duration: str = "5 minutes",
     group_cols: tuple[str, ...] = ("role",),
     sum_col: str | None = "lsn",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts (+ optional exact sum) per group with a
-    lateness watermark. Returns a streaming DataFrame with columns
+    """Tumbling- (or, with ``slide``, sliding-/hopping-) window counts
+    (+ optional exact sum) per group with a lateness watermark.
+    Returns a streaming DataFrame with columns
     (w_start, w_end, *group_cols, n[, <sum_col>_sum]) suitable for an
     append-mode sink.
+
+    With ``slide`` < ``window_duration`` each event lands in
+    ceil(duration/slide) overlapping windows — Spark expands the row
+    once per window BEFORE the shuffle, so state and shuffle volume
+    scale by that factor (choose the ratio deliberately at 10^10
+    events). A late row participates only in its still-open windows:
+    windows whose end has passed the watermark were already finalized
+    and the expanded row for them is dropped — per-window, not
+    per-row, lateness.
 
     Note there is deliberately NO row-filter parameter: a filter
     placed "after" ``withWatermark`` is pushed below the
@@ -53,8 +64,13 @@ def windowed_counts(
     aggs = [F.count(F.lit(1)).alias("n")]
     if sum_col is not None:
         aggs.append(F.sum(sum_col).alias(f"{sum_col}_sum"))
+    win = (
+        F.window(F.col(ts_col), window_duration, slide)
+        if slide is not None
+        else F.window(F.col(ts_col), window_duration)
+    )
     return (
-        s.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), *group_cols)
+        s.groupBy(win.alias("w"), *group_cols)
         .agg(*aggs)
         .select(
             F.col("w.start").alias("w_start"),

@@ -42,6 +42,10 @@ SUBSET = [
     "cdc_replay_mor",
     "cdc_feed_mirror",
     "cdc_validate_ts_monotonic",
+    # round-4 surfaces
+    "stream_sliding_window",
+    "stream_interval_join",
+    "cdc_replay_concurrent_maintenance",
 ]
 
 
