@@ -34,11 +34,16 @@ class DataFile:
     # per batch, resolved against base at read time by max applied-LSN.
     # Absent in pre-MOR manifests → parsed as "base" (format-compatible).
     kind: str = "base"
+    # per-column [min, max] from the parquet footer (see lake/stats.py);
+    # {} in pre-stats manifests → file is never pruned (format-compatible)
+    stats: dict[str, list] = field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:
         d = {"path": self.path, "bucket": self.bucket, "schema_id": self.schema_id}
         if self.kind != "base":
             d["kind"] = self.kind
+        if self.stats:
+            d["stats"] = self.stats
         return d
 
     @staticmethod
@@ -48,6 +53,7 @@ class DataFile:
             bucket=int(d["bucket"]),
             schema_id=int(d["schema_id"]),
             kind=d.get("kind", "base"),
+            stats=d.get("stats", {}),
         )
 
 

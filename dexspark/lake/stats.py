@@ -1,0 +1,171 @@
+"""Per-file column statistics for manifest-level data skipping.
+
+Iceberg/Delta keep min/max per data file in table metadata so a
+predicate can discard whole files before the scan is planned — at
+100 TB this is the difference between "read two days of segments" and
+"read the table". The same idea here, sized to this manifest format:
+
+- **Collect** at commit time from the parquet footers the writer just
+  produced (the footer already holds row-group min/max — collection is
+  a metadata read of O(new files per commit), never a data scan).
+- **Store** on each ``DataFile`` entry as ``{col: [min, max]}`` —
+  JSON-friendly (timestamps/dates as ISO strings, decoded against the
+  table schema at prune time).
+- **Prune** in ``LakeTable.read(filters=...)``: a file is skipped only
+  when its stats PROVE no row can satisfy the conjunction. Files with
+  no stats (pre-stats commits, missing column) are always kept, and
+  the row-level residual filter is always applied after the scan, so
+  skipping is a pure optimization that can never change results.
+
+Deliberately conservative choices:
+
+- Only numeric/timestamp/date/boolean columns. Parquet writers may
+  TRUNCATE binary (string) min/max stats, and pyarrow does not expose
+  the is_exact flags everywhere — a truncated max used as an upper
+  bound would prune wrongly, so strings are simply not collected.
+- Only conjunctions of simple comparisons (=, <, <=, >, >=). That is
+  what file-level min/max can decide; everything richer belongs in the
+  residual row filter that runs regardless.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    ByteType,
+    DataType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StructType,
+    TimestampType,
+)
+
+OPS = ("=", "<", "<=", ">", ">=")
+
+_NUMERIC = (ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+
+
+def stats_eligible(dt: DataType) -> bool:
+    return isinstance(dt, _NUMERIC + (TimestampType, DateType, BooleanType))
+
+
+def _norm_ts(v: Any) -> Any:
+    """Timestamps are compared in naive-UTC: the session timezone is
+    pinned to UTC (session.py), so a naive filter value means UTC, while
+    pyarrow footer stats come back tz-aware."""
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+def _encode(v: Any) -> Any:
+    if isinstance(v, _dt.datetime):
+        return _norm_ts(v).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
+def _decode(v: Any, dt: DataType) -> Any:
+    if isinstance(dt, TimestampType) and isinstance(v, str):
+        return _dt.datetime.fromisoformat(v)
+    if isinstance(dt, DateType) and isinstance(v, str):
+        return _dt.date.fromisoformat(v)
+    return v
+
+
+def collect_file_stats(abs_path: str, schema: StructType) -> dict[str, list]:
+    """min/max per eligible column from the parquet footer (all row
+    groups folded together). Columns that are all-null in the file, or
+    whose footer lacks stats, are omitted — absent means "cannot
+    prune", never "empty"."""
+    import pyarrow.parquet as pq
+
+    eligible = {f.name for f in schema.fields if stats_eligible(f.dataType)}
+    md = pq.ParquetFile(abs_path).metadata
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    # one stats-less row group poisons the whole file for that column:
+    # its rows are unbounded
+    unbounded: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in eligible or name in unbounded:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                unbounded.add(name)
+                continue
+            mins[name] = st.min if name not in mins else min(mins[name], st.min)
+            maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+    return {
+        k: [_encode(mins[k]), _encode(maxs[k])]
+        for k in mins
+        if k not in unbounded
+    }
+
+
+def validate_filters(
+    filters: list[tuple[str, str, Any]], schema: StructType
+) -> None:
+    names = {f.name for f in schema.fields}
+    for col, op, _ in filters:
+        if op not in OPS:
+            raise ValueError(f"unsupported filter op {op!r} (use one of {OPS})")
+        if col not in names:
+            raise ValueError(f"filter column {col!r} not in table schema")
+
+
+def file_may_match(
+    stats: dict[str, list], filters: list[tuple[str, str, Any]], schema: StructType
+) -> bool:
+    """False only when the stats PROVE the conjunction is unsatisfiable
+    for every row of the file. Missing stats for a column → that
+    conjunct cannot prune. NULL rows need no special case: every OPS
+    comparison is null-rejecting, so a row the stats don't describe
+    (nulls are excluded from parquet min/max) could not have passed the
+    residual filter either."""
+    types = {f.name: f.dataType for f in schema.fields}
+    for col, op, v in filters:
+        if col not in stats:
+            continue
+        v = _norm_ts(v)
+        mn, mx = (_decode(x, types[col]) for x in stats[col])
+        if (
+            (op == "=" and (v < mn or v > mx))
+            or (op == "<" and mn >= v)
+            or (op == "<=" and mn > v)
+            or (op == ">" and mx <= v)
+            or (op == ">=" and mx < v)
+        ):
+            return False
+    return True
+
+
+def residual_condition(filters: list[tuple[str, str, Any]]) -> Column:
+    """The exact row-level conjunction; always applied after the scan
+    so pruning never changes results (and Catalyst still pushes it
+    into the parquet reader for row-group skipping on the files that
+    survive)."""
+    cond = F.lit(True)
+    for col, op, v in filters:
+        c = F.col(col)
+        cond = cond & {
+            "=": c == v,
+            "<": c < v,
+            "<=": c <= v,
+            ">": c > v,
+            ">=": c >= v,
+        }[op]
+    return cond

@@ -40,6 +40,7 @@ from pyspark.sql.types import (
 )
 
 from dexspark.lake import manifest as mf
+from dexspark.lake import stats as lake_stats
 
 BUCKET_COL = "_bucket"
 # system columns (physical, never in the logical schema):
@@ -194,11 +195,26 @@ class LakeTable:
         version: int | None = None,
         buckets: Iterable[int] | None = None,
         include_system: bool = False,
+        filters: list[tuple[str, str, Any]] | None = None,
     ) -> DataFrame:
+        """Current (or time-travel) state of the table.
+
+        ``filters`` — conjunction of ``(column, op, value)`` with op in
+        ``=, <, <=, >, >=`` — prunes data files whose manifest min/max
+        stats prove no row can match (lake/stats.py), then applies the
+        same predicate row-level, so results always equal
+        ``read().filter(...)``. Pruning applies only to buckets with no
+        outstanding MOR deltas: in a delta bucket the last-writer-wins
+        resolution must see every version of a key (a filtered-out
+        file could hold the winning row), so those buckets resolve
+        first and filter after — compaction restores their prunability.
+        """
         m = self.manifest(version)
         current = StructType.fromJson(
             __import__("json").loads(m.schemas[m.current_schema_id])
         )
+        if filters:
+            lake_stats.validate_filters(filters, current)
         sys_fields = [
             StructField(SYS_LSN, LongType(), True),
             StructField(SYS_DELETED, BooleanType(), True),
@@ -208,30 +224,37 @@ class LakeTable:
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f.bucket in bset]
-        if not files:
-            empty = self.spark.createDataFrame([], current_sys)
-            return empty if include_system else empty.drop(SYS_LSN, SYS_DELETED)
         # Merge-on-read resolution: a bucket holding delta files needs
         # its rows collapsed to the max-applied-LSN winner per merge
         # key. Buckets WITHOUT deltas skip the resolution entirely, so
         # the extra shuffle is O(delta-touched buckets), not O(table)
         # — compaction folds deltas back into base to bound it.
         delta_buckets = {f.bucket for f in files if f.kind == "delta"}
-        if delta_buckets:
-            res_files = [f for f in files if f.bucket in delta_buckets]
-            clean_files = [f for f in files if f.bucket not in delta_buckets]
+        res_files = [f for f in files if f.bucket in delta_buckets]
+        clean_files = [f for f in files if f.bucket not in delta_buckets]
+        if filters:
+            clean_files = [
+                f
+                for f in clean_files
+                if lake_stats.file_may_match(f.stats, filters, current)
+            ]
+        if not res_files and not clean_files:
+            out = self.spark.createDataFrame([], current_sys)
+        elif res_files:
             out = self._resolve_mor(
                 self._scan_files(res_files, m, current_sys), m, current_sys
             )
             if clean_files:
                 out = self._scan_files(clean_files, m, current_sys).unionByName(out)
         else:
-            out = self._scan_files(files, m, current_sys)
-        if include_system:
-            return out
-        return out.filter(
-            ~F.coalesce(F.col(SYS_DELETED), F.lit(False))
-        ).drop(SYS_LSN, SYS_DELETED)
+            out = self._scan_files(clean_files, m, current_sys)
+        if not include_system:
+            out = out.filter(
+                ~F.coalesce(F.col(SYS_DELETED), F.lit(False))
+            ).drop(SYS_LSN, SYS_DELETED)
+        if filters:
+            out = out.filter(lake_stats.residual_condition(filters))
+        return out
 
     def _scan_files(
         self, files: list[mf.DataFile], m: mf.Manifest, current_sys: StructType
@@ -326,6 +349,9 @@ class LakeTable:
             .parquet(out_abs, mode="errorifexists")
         )
         new_files: list[mf.DataFile] = []
+        writer_schema = StructType.fromJson(
+            __import__("json").loads(m.schemas[m.current_schema_id])
+        )
         if os.path.isdir(out_abs):
             for entry in os.listdir(out_abs):
                 if not entry.startswith(f"{BUCKET_COL}="):
@@ -334,12 +360,18 @@ class LakeTable:
                 bdir = os.path.join(out_abs, entry)
                 for fn in os.listdir(bdir):
                     if fn.endswith(".parquet"):
+                        fabs = os.path.join(bdir, fn)
+                        # footer-only metadata read, O(new files per
+                        # commit) — see lake/stats.py
                         new_files.append(
                             mf.DataFile(
                                 path=os.path.join(out_rel, entry, fn),
                                 bucket=bucket,
                                 schema_id=m.current_schema_id,
                                 kind=kind,
+                                stats=lake_stats.collect_file_stats(
+                                    fabs, writer_schema
+                                ),
                             )
                         )
         return new_files

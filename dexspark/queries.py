@@ -525,6 +525,52 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def lake_stats_pruned_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest min/max data skipping (Iceberg/Delta file-stats
+    analogue, lake/stats.py): events land as 8 hourly append commits —
+    the time-series ingest shape — and a ts-range read for hour 3
+    must prune every other commit's files BEFORE Spark plans the scan
+    (asserted by tests/test_lake_stats.py via df.inputFiles(); here
+    the oracle checks the result is exactly the row-level filter).
+    At 100 TB this is "read one hour of segments", not "read the
+    table"."""
+    import datetime as _dt
+
+    ev = load(spark, sf_dir, "events")
+    lsn = F.col("event_id")
+    rows = ev.select(
+        lsn.alias("lsn"),
+        F.col("user_id").cast("long").alias("uid"),
+        F.col("event_type").alias("etype"),
+        F.timestamp_seconds(
+            F.lit(_WIN_BASE_EPOCH) + F.pmod(lsn, 480).cast("long") * 60
+        ).alias("ts"),
+        (F.pmod(lsn, 480) / 60).cast("int").alias("_hour"),
+    )
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "events_lake"),
+        _parse_datatype_string("lsn long, uid long, etype string, ts timestamp"),
+        "uid", num_buckets=4,
+    )
+    for h in range(8):
+        table.append(rows.filter(F.col("_hour") == h).drop("_hour"))
+    base = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    lo = base + _dt.timedelta(hours=3)
+    hi = base + _dt.timedelta(hours=4)
+    return table.read(filters=[("ts", ">=", lo), ("ts", "<", hi)])
+
+
+ORACLE_STATS_PRUNED = """
+SELECT event_id AS lsn, CAST(user_id AS BIGINT) AS uid,
+  event_type AS etype,
+  TIMESTAMP '2024-01-01 00:00:00'
+    + INTERVAL (event_id % 480) MINUTE AS ts
+FROM events
+WHERE event_id % 480 BETWEEN 180 AND 239
+"""
+
+
 def cdc_change_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-feed read-back (Delta table_changes / Iceberg changelog
     analogue): diff the mid-replay snapshot against the final one into
@@ -1208,14 +1254,16 @@ FROM sess GROUP BY uid, sid
 """
 
 
-def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _interval_join_replay(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
     """Watermarked stream-stream interval join under the hard oracle
     (≙ the reference correlating a report stream with asynchronous
     metadata events, RouteIngestedFile.kt:24-38). Two file streams
     derived from ``events`` — probes (even lsn) and enrichments (odd
-    lsn), both keyed uid = (lsn//2) % 23 — joined inner on uid with
+    lsn), both keyed uid = (lsn//2) % 23 — joined on uid with
     r_ts in [l_ts, l_ts + 4 minutes], both sides watermarked at 10
-    minutes. Two availableNow replays over one checkpoint:
+    minutes. availableNow replays over one checkpoint:
 
     1. on-time phase (minutes 0-59 both sides) — inner-join matches
        emit eagerly in this batch; afterwards both watermarks = 49;
@@ -1224,11 +1272,23 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
        49 - 4 = 45 < 51 = the earliest possible partner, margin 6)
        and rows ≤ 9 min on BOTH sides (behind the watermark → dropped
        at input; their partners' state is independently evicted, so
-       the outcome is margin-safe under either mechanism).
+       the outcome is margin-safe under either mechanism);
+    3. (``left_outer`` only) one flush tick per side — DISTINCT
+       unmatchable keys (they must not pair with each other either),
+       far-future event time — pushing the global watermark past
+       every real left row's l_ts + 4min horizon so each unmatched
+       left row is flushed out with null right columns. The ticks
+       themselves stay safely inside their own horizon (margin
+       delay + 4min) and are never emitted.
 
-    No flush ticks needed: inner joins emit on match, not on window
-    finalization. The batch oracle is therefore the plain inner
-    interval join of all kept rows."""
+    The key moduli differ per side (left uid = h%25, right uid =
+    h%23): uids 23-24 exist only on the probe side, guaranteeing a
+    population of never-matchable probes so the outer variant's
+    null-emission path carries real weight.
+
+    Inner joins need no flush: they emit on match, not on state
+    expiry. The batch oracle is the plain (inner or left) interval
+    join of all kept rows."""
     from dexspark.streaming.joins import interval_join
 
     ev = load(spark, sf_dir, "events")
@@ -1244,7 +1304,10 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = ev.select(
         lsn.alias("lsn"),
-        F.pmod(h, 23).alias("uid"),
+        # asymmetric moduli: left uids 23-24 have no possible partner
+        F.when(F.pmod(lsn, 2) == 0, F.pmod(h, 25))
+        .otherwise(F.pmod(h, 23))
+        .alias("uid"),
         F.when(F.pmod(lsn, 2) == 0, m_left).otherwise(m_right).alias("m"),
         (F.pmod(h, 7) == 6).alias("phase2"),
     ).withColumn(
@@ -1275,7 +1338,7 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         joined = interval_join(
             left_s, right_s, key="uid", left_ts="l_ts", right_ts="r_ts",
-            delay="10 minutes", max_delta="4 minutes",
+            delay="10 minutes", max_delta="4 minutes", how=how,
         )
         q = (
             joined.writeStream.format("parquet").option("path", out_dir)
@@ -1292,7 +1355,35 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append"
         ).parquet(path)
     run()
+    if how == "left_outer":
+        flush_ts = F.timestamp_seconds(
+            F.lit(_WIN_BASE_EPOCH) + F.lit(10_000 * 60).cast("long")
+        )
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("l_lsn"),
+            F.lit(999_998).cast("long").alias("uid"),
+            flush_ts.alias("l_ts"),
+        ).write.mode("append").parquet(l_dir)
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("r_lsn"),
+            F.lit(999_999).cast("long").alias("uid"),
+            flush_ts.alias("r_ts"),
+        ).write.mode("append").parquet(r_dir)
+        run()
     return spark.read.schema(_parse_datatype_string(out_ddl)).parquet(out_dir)
+
+
+def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner watermarked interval join — see ``_interval_join_replay``."""
+    return _interval_join_replay(spark, sf_dir, "inner")
+
+
+def stream_interval_join_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer watermarked interval join: matches emit eagerly,
+    unmatched probes emit with null enrichment columns once the
+    watermark proves no partner can still arrive — see
+    ``_interval_join_replay``."""
+    return _interval_join_replay(spark, sf_dir, "left_outer")
 
 
 # Mirror: kept rows are everything except the very-late ones (left
@@ -1301,15 +1392,15 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # interval inner join of the kept sides.
 ORACLE_INTERVAL_JOIN = """
 WITH src AS (
-  SELECT event_id AS lsn, (event_id // 2) AS h, (event_id // 2) % 23 AS uid
+  SELECT event_id AS lsn, (event_id // 2) AS h
   FROM events
 ),
 left_s AS (
-  SELECT lsn AS l_lsn, uid, h % 60 AS m
+  SELECT lsn AS l_lsn, h % 25 AS uid, h % 60 AS m
   FROM src WHERE lsn % 2 = 0 AND h % 7 <> 6
 ),
 right_s AS (
-  SELECT lsn AS r_lsn, uid,
+  SELECT lsn AS r_lsn, h % 23 AS uid,
     CASE WHEN h % 7 <> 6 THEN h % 60 ELSE 55 + h % 4 END AS m
   FROM src WHERE lsn % 2 = 1 AND h % 14 <> 13
 )
@@ -1320,6 +1411,130 @@ SELECT
   TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (r.m) MINUTE AS r_ts
 FROM left_s l JOIN right_s r
   ON l.uid = r.uid AND r.m BETWEEN l.m AND l.m + 4
+"""
+
+
+# Left-outer mirror: every kept probe appears; unmatched ones carry
+# NULL enrichment columns (the streaming side emits those on state
+# expiry once the flush ticks advance the watermark past every real
+# horizon).
+ORACLE_INTERVAL_JOIN_OUTER = """
+WITH src AS (
+  SELECT event_id AS lsn, (event_id // 2) AS h
+  FROM events
+),
+left_s AS (
+  SELECT lsn AS l_lsn, h % 25 AS uid, h % 60 AS m
+  FROM src WHERE lsn % 2 = 0 AND h % 7 <> 6
+),
+right_s AS (
+  SELECT lsn AS r_lsn, h % 23 AS uid,
+    CASE WHEN h % 7 <> 6 THEN h % 60 ELSE 55 + h % 4 END AS m
+  FROM src WHERE lsn % 2 = 1 AND h % 14 <> 13
+)
+SELECT
+  l.l_lsn, l.uid,
+  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (l.m) MINUTE AS l_ts,
+  r.r_lsn,
+  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (r.m) MINUTE AS r_ts
+FROM left_s l LEFT JOIN right_s r
+  ON l.uid = r.uid AND r.m BETWEEN l.m AND l.m + 4
+"""
+
+
+def stream_dedup_deliveries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-delivery absorption under the hard oracle: an
+    at-least-once transport (≙ Event Grid redelivery + Durable
+    activity retry, FnOrchestrator.kt:182-192) delivers every change
+    record 1 + lsn%3 times; ``dedup_within_watermark`` must emit each
+    exactly once. Two availableNow replays over one checkpoint:
+
+    1. on-time phase: records at minutes 0-59, every copy written in
+       the same phase with the SAME event time (redelivery of an
+       immutable log record) — all copies collapse in state, one row
+       per lsn emitted; afterwards watermark = 49;
+    2. late phase: re-deliveries of minute ≤ 9 records (behind the
+       watermark by ≥ 40 min → dropped at input — correct, the
+       original was already emitted; NOTE this is the case plain
+       in-state dedup would get wrong once state expired) plus new
+       records at minutes 60-119, again delivered in multiple copies.
+
+    The batch oracle is SELECT DISTINCT over the kept records — exact
+    because copies are identical rows and every watermark comparison
+    has ≥ 5-minute margins."""
+    from dexspark.streaming.dedup import dedup_within_watermark
+
+    ev = load(spark, sf_dir, "events")
+    lsn = F.col("event_id")
+    m = F.when(F.pmod(lsn, 7) != 6, F.pmod(lsn, 60)).otherwise(
+        F.lit(60) + F.pmod(lsn, 60)
+    )
+    base = ev.select(
+        lsn.alias("lsn"),
+        F.when(F.pmod(lsn, 3) == 0, F.lit("user"))
+        .when(F.pmod(lsn, 3) == 1, F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+        .alias("role"),
+        m.alias("m"),
+        (F.pmod(lsn, 7) == 6).alias("phase2"),
+        (F.lit(1) + F.pmod(lsn, 3)).cast("int").alias("copies"),
+    ).withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(_WIN_BASE_EPOCH) + F.col("m").cast("long") * 60),
+    )
+    dup = base.withColumn(
+        "_c", F.explode(F.sequence(F.lit(1), F.col("copies")))
+    ).select("lsn", "role", "ts", "phase2")
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    log_dir, cp, out_dir = (
+        os.path.join(d, "log"),
+        os.path.join(d, "cp"),
+        os.path.join(d, "out"),
+    )
+    ddl = "lsn long, role string, ts timestamp"
+
+    def run() -> None:
+        s = spark.readStream.schema(_parse_datatype_string(ddl)).parquet(
+            log_dir + "/*"
+        )
+        deduped = dedup_within_watermark(
+            s, keys=("lsn",), ts_col="ts", delay="10 minutes"
+        )
+        q = (
+            deduped.writeStream.format("parquet").option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    dup.filter(~F.col("phase2")).drop("phase2").repartition(4).write.parquet(
+        log_dir
+    )
+    run()
+    # late re-deliveries of early records + the phase-2 records
+    late_redeliver = dup.filter(~F.col("phase2")).drop("phase2").filter(
+        F.col("ts")
+        < F.timestamp_seconds(F.lit(_WIN_BASE_EPOCH + 10 * 60))
+    )
+    phase2 = dup.filter(F.col("phase2")).drop("phase2")
+    late_redeliver.unionByName(phase2).repartition(2).write.mode(
+        "append"
+    ).parquet(log_dir)
+    run()
+    return spark.read.schema(_parse_datatype_string(ddl)).parquet(out_dir)
+
+
+# Mirror: one row per lsn — phase-1 records (lsn%7<>6, minutes 0-59)
+# plus phase-2 records (lsn%7=6, minutes 60-119); duplicate deliveries
+# and the behind-watermark re-deliveries contribute nothing.
+ORACLE_STREAM_DEDUP = """
+SELECT event_id AS lsn,
+  CASE event_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+       ELSE 'tool' END AS role,
+  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (
+    CASE WHEN event_id % 7 <> 6 THEN event_id % 60
+         ELSE 60 + event_id % 60 END) MINUTE AS ts
+FROM events
 """
 
 
@@ -1634,6 +1849,90 @@ SELECT {_SUM_BIGINT.format(expr=_CENTS_SQL.format(col='l_extendedprice'))} AS su
        count(*) AS n_rows
 FROM lineitem l JOIN pp ON l.l_partkey = pp.l_partkey
 WHERE {_CENTS_SQL.format(col='l_quantity')} * 5 * pp.n < pp.sum_qty_c
+"""
+
+
+def q13_customer_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join (customers with zero orders
+    must appear) → per-customer count → count-of-counts histogram.
+    Exercises the null-preserving outer join + double aggregation
+    pattern; both aggregates are map-side-combinable and the second
+    input (one row per customer) is tiny, so the plan is two hash
+    aggregates with no sort."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").startswith("1-")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+ORACLE_Q13 = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN (
+    SELECT * FROM orders WHERE o_orderpriority NOT LIKE '1-%'
+  ) o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+def q18_large_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: GROUP BY ... HAVING on the big fact table
+    feeding a semi-join filter (orders whose total quantity exceeds a
+    threshold), then enrich + total-order. The HAVING aggregate is the
+    only full-lineitem pass; its survivors are a tiny set that
+    broadcasts into the enrichment joins. Quantities compare in exact
+    cents (x100) so no float boundary row differs across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents("l_quantity")).alias("sum_qty_x100"))
+        .filter(F.col("sum_qty_x100") > 21_000)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            F.col("l_orderkey").alias("o_orderkey"),
+            "o_orderdate",
+            _cents("o_totalprice").alias("o_totalprice_x100"),
+            "sum_qty_x100",
+        )
+        .orderBy(F.col("o_totalprice_x100").desc(), "o_orderdate", "o_orderkey")
+        .limit(20)
+    )
+
+
+ORACLE_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         {_SUM_BIGINT.format(expr=_CENTS_SQL.format(col='l_quantity'))} AS sum_qty_x100
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum_qty_x100 > 21000
+)
+SELECT c.c_name, c.c_custkey, b.l_orderkey AS o_orderkey, o.o_orderdate,
+       {_CENTS_SQL.format(col='o.o_totalprice')} AS o_totalprice_x100,
+       b.sum_qty_x100
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o_totalprice_x100 DESC, o.o_orderdate, o_orderkey
+LIMIT 20
 """
 
 
@@ -2639,6 +2938,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_feed_mirror": (cdc_feed_mirror_q, ORACLE_REPLAY),
     "cdc_stream_replay_mor": (cdc_stream_replay_mor_q, ORACLE_REPLAY),
     "cdc_time_travel": (cdc_time_travel_q, ORACLE_TIME_TRAVEL),
+    "lake_stats_pruned_scan": (lake_stats_pruned_scan_q, ORACLE_STATS_PRUNED),
     "cdc_change_feed": (cdc_change_feed_q, ORACLE_CHANGE_FEED),
     "conv_progress_stateful": (conv_progress_stateful_q, ORACLE_CONV_PROGRESS),
     # -- corpus curation / similarity / multimodal --
@@ -2670,6 +2970,11 @@ QUERIES: dict[str, tuple] = {
     "stream_session_windows": (stream_session_windows_q, ORACLE_SESSION_WINDOWS),
     "stream_sliding_window": (stream_sliding_window_q, ORACLE_SLIDING_WINDOW),
     "stream_interval_join": (stream_interval_join_q, ORACLE_INTERVAL_JOIN),
+    "stream_interval_join_outer": (
+        stream_interval_join_outer_q,
+        ORACLE_INTERVAL_JOIN_OUTER,
+    ),
+    "stream_dedup_deliveries": (stream_dedup_deliveries_q, ORACLE_STREAM_DEDUP),
     "route_events": (route_events_q, ORACLE_ROUTE),
     "route_events_2key": (route_events_2key_q, ORACLE_ROUTE_2KEY),
     "routed_sink_readback": (routed_sink_readback_q, ORACLE_SINK_READBACK),
@@ -2680,6 +2985,8 @@ QUERIES: dict[str, tuple] = {
     "q6_forecast_revenue": (q6_forecast_revenue_q, ORACLE_Q6),
     "q4_order_priority": (q4_order_priority_q, ORACLE_Q4),
     "q17_small_quantity": (q17_small_quantity_q, ORACLE_Q17),
+    "q13_customer_distribution": (q13_customer_distribution_q, ORACLE_Q13),
+    "q18_large_orders": (q18_large_orders_q, ORACLE_Q18),
     "churned_buyers": (churned_buyers_q, ORACLE_CHURNED),
     "lang_length_median": (lang_length_median_q, _oracle_lang_median()),
     "top_trigrams": (top_trigrams_q, ORACLE_TRIGRAMS),

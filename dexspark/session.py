@@ -95,6 +95,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("DEXSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the legacy default) carries no parquet min/max stats,
+        # which would blind the manifest-level data skipping
+        # (lake/stats.py) for timestamp columns; micros is also the
+        # modern interoperable representation
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.task.cpus", task_cpus)
     )
     for k, v in (extra_conf or {}).items():

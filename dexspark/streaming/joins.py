@@ -40,16 +40,26 @@ def interval_join(
     right_ts: str = "ts",
     delay: str = "10 minutes",
     max_delta: str = "4 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two streams on ``key`` where the right event time
-    falls in ``[left_ts, left_ts + max_delta]``. Column names on the
-    two inputs must be disjoint apart from ``key`` (rename upstream);
-    the output carries every column of both sides minus the duplicate
-    key.
+    """Join two streams on ``key`` where the right event time falls in
+    ``[left_ts, left_ts + max_delta]``. Column names on the two inputs
+    must be disjoint apart from ``key`` (rename upstream); the output
+    carries every column of both sides minus the duplicate key.
+
+    ``how="inner"`` emits matches eagerly. ``how="left_outer"`` also
+    emits every unmatched left row (right columns null) — but only
+    once the watermark passes ``left_ts + max_delta``, i.e. once no
+    future right row could still match it; until then the row sits in
+    state, which is why outer results trail the watermark rather than
+    the data. The range bound + both-side watermarks are what keep
+    that state finite, so both are applied here unconditionally.
 
     Both sides get ``withWatermark(ts, delay)`` here so callers cannot
     accidentally build the unbounded-state variant.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type: {how!r}")
     lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
     l_stream = left.withWatermark(left_ts, delay).alias("l")
     r_stream = right.withWatermark(right_ts, delay).alias("r")
@@ -58,7 +68,7 @@ def interval_join(
         & (rt >= lt)
         & (rt <= lt + F.expr(f"INTERVAL {max_delta}"))
     )
-    joined = l_stream.join(r_stream, cond, "inner")
+    joined = l_stream.join(r_stream, cond, how)
     keep = [F.col(f"l.{c}") for c in left.columns] + [
         F.col(f"r.{c}") for c in right.columns if c != key
     ]

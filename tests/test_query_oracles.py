@@ -45,6 +45,10 @@ SUBSET = [
     # round-4 surfaces
     "stream_sliding_window",
     "stream_interval_join",
+    "stream_interval_join_outer",
+    "stream_dedup_deliveries",
+    "emb_ann_multiband_topk",
+    "lake_stats_pruned_scan",
     "cdc_replay_concurrent_maintenance",
 ]
 

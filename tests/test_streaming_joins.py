@@ -106,6 +106,49 @@ def test_interval_join_matches_range_and_drops_late(spark, dirs):
     assert got == {(1, 10), (2, 12), (3, 15)}
 
 
+def test_left_outer_emits_unmatched_on_watermark(spark, dirs):
+    # uid 7 at minute 0 has a partner (minute 2); uid 8 at minute 0
+    # has none. A flush pair (distinct unmatchable keys, far future)
+    # pushes the watermark past every real horizon so the unmatched
+    # probe is emitted with null right columns.
+    _rows(spark, "l", [(1, 7, 0), (2, 8, 0)]).write.parquet(dirs["l"])
+    _rows(spark, "r", [(10, 7, 2)]).write.parquet(dirs["r"])
+
+    def run():
+        left = spark.readStream.schema(_schema("l")).parquet(dirs["l"] + "/*")
+        right = spark.readStream.schema(_schema("r")).parquet(dirs["r"] + "/*")
+        j = interval_join(
+            left, right, key="uid", left_ts="l_ts", right_ts="r_ts",
+            delay="10 minutes", max_delta="4 minutes", how="left_outer",
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", dirs["out"])
+            .option("checkpointLocation", dirs["cp"])
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run()
+    _rows(spark, "l", [(99, 500, 10_000)]).write.mode("append").parquet(dirs["l"])
+    _rows(spark, "r", [(98, 501, 10_000)]).write.mode("append").parquet(dirs["r"])
+    run()
+    got = {
+        (r.l_id, r.r_id)
+        for r in spark.read.parquet(dirs["out"]).collect()
+    }
+    assert got == {(1, 10), (2, None)}
+
+
+def test_interval_join_rejects_unknown_how(spark):
+    df = spark.range(1).select(
+        F.col("id").alias("x"), F.lit(7).alias("uid"),
+        F.current_timestamp().alias("ts"),
+    )
+    with pytest.raises(ValueError, match="unsupported join type"):
+        interval_join(df, df, how="full_outer")
+
+
 def test_interval_join_output_columns(spark, dirs):
     _rows(spark, "l", [(1, 7, 0)]).write.parquet(dirs["l"])
     _rows(spark, "r", [(10, 7, 2)]).write.parquet(dirs["r"])

@@ -158,7 +158,7 @@ parallelism levels on the same input (no real cluster available).
 
 Job: end-to-end CDC replay (Structured-Streaming tail over parquet log
 segments -> validate -> max-LSN dedup with map-side partial
-aggregation -> bucketed COW merge), {n_events:,} change events, seed
+aggregation -> bucketed {STRATEGY.upper()} merge), {n_events:,} change events, seed
 42, 64 buckets, 4 micro-batches, 5% hot-key skew, 32 log files per
 batch. Warm-up run excluded; best of {trials} trials per level (the
 sandbox VM shows 3-5x noise spikes from co-tenant load, so best-of-N
