@@ -18,6 +18,8 @@ Subcommands:
 - ``expire``  — expire old snapshots and vacuum unreferenced files.
 - ``mirror``  — subscribe a downstream table to an upstream table's
   change feed (per-snapshot diffs, exactly-once, resumable).
+- ``delete``  — predicate DELETE (retention / right-to-be-forgotten):
+  stats-pruned surgical rewrite of only the files that may match.
 - ``status``  — print snapshot version, row count, committed batches.
 
 ≙ the reference's deployment unit (an Azure Functions app wired by
@@ -145,6 +147,36 @@ def cmd_reprocess(args) -> int:
     return 0
 
 
+def _parse_where(spec: str):
+    """``col:op:value`` → (col, op, typed value). Value typing: int,
+    then float, then ISO timestamp/date, else string (strings are
+    valid residual predicates; they just never file-prune)."""
+    import datetime as dt
+
+    from dexspark.lake.stats import OPS
+
+    parts = spec.split(":", 2)
+    if len(parts) != 3 or parts[1] not in OPS:
+        raise SystemExit(
+            f"bad --where {spec!r}: expected col:op:value with op in {OPS}"
+        )
+    col, op, raw = parts
+    for conv in (int, float, dt.datetime.fromisoformat, dt.date.fromisoformat):
+        try:
+            return (col, op, conv(raw))
+        except ValueError:
+            continue
+    return (col, op, raw)
+
+
+def cmd_delete(args) -> int:
+    spark = _spark(args)
+    filters = [_parse_where(w) for w in args.where]
+    res = LakeTable(spark, args.table).delete_where(filters)
+    print(json.dumps(res, default=str))
+    return 0
+
+
 def cmd_status(args) -> int:
     spark = _spark(args)
     t = LakeTable(spark, args.table)
@@ -229,6 +261,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     rp.add_argument("--batch-id", required=True)
     rp.set_defaults(fn=cmd_reprocess)
+
+    dl = sub.add_parser(
+        "delete", help="predicate DELETE (retention sweep / RTBF)"
+    )
+    dl.add_argument("--table", required=True)
+    dl.add_argument(
+        "--where", action="append", required=True,
+        help="col:op:value, repeatable (AND-ed); op in =,<,<=,>,>=; "
+             "timestamps in ISO format, e.g. ts:<:2024-01-01T00:08:00",
+    )
+    dl.set_defaults(fn=cmd_delete)
 
     s = sub.add_parser("status", help="print table status")
     s.add_argument("--table", required=True)

@@ -455,25 +455,40 @@ class LakeTable:
         prop_updates: dict[str, str] | None = None,
         affected_buckets: set[int] | None = None,
         max_rebases: int = 10,
+        surgical: bool = False,
     ) -> mf.Manifest:
         """Commit a file-level delta with optimistic rebase.
 
-        Two modes, chosen by ``affected_buckets``:
+        Three modes:
 
-        - ADDITIVE (None): ``removed_paths`` must be empty; the commit
-          only adds files (append, MOR delta merge). Always rebasable —
-          re-pointed at ``head.files + added``. Read-time LSN
-          resolution makes concurrent rows in the same bucket
-          commutative, so no safety condition is needed.
-        - REPLACEMENT (a bucket set): the operation computed a FULL
-          replacement of those buckets' content from ``read_from``'s
-          view (COW merge, compact). Rebase re-points the commit at
-          ``[f for f in head.files if f.bucket not in affected] +
-          added`` — valid iff no intervening commit CHANGED DATA in the
-          affected buckets (``_data_changed_in``). Concurrent
-          compactions are content-preserving and thus never block the
-          rebase — the key property that lets a scheduled OPTIMIZE run
-          alongside a COW ingest without livelocking either side.
+        - ADDITIVE (``affected_buckets is None``): ``removed_paths``
+          must be empty; the commit only adds files (append, MOR delta
+          merge). Always rebasable — re-pointed at ``head.files +
+          added``. Read-time LSN resolution makes concurrent rows in
+          the same bucket commutative, so no safety condition is
+          needed.
+        - REPLACEMENT (a bucket set, ``surgical=False``): the operation
+          computed a FULL replacement of those buckets' content from
+          ``read_from``'s view (COW merge, compact). Rebase re-points
+          the commit at ``[f for f in head.files if f.bucket not in
+          affected] + added`` — valid iff no intervening commit CHANGED
+          DATA in the affected buckets (``_data_changed_in``).
+          Concurrent compactions are content-preserving and thus never
+          block the rebase — the key property that lets a scheduled
+          OPTIMIZE run alongside a COW ingest without livelocking
+          either side.
+        - SURGICAL (a bucket set, ``surgical=True``): the operation
+          rewrote exactly ``removed_paths`` (a subset of some buckets'
+          files — ``delete_where``'s stats-pruned rewrite). Rebase
+          keeps every head file except ``removed_paths`` and adds the
+          rewrites — valid iff every removed path is STILL PRESENT at
+          head: an intervening commit that rewrote or dropped one of
+          them (compact folding it away, a COW merge replacing the
+          bucket) means our survivors were computed from content the
+          head no longer references, so the caller must recompute.
+          Commits that merely ADD files to the same buckets (appends,
+          MOR deltas) serialize AFTER the surgical commit — every row
+          is still accounted for exactly once.
 
         Rebase keeps the head's schemas/current_schema_id (schema ids
         are append-only, so our files' writer-schema tags stay valid)
@@ -496,7 +511,7 @@ class LakeTable:
                             f"table has {props[k]!r}, commit wants {v!r}"
                         )
                     props[k] = v
-            if affected_buckets is None:
+            if affected_buckets is None or surgical:
                 files = [f for f in base.files if f.path not in removed_paths]
             else:
                 files = [f for f in base.files if f.bucket not in affected_buckets]
@@ -512,7 +527,15 @@ class LakeTable:
                 )
             except CommitConflict:
                 head = self.manifest()
-                if affected_buckets is not None and self._data_changed_in(
+                if surgical:
+                    live = {f.path for f in head.files}
+                    if not removed_paths <= live:
+                        raise CommitConflict(
+                            "rebase unsafe: a concurrent commit rewrote a "
+                            "file this operation was deleting from — "
+                            "recompute from the new head"
+                        ) from None
+                elif affected_buckets is not None and self._data_changed_in(
                     read_from, head, affected_buckets
                 ):
                     raise CommitConflict(
@@ -796,6 +819,156 @@ class LakeTable:
             prop_updates=props, affected_buckets=affected,
         )
         return info
+
+    # ---------------------------------------------------------------- delete
+    def delete_where(
+        self,
+        filters: list[tuple[str, str, Any]],
+        summary: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Predicate DELETE — the retention / right-to-be-forgotten
+        surface (``DELETE FROM t WHERE ts < cutoff``). Same filter
+        grammar as ``read(filters=...)``: a conjunction of
+        ``(column, op, value)`` with op in ``=, <, <=, >, >=``
+        (null-rejecting — rows where the predicate is NULL survive).
+
+        Scale shape (≙ Delta/Iceberg DELETE): manifest min/max stats
+        first PRUNE to the files that may hold a match, and only those
+        files are rewritten without their matching rows — a retention
+        sweep of one day out of three years rewrites one day's files,
+        never the table. Buckets with outstanding MOR deltas cannot be
+        pruned file-by-file (the max-LSN resolve must see every version
+        of a key), so a matching delta bucket is resolved and folded to
+        base as part of the delete (a bucket-scoped compaction).
+
+        Only LIVE rows are deleted: delete tombstones (flagged rows)
+        are kept even when their payload matches, so a late lower-LSN
+        redelivery still cannot resurrect a key that was CDC-deleted.
+        The rows removed here are removed PHYSICALLY — a genuinely new
+        out-of-order change with a lower LSN for a purged key would
+        reinsert it, so retention cutoffs must trail the upstream
+        log's out-of-order discovery horizon (redelivered *batches*
+        are already no-ops via the batch-id ledger).
+
+        Commits surgically (only the rewritten paths swap; untouched
+        files — including other files of the same bucket — carry over
+        byte-identical) with optimistic retry: concurrent appends/MOR
+        merges rebase (they serialize after the delete), a concurrent
+        rewrite of a candidate file forces a recompute from the new
+        head. No-match deletes return ``skipped`` without committing.
+        """
+        if not filters:
+            raise ValueError(
+                "delete_where requires at least one filter; to clear a "
+                "table, overwrite() with an empty frame"
+            )
+        for attempt in range(MAX_COMMIT_RETRIES + 1):
+            m = self.manifest()
+            current = self.schema(m.version)
+            lake_stats.validate_filters(filters, current)
+            current_sys = StructType(
+                list(current.fields)
+                + [
+                    StructField(SYS_LSN, LongType(), True),
+                    StructField(SYS_DELETED, BooleanType(), True),
+                ]
+            )
+            delta_buckets = {f.bucket for f in m.files if f.kind == "delta"}
+            # file-level pruning for clean buckets; bucket-level pruning
+            # for delta buckets (skippable only when NO file of the
+            # bucket may match — no version of any key matches then)
+            cand_files = [
+                f
+                for f in m.files
+                if f.bucket not in delta_buckets
+                and lake_stats.file_may_match(f.stats, filters, current)
+            ]
+            cand_delta = {
+                b
+                for b in delta_buckets
+                if any(
+                    lake_stats.file_may_match(f.stats, filters, current)
+                    for f in m.files
+                    if f.bucket == b
+                )
+            }
+            if not cand_files and not cand_delta:
+                return {
+                    "operation": "delete",
+                    "affected_buckets": [],
+                    "matched_rows": 0,
+                    "skipped": True,
+                    **(summary or {}),
+                }
+            delta_files = [f for f in m.files if f.bucket in cand_delta]
+            parts = []
+            if cand_files:
+                parts.append(self._scan_files(cand_files, m, current_sys))
+            if cand_delta:
+                parts.append(
+                    self._resolve_mor(
+                        self._scan_files(delta_files, m, current_sys),
+                        m,
+                        current_sys,
+                    )
+                )
+            data = parts[0]
+            for p in parts[1:]:
+                data = data.unionByName(p)
+            # live rows only; NULL predicate → survive (coalesce)
+            doomed = F.coalesce(
+                lake_stats.residual_condition(filters)
+                & ~F.coalesce(F.col(SYS_DELETED), F.lit(False)),
+                F.lit(False),
+            )
+            data = data.persist()
+            try:
+                matched = data.filter(doomed).count()
+                if matched == 0:
+                    # stats said "maybe", rows said no — nothing to
+                    # rewrite, nothing to commit
+                    return {
+                        "operation": "delete",
+                        "affected_buckets": [],
+                        "matched_rows": 0,
+                        "skipped": True,
+                        **(summary or {}),
+                    }
+                affected = {f.bucket for f in cand_files} | cand_delta
+                removed = {f.path for f in cand_files} | {
+                    f.path for f in delta_files
+                }
+                new_files = self._write_data(
+                    data.filter(~doomed), m, n_buckets_hint=len(affected)
+                )
+            finally:
+                data.unpersist()
+            info = {
+                "operation": "delete",
+                "filters": [
+                    [c, op, str(lake_stats._encode(v))] for c, op, v in filters
+                ],
+                "affected_buckets": sorted(affected),
+                "matched_rows": int(matched),
+                "files_rewritten": len(removed),
+                "files_kept": len(m.files) - len(removed),
+                **(summary or {}),
+            }
+            try:
+                self._commit_delta(
+                    m,
+                    removed,
+                    new_files,
+                    info,
+                    affected_buckets=affected,
+                    surgical=True,
+                )
+                return info
+            except CommitConflict:
+                if attempt == MAX_COMMIT_RETRIES:
+                    raise
+                _conflict_backoff(attempt)
+        raise AssertionError("unreachable")
 
     # ----------------------------------------------------------- maintenance
     def compact(

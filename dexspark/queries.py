@@ -571,6 +571,56 @@ WHERE event_id % 480 BETWEEN 180 AND 239
 """
 
 
+def cdc_retention_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE under the hard oracle — the retention /
+    right-to-be-forgotten surface (``DELETE FROM t WHERE ts <
+    cutoff``, Delta/Iceberg DELETE analogue; the reference has no
+    delete surface — engine-supplied per SURVEY §2.2). The replay
+    lands the first half COW and the second half MOR with NO
+    compaction, so the sweep crosses both clean buckets (stats-pruned
+    file surgery: only files whose min/max admit the cutoff are
+    rewritten) and delta buckets (resolved and folded to base as part
+    of the delete). Tombstones survive; only live rows matching the
+    predicate are purged. Surgery + pruning are machine-asserted in
+    tests/test_lake_delete.py; here the oracle checks the surviving
+    state is exactly the final state minus the swept range."""
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    batches = batch_range(log)
+    mid = (batches.start + batches.stop) // 2
+    for b in batches:
+        apply_changes(
+            table, log.filter(F.col("batch_seq") == b),
+            batch_id=f"rd{b}", strategy="cow" if b < mid else "mor",
+        )
+    import datetime as _dt
+
+    info = table.delete_where(
+        [("ts", "<", _dt.datetime(2024, 1, 1, 0, 8, 0))]
+    )
+    assert info["matched_rows"] > 0 and not info.get("skipped")
+    return table.read()
+
+
+# final replay state minus the swept ts range (ts is never NULL for
+# valid rows, so the null-rejecting predicate needs no special case)
+ORACLE_RETENTION_DELETE = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM flagged WHERE reject_reason IS NULL
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM latest WHERE rn = 1 AND op <> 'D'
+  AND ts >= TIMESTAMP '2024-01-01 00:08:00'
+"""
+
+
 def cdc_change_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-feed read-back (Delta table_changes / Iceberg changelog
     analogue): diff the mid-replay snapshot against the final one into
@@ -2939,6 +2989,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_stream_replay_mor": (cdc_stream_replay_mor_q, ORACLE_REPLAY),
     "cdc_time_travel": (cdc_time_travel_q, ORACLE_TIME_TRAVEL),
     "lake_stats_pruned_scan": (lake_stats_pruned_scan_q, ORACLE_STATS_PRUNED),
+    "cdc_retention_delete": (cdc_retention_delete_q, ORACLE_RETENTION_DELETE),
     "cdc_change_feed": (cdc_change_feed_q, ORACLE_CHANGE_FEED),
     "conv_progress_stateful": (conv_progress_stateful_q, ORACLE_CONV_PROGRESS),
     # -- corpus curation / similarity / multimodal --

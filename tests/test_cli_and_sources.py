@@ -204,3 +204,36 @@ def test_cli_reprocess_quarantine_with_fix_config(spark, tmp_table_dir):
          "--fix-config", fix_path, "--batch-id", "rq1"]
     )
     assert rc == 0
+
+
+def test_cli_delete_where(spark, tmp_table_dir, capsys):
+    """CLI retention sweep: replay a log, then `dexspark delete
+    --where ts:<:...` purges the old rows (value typing: the ISO
+    timestamp — which itself contains colons — parses through the
+    col:op:value grammar)."""
+    log = gen_change_log(spark, 2000, n_convs=40, n_batches=2)
+    log_dir = os.path.join(tmp_table_dir, "log")
+    log.coalesce(2).write.parquet(log_dir)
+    table_dir = os.path.join(tmp_table_dir, "tbl")
+    cp = os.path.join(tmp_table_dir, "cp")
+    assert main(
+        ["replay", "--log", log_dir, "--table", table_dir,
+         "--checkpoint", cp, "--buckets", "8"]
+    ) == 0
+    t = LakeTable(spark, table_dir)
+    before = t.read()
+    cut = before.selectExpr(
+        "timestamp '1970-01-01' + make_interval(0,0,0,0,0,0, "
+        "percentile(unix_timestamp(ts), 0.5)) AS c"
+    ).first()["c"]
+    want = before.filter(f"NOT (ts < timestamp '{cut}')").count()
+    assert 0 < want < before.count()
+    capsys.readouterr()
+    rc = main(
+        ["delete", "--table", table_dir,
+         "--where", f"ts:<:{cut.isoformat()}"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["operation"] == "delete" and out["matched_rows"] > 0
+    assert t.read().count() == want
