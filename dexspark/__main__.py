@@ -93,7 +93,16 @@ def cmd_replay(args) -> int:
 
 def cmd_compact(args) -> int:
     spark = _spark(args)
-    print(json.dumps(LakeTable(spark, args.table).compact(args.min_files)))
+    cluster = args.cluster_by.split(",") if args.cluster_by else None
+    print(
+        json.dumps(
+            LakeTable(spark, args.table).compact(
+                args.min_files,
+                cluster_by=cluster,
+                files_per_bucket=args.files_per_bucket,
+            )
+        )
+    )
     return 0
 
 
@@ -235,6 +244,13 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="bin-pack small data files")
     c.add_argument("--table", required=True)
     c.add_argument("--min-files", type=int, default=2)
+    c.add_argument(
+        "--cluster-by", default=None,
+        help="comma-separated sort columns: rewrite each bucket as "
+             "range-disjoint files so min/max stats prune range reads "
+             "after compaction (Delta OPTIMIZE ZORDER analogue)",
+    )
+    c.add_argument("--files-per-bucket", type=int, default=4)
     c.set_defaults(fn=cmd_compact)
 
     e = sub.add_parser("expire", help="expire snapshots + vacuum")

@@ -322,6 +322,8 @@ class LakeTable:
         m: mf.Manifest,
         n_buckets_hint: int | None = None,
         kind: str = "base",
+        cluster_by: list[str] | None = None,
+        files_per_bucket: int = 1,
     ) -> list[mf.DataFile]:
         """Write df (table columns) bucketed; return new DataFile entries.
 
@@ -329,7 +331,15 @@ class LakeTable:
         one file (otherwise every task writes a sliver into every bucket
         dir — tasks x buckets tiny files, which poisons later reads).
         At 100 TB you raise files-per-bucket by repartitioning on
-        (bucket, salt); here one file per bucket is right-sized."""
+        (bucket, salt); here one file per bucket is right-sized.
+
+        ``cluster_by`` range-partitions on (bucket, *cluster_by) into
+        ~``files_per_bucket`` files per bucket instead: every file then
+        covers a TIGHT contiguous range of the cluster columns, so the
+        manifest min/max stats can prune time-range reads and retention
+        deletes even after compaction folded the original hourly
+        append files away (≙ Delta OPTIMIZE ZORDER / Iceberg sort
+        order, in its 1-D form — the dominant case for a ts column)."""
         token = mf.new_commit_token()
         out_rel = os.path.join(mf.DATA_DIR, token)
         out_abs = os.path.join(self.table_dir, out_rel)
@@ -338,16 +348,24 @@ class LakeTable:
         if SYS_DELETED not in df.columns:
             df = df.withColumn(SYS_DELETED, F.lit(False))
         n_parts = max(1, n_buckets_hint or m.num_buckets)
-        (
-            df.withColumn(BUCKET_COL, self._bucket_expr(m))
-            .repartition(n_parts, F.col(BUCKET_COL))
+        df = df.withColumn(BUCKET_COL, self._bucket_expr(m))
+        if cluster_by:
+            # a range task can straddle a bucket boundary — the
+            # dynamic-partition writer still splits it per bucket dir,
+            # so files-per-bucket stays ~files_per_bucket on average
+            df = df.repartitionByRange(
+                max(1, n_parts * files_per_bucket),
+                F.col(BUCKET_COL),
+                *[F.col(c) for c in cluster_by],
+            ).sortWithinPartitions(BUCKET_COL, *cluster_by)
+        else:
             # sorted within partition → the dynamic-partition writer
             # streams one bucket file at a time instead of holding an
             # open writer per bucket value it encounters
-            .sortWithinPartitions(BUCKET_COL)
-            .write.partitionBy(BUCKET_COL)
-            .parquet(out_abs, mode="errorifexists")
-        )
+            df = df.repartition(n_parts, F.col(BUCKET_COL)).sortWithinPartitions(
+                BUCKET_COL
+            )
+        df.write.partitionBy(BUCKET_COL).parquet(out_abs, mode="errorifexists")
         new_files: list[mf.DataFile] = []
         writer_schema = StructType.fromJson(
             __import__("json").loads(m.schemas[m.current_schema_id])
@@ -972,7 +990,11 @@ class LakeTable:
 
     # ----------------------------------------------------------- maintenance
     def compact(
-        self, min_files_per_bucket: int = 2, summary: dict[str, Any] | None = None
+        self,
+        min_files_per_bucket: int = 2,
+        summary: dict[str, Any] | None = None,
+        cluster_by: list[str] | None = None,
+        files_per_bucket: int = 4,
     ) -> dict[str, Any]:
         """Bin-pack small files: rewrite every bucket holding at least
         ``min_files_per_bucket`` data files into one file, in one
@@ -985,6 +1007,15 @@ class LakeTable:
         Also rewrites files whose writer schema is outdated, so a
         compaction after evolve_schema physically migrates old files
         forward and ``read`` stops needing per-schema scan groups.
+
+        ``cluster_by`` sorts each rewritten bucket on the given columns
+        and splits it into ~``files_per_bucket`` range-disjoint files
+        (instead of one), so min/max stats keep pruning time-range
+        reads and retention deletes AFTER the hourly append files are
+        folded away (≙ Delta OPTIMIZE ZORDER, 1-D). Clustering forces
+        every bucket to rewrite (that is the point), so pair it with a
+        filter-heavy read pattern, not a schedule that compacts hot
+        append tables every minute.
         """
         for attempt in range(MAX_COMMIT_RETRIES + 1):
             m = self.manifest()
@@ -1002,6 +1033,14 @@ class LakeTable:
             affected = {
                 b for b, n in per_bucket.items() if n >= min_files_per_bucket
             } | stale | deltas
+            if cluster_by:
+                names = {f.name for f in self.schema(m.version).fields}
+                for c in cluster_by:
+                    if c not in names:
+                        raise ValueError(
+                            f"cluster column {c!r} not in table schema"
+                        )
+                affected = set(per_bucket)  # clustering rewrites every bucket
             if not affected:
                 return {
                     "operation": "compact",
@@ -1014,12 +1053,19 @@ class LakeTable:
             data = self.read(
                 version=m.version, buckets=affected, include_system=True
             )
-            new_files = self._write_data(data, m, n_buckets_hint=len(affected))
+            new_files = self._write_data(
+                data,
+                m,
+                n_buckets_hint=len(affected),
+                cluster_by=cluster_by,
+                files_per_bucket=files_per_bucket,
+            )
             info = {
                 "operation": "compact",
                 "affected_buckets": sorted(affected),
                 "files_before": sum(per_bucket[b] for b in affected),
                 "files_after": len(new_files),
+                **({"cluster_by": cluster_by} if cluster_by else {}),
                 **(summary or {}),
             }
             try:

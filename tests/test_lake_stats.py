@@ -150,3 +150,81 @@ def test_file_may_match_bounds():
     assert not lake_stats.file_may_match(st, [("x", ">", 20)], schema)
     assert lake_stats.file_may_match(st, [("x", ">=", 20)], schema)
     assert lake_stats.file_may_match(st, [("x", "=", 15)], schema)
+
+
+def _mk_shuffled(spark, d, n=200):
+    """Appends whose ts is NOT clustered by commit: every file spans
+    nearly the whole ts range, so stats can't prune until clustering."""
+    import random
+
+    t = LakeTable.create(spark, d, SCHEMA, bucket_key="k", num_buckets=2)
+    rows = _rows(0, n)
+    rng = random.Random(7)
+    rng.shuffle(rows)
+    for c in range(4):
+        t.append(spark.createDataFrame(rows[c * 50:(c + 1) * 50], SCHEMA))
+    return t
+
+
+def test_clustered_compaction_restores_pruning(spark, tmp_table_dir):
+    t = _mk_shuffled(spark, tmp_table_dir)
+    filt = [("seq", ">=", 150)]
+    before = t.read()
+    want = sorted(r.seq for r in t.read(filters=filt).collect())
+    # unclustered: every file spans the range -> no pruning possible
+    assert len(t.read(filters=filt).inputFiles()) == len(before.inputFiles())
+    info = t.compact(cluster_by=["seq"], files_per_bucket=4)
+    assert info["cluster_by"] == ["seq"] and info["files_after"] > 2
+    # same rows, but the range read now touches a fraction of the files
+    got = sorted(r.seq for r in t.read(filters=filt).collect())
+    assert got == want == list(range(150, 200))
+    n_all = len(t.read().inputFiles())
+    n_pruned = len(t.read(filters=filt).inputFiles())
+    assert n_pruned * 2 <= n_all
+    # a retention delete now rewrites only the matching range's files
+    dinfo = t.delete_where([("seq", "<", 50)])
+    assert dinfo["matched_rows"] == 50
+    assert dinfo["files_kept"] > 0
+    assert sorted(r.seq for r in t.read().collect()) == list(range(50, 200))
+
+
+def test_clustered_compaction_preserves_state_and_lsn(spark, tmp_table_dir):
+    """Clustering is layout-only: merge history (LSNs, tombstones)
+    reads back bit-identical, and a late lower-LSN change still
+    loses after the clustered rewrite."""
+    import datetime as dtm
+
+    from pyspark.sql.types import LongType as LT, StringType as ST
+
+    t = _mk_shuffled(spark, tmp_table_dir, n=100)
+    ch_schema = StructType(
+        list(SCHEMA.fields)
+        + [StructField("op", ST()), StructField("lsn", LT())]
+    )
+    t.merge(
+        spark.createDataFrame(
+            [
+                ("k10", 10, "NEW", T0 + dtm.timedelta(minutes=10), "U", 1000),
+                ("k20", 20, "v20", T0 + dtm.timedelta(minutes=20), "D", 1001),
+            ],
+            ch_schema,
+        ),
+        key_cols=["k"],
+    )
+    before = {(r.k, r.seq, r.v) for r in t.read().collect()}
+    t.compact(cluster_by=["ts"], files_per_bucket=3)
+    assert {(r.k, r.seq, r.v) for r in t.read().collect()} == before
+    # tombstone for k20 survived the clustered rewrite
+    t.merge(
+        spark.createDataFrame(
+            [("k20", 20, "RESURRECT", T0, "U", 500)], ch_schema
+        ),
+        key_cols=["k"],
+    )
+    assert "k20" not in {r.k for r in t.read().collect()}
+
+
+def test_cluster_by_validates_columns(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, n_chunks=1, chunk=10)
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.compact(cluster_by=["nope"])
