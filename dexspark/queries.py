@@ -1986,6 +1986,255 @@ LIMIT 20
 """
 
 
+def q7_trade_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension (nation) joined twice under
+    different roles — customer nation vs supplier nation — with a
+    disjunctive pair filter and a derived grouping key (ship year).
+    Both nation role-copies broadcast (25 rows each); the pair filter
+    runs AFTER both joins so Catalyst can push each equi-join
+    independently and evaluate the OR against in-row columns, never a
+    cartesian."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    cn = na.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = na.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    a, b = "NATION_1", "NATION_2"
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(cn), cu.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(sn), su.s_nationkey == F.col("s_nk"))
+        .filter(
+            ((F.col("cust_nation") == a) & (F.col("supp_nation") == b))
+            | ((F.col("cust_nation") == b) & (F.col("supp_nation") == a))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_revenue_x10000())
+    )
+
+
+ORACLE_Q7 = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year, {_REVENUE_X10000}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+   OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer in a
+    quarter — fact filter → 3-way join → group → total-ordered top 20.
+    Revenue ties break on c_custkey so the LIMIT boundary is
+    deterministic across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    na = load(spark, sf_dir, "nation")
+    lo = F.lit("2000-01-01").cast("timestamp")
+    hi = F.lit("2000-04-01").cast("timestamp")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            od.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            li.l_orderkey == od.o_orderkey,
+        )
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_revenue_x10000())
+        .orderBy(F.col("revenue_x10000").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = f"""
+SELECT c_custkey, c_name, n_name, {_REVENUE_X10000}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '2000-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_x10000 DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation (CASE inside SUM) over
+    a fact-dim join — promo revenue share for one month. Returned as
+    exact numerator/denominator in fixed point (the ratio is a
+    driver-side division; cross-engine float division would make the
+    hash depend on libm)."""
+    li = load(spark, sf_dir, "lineitem")
+    pa = load(spark, sf_dir, "part")
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    lo = F.lit("2000-06-01").cast("timestamp")
+    hi = F.lit("2000-07-01").cast("timestamp")
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+            ).alias("promo_x10000"),
+            F.sum(rev).alias("total_x10000"),
+        )
+    )
+
+
+_REV_EXPR_SQL = (
+    f"{_CENTS_SQL.format(col='l_extendedprice')}"
+    f" * (100 - {_CENTS_SQL.format(col='l_discount')})"
+)
+
+ORACLE_Q14 = f"""
+SELECT
+  CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_EXPR_SQL} ELSE 0 END)
+       AS BIGINT) AS promo_x10000,
+  {_SUM_BIGINT.format(expr=_REV_EXPR_SQL)} AS total_x10000
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '2000-06-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '2000-07-01 00:00:00'
+"""
+
+
+def q16_supplier_part_cnt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) per part attribute group with a
+    NOT IN blacklist subquery (suppliers in bad standing) → left ANTI
+    join before the distinct aggregate. The anti-join side is tiny and
+    broadcasts; the distinct agg is the only shuffle (partial
+    de-duplication map-side)."""
+    li = load(spark, sf_dir, "lineitem")
+    pa = load(spark, sf_dir, "part")
+    su = load(spark, sf_dir, "supplier")
+    bad = su.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .join(
+            F.broadcast(pa.filter(F.col("p_size").isin(1, 9, 19, 29, 49))),
+            li.l_partkey == pa.p_partkey,
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+ORACLE_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 9, 19, 29, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q19_disjunctive_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: one equi-join under a 3-way DISJUNCTION of
+    brand/size/quantity band predicates. The join key (l_partkey =
+    p_partkey) is common to every disjunct, so Catalyst keeps a single
+    hash join and evaluates the OR as a post-join filter — the classic
+    Q19 plan trap (a naive engine ORs the join itself into a
+    cartesian). Plan-shape is asserted in tests/test_physical_plans.py.
+    Quantities compare in exact cents."""
+    li = load(spark, sf_dir, "lineitem")
+    pa = load(spark, sf_dir, "part")
+    q = _cents("l_quantity")
+
+    def band(brand: str, size_lo: int, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(size_lo, size_hi)
+            & q.between(q_lo * 100, q_hi * 100)
+        )
+
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .filter(
+            band("Brand#1", 1, 15, 1, 20)
+            | band("Brand#2", 10, 30, 10, 35)
+            | band("Brand#3", 20, 50, 20, 50)
+        )
+        .agg(_revenue_x10000(), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+ORACLE_Q19 = f"""
+SELECT {_REVENUE_X10000}, count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND {_CENTS_SQL.format(col='l_quantity')} BETWEEN 100 AND 2000)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND {_CENTS_SQL.format(col='l_quantity')} BETWEEN 1000 AND 3500)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND {_CENTS_SQL.format(col='l_quantity')} BETWEEN 2000 AND 5000)
+"""
+
+
+def q22_dormant_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (average positive
+    balance) gating the outer scan, plus NOT EXISTS (no orders in the
+    final year) → broadcast scalar + left ANTI join. The average
+    compares on exact cents (sum/count of int64 divides identically in
+    both engines' float64)."""
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    cents = _cents("c_acctbal")
+    avg_bal = cu.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(cents).alias("_avg")
+    )
+    recent = od.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cu.withColumn("acctbal_x100", cents)
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("acctbal_x100") > F.col("_avg"))
+        .join(recent, cu.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("acctbal_x100").alias("totacctbal_x100"),
+        )
+    )
+
+
+ORACLE_Q22 = f"""
+SELECT c_nationkey, count(*) AS numcust,
+       {_SUM_BIGINT.format(expr=_CENTS_SQL.format(col='c_acctbal'))} AS totacctbal_x100
+FROM customer
+WHERE {_CENTS_SQL.format(col='c_acctbal')} >
+      (SELECT avg({_CENTS_SQL.format(col='c_acctbal')})
+       FROM customer WHERE c_acctbal > 0)
+  AND c_custkey NOT IN (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
 # --------------------------------------------------------------------------
 # documents: text analysis + dedup
 # --------------------------------------------------------------------------
@@ -3038,6 +3287,12 @@ QUERIES: dict[str, tuple] = {
     "q17_small_quantity": (q17_small_quantity_q, ORACLE_Q17),
     "q13_customer_distribution": (q13_customer_distribution_q, ORACLE_Q13),
     "q18_large_orders": (q18_large_orders_q, ORACLE_Q18),
+    "q7_trade_pairs": (q7_trade_pairs_q, ORACLE_Q7),
+    "q10_returned_items": (q10_returned_items_q, ORACLE_Q10),
+    "q14_promo_revenue": (q14_promo_revenue_q, ORACLE_Q14),
+    "q16_supplier_part_cnt": (q16_supplier_part_cnt_q, ORACLE_Q16),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue_q, ORACLE_Q19),
+    "q22_dormant_customers": (q22_dormant_customers_q, ORACLE_Q22),
     "churned_buyers": (churned_buyers_q, ORACLE_CHURNED),
     "lang_length_median": (lang_length_median_q, _oracle_lang_median()),
     "top_trigrams": (top_trigrams_q, ORACLE_TRIGRAMS),

@@ -49,6 +49,11 @@ AUDITED = [
     "doc_near_dup_pairs",
     "doc_token_stats",
     "user_sessions",
+    "q7_trade_pairs",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q16_supplier_part_cnt",
+    "q19_disjunctive_revenue",
 ]
 
 
@@ -61,7 +66,17 @@ def test_no_cartesian_or_nested_loop(spark, name):
 
 
 @needs_data
-@pytest.mark.parametrize("name", AUDITED)
+@pytest.mark.parametrize(
+    "name",
+    [
+        n
+        for n in AUDITED
+        # q7's nation-pair filter matches nothing at sf0.001, so AQE
+        # collapses the final plan to EmptyRelation — no codegen span
+        # can exist; shape is still covered by the cartesian/BNLJ ban
+        if n != "q7_trade_pairs"
+    ],
+)
 def test_whole_stage_codegen_present(spark, name):
     # "*(n)" prefixes mark codegen'd spans; a plan with none has fallen
     # entirely out of Tungsten (e.g. an interpreted expression crept
@@ -112,3 +127,26 @@ def test_cosine_topk_bnlj_is_broadcast_side_only(spark):
     plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+@needs_data
+def test_q19_single_hash_join_disjunction_as_filter(spark):
+    """The Q19 plan trap: the disjunctive brand/size/qty bands share
+    one equi-key, so the plan must keep a single (broadcast) hash join
+    and evaluate the OR as a row filter — never OR the join condition
+    into a cartesian."""
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+@needs_data
+def test_q22_scalar_subquery_broadcasts(spark):
+    """The deliberate 1-row cross join: the scalar average must be the
+    broadcast side (a BNLJ over a single-row build is O(rows), the
+    sanctioned shape for scalar subqueries); the NOT-EXISTS anti-join
+    must hash, not loop."""
+    plan = plan_of(spark, "q22_dormant_customers")
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
