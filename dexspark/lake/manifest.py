@@ -37,6 +37,10 @@ class DataFile:
     # per-column [min, max] from the parquet footer (see lake/stats.py);
     # {} in pre-stats manifests → file is never pruned (format-compatible)
     stats: dict[str, list] = field(default_factory=dict)
+    # True when a <path>.bloom sidecar holds a key bloom filter over the
+    # file's bucket-key values (see lake/bloom.py); False / absent in
+    # pre-bloom manifests → file is never key-pruned (format-compatible)
+    bloom: bool = False
 
     def to_json(self) -> dict[str, Any]:
         d = {"path": self.path, "bucket": self.bucket, "schema_id": self.schema_id}
@@ -44,6 +48,8 @@ class DataFile:
             d["kind"] = self.kind
         if self.stats:
             d["stats"] = self.stats
+        if self.bloom:
+            d["bloom"] = True
         return d
 
     @staticmethod
@@ -54,6 +60,7 @@ class DataFile:
             schema_id=int(d["schema_id"]),
             kind=d.get("kind", "base"),
             stats=d.get("stats", {}),
+            bloom=bool(d.get("bloom", False)),
         )
 
 

@@ -39,6 +39,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from dexspark.lake import bloom as lake_bloom
 from dexspark.lake import manifest as mf
 from dexspark.lake import stats as lake_stats
 
@@ -190,6 +191,25 @@ class LakeTable:
     def _bucket_expr(self, m: mf.Manifest):
         return F.pmod(F.xxhash64(F.col(m.bucket_key)), F.lit(m.num_buckets)).cast("int")
 
+    @staticmethod
+    def _key_eq_values(
+        filters: list[tuple[str, str, Any]] | None, m: mf.Manifest
+    ) -> list[Any]:
+        """Values of ``=`` conjuncts on the bucket key — the predicates
+        the per-file key blooms (lake/bloom.py) can decide."""
+        return [
+            v for c, op, v in (filters or []) if op == "=" and c == m.bucket_key
+        ]
+
+    def _bloom_keep(self, f: mf.DataFile, key_vals: list[Any]) -> bool:
+        """False only when the file's bloom sidecar PROVES every
+        conjunct's key absent is impossible — i.e. some required key is
+        definitely not in the file. No sidecar → keep."""
+        if not f.bloom or not key_vals:
+            return True
+        p = os.path.join(self.table_dir, f.path)
+        return all(lake_bloom.file_may_contain(p, v) for v in key_vals)
+
     def read(
         self,
         version: int | None = None,
@@ -201,9 +221,11 @@ class LakeTable:
 
         ``filters`` — conjunction of ``(column, op, value)`` with op in
         ``=, <, <=, >, >=`` — prunes data files whose manifest min/max
-        stats prove no row can match (lake/stats.py), then applies the
-        same predicate row-level, so results always equal
-        ``read().filter(...)``. Pruning applies only to buckets with no
+        stats prove no row can match (lake/stats.py), plus — for ``=``
+        on the bucket key — files whose bloom sidecar proves the key
+        absent (lake/bloom.py, the point-lookup path min/max cannot
+        decide for strings), then applies the same predicate row-level,
+        so results always equal ``read().filter(...)``. Pruning applies only to buckets with no
         outstanding MOR deltas: in a delta bucket the last-writer-wins
         resolution must see every version of a key (a filtered-out
         file could hold the winning row), so those buckets resolve
@@ -233,10 +255,12 @@ class LakeTable:
         res_files = [f for f in files if f.bucket in delta_buckets]
         clean_files = [f for f in files if f.bucket not in delta_buckets]
         if filters:
+            key_vals = self._key_eq_values(filters, m)
             clean_files = [
                 f
                 for f in clean_files
                 if lake_stats.file_may_match(f.stats, filters, current)
+                and self._bloom_keep(f, key_vals)
             ]
         if not res_files and not clean_files:
             out = self.spark.createDataFrame([], current_sys)
@@ -380,7 +404,10 @@ class LakeTable:
                     if fn.endswith(".parquet"):
                         fabs = os.path.join(bdir, fn)
                         # footer-only metadata read, O(new files per
-                        # commit) — see lake/stats.py
+                        # commit) — see lake/stats.py; the key bloom
+                        # re-reads ONE thin column of the new file
+                        # (lake/bloom.py — the cost Iceberg pays to
+                        # build puffin blooms)
                         new_files.append(
                             mf.DataFile(
                                 path=os.path.join(out_rel, entry, fn),
@@ -389,6 +416,9 @@ class LakeTable:
                                 kind=kind,
                                 stats=lake_stats.collect_file_stats(
                                     fabs, writer_schema
+                                ),
+                                bloom=lake_bloom.write_for_file(
+                                    fabs, m.bucket_key
                                 ),
                             )
                         )
@@ -895,17 +925,20 @@ class LakeTable:
             # file-level pruning for clean buckets; bucket-level pruning
             # for delta buckets (skippable only when NO file of the
             # bucket may match — no version of any key matches then)
+            key_vals = self._key_eq_values(filters, m)
             cand_files = [
                 f
                 for f in m.files
                 if f.bucket not in delta_buckets
                 and lake_stats.file_may_match(f.stats, filters, current)
+                and self._bloom_keep(f, key_vals)
             ]
             cand_delta = {
                 b
                 for b in delta_buckets
                 if any(
                     lake_stats.file_may_match(f.stats, filters, current)
+                    and self._bloom_keep(f, key_vals)
                     for f in m.files
                     if f.bucket == b
                 )
@@ -1115,6 +1148,9 @@ class LakeTable:
                 if os.path.exists(p):
                     os.remove(p)
                     removed_files += 1
+                sc = lake_bloom.sidecar_path(p)
+                if os.path.exists(sc):
+                    os.remove(sc)
         for v in expired:
             mp = mf.manifest_path(self.table_dir, v)
             if os.path.exists(mp):
