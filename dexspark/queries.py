@@ -621,6 +621,42 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def cdc_rtbf_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten under the hard oracle: purge ONE
+    conversation by key from the replayed table. Strings carry no
+    min/max stats, so this sweep is decided by the per-file key blooms
+    (lake/bloom.py): bucket pruning narrows to one bucket, the bloom
+    sidecars narrow to the files that may hold the key, and only those
+    are rewritten (surgical commit — file counts machine-asserted in
+    tests/test_lake_bloom.py). The oracle checks the surviving state
+    is exactly the final state minus that conversation."""
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    for b in batch_range(log):
+        apply_changes(
+            table, log.filter(F.col("batch_seq") == b), batch_id=f"rt{b}"
+        )
+    info = table.delete_where([("conv_id", "=", "conv_42")])
+    assert info["matched_rows"] > 0 and info["files_kept"] > 0, info
+    return table.read()
+
+
+ORACLE_RTBF_DELETE = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM flagged WHERE reject_reason IS NULL
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM latest WHERE rn = 1 AND op <> 'D' AND conv_id <> 'conv_42'
+"""
+
+
 def cdc_change_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-feed read-back (Delta table_changes / Iceberg changelog
     analogue): diff the mid-replay snapshot against the final one into
@@ -3239,6 +3275,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_time_travel": (cdc_time_travel_q, ORACLE_TIME_TRAVEL),
     "lake_stats_pruned_scan": (lake_stats_pruned_scan_q, ORACLE_STATS_PRUNED),
     "cdc_retention_delete": (cdc_retention_delete_q, ORACLE_RETENTION_DELETE),
+    "cdc_rtbf_delete": (cdc_rtbf_delete_q, ORACLE_RTBF_DELETE),
     "cdc_change_feed": (cdc_change_feed_q, ORACLE_CHANGE_FEED),
     "conv_progress_stateful": (conv_progress_stateful_q, ORACLE_CONV_PROGRESS),
     # -- corpus curation / similarity / multimodal --
