@@ -216,6 +216,7 @@ class LakeTable:
         buckets: Iterable[int] | None = None,
         include_system: bool = False,
         filters: list[tuple[str, str, Any]] | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Current (or time-travel) state of the table.
 
@@ -225,7 +226,20 @@ class LakeTable:
         on the bucket key — files whose bloom sidecar proves the key
         absent (lake/bloom.py, the point-lookup path min/max cannot
         decide for strings), then applies the same predicate row-level,
-        so results always equal ``read().filter(...)``. Pruning applies only to buckets with no
+        so results always equal ``read().filter(...)``.
+
+        ``columns`` — project to these columns. For plain scans a
+        ``.select`` after ``read()`` achieves the same thing (Catalyst
+        prunes through the union to the parquet reader), but through
+        MOR resolution it does NOT: the max-LSN resolve packs the row
+        into a ``max(struct(...))`` aggregate, and Catalyst will not
+        prune fields inside an aggregated struct — an unprojected
+        resolve scans and SHUFFLES every column of the delta buckets.
+        ``columns`` narrows the packed struct to (requested ∪ filter ∪
+        merge-key ∪ system) columns before the aggregate, so a 2-column
+        projection over a wide transcript table moves 2 columns of
+        shuffle, not 40. Results always equal
+        ``read().select(columns)``. Pruning applies only to buckets with no
         outstanding MOR deltas: in a delta bucket the last-writer-wins
         resolution must see every version of a key (a filtered-out
         file could hold the winning row), so those buckets resolve
@@ -237,6 +251,22 @@ class LakeTable:
         )
         if filters:
             lake_stats.validate_filters(filters, current)
+        if columns is not None:
+            names = {f.name for f in current.fields}
+            for c in columns:
+                if c not in names:
+                    raise ValueError(f"column {c!r} not in table schema")
+            keys = (m.properties.get("merge_keys") or m.bucket_key).split(",")
+            scan_cols = list(
+                dict.fromkeys(
+                    list(columns)
+                    + [c for c, _, _ in (filters or [])]
+                    + keys
+                )
+            )
+            current = StructType(
+                [f for f in current.fields if f.name in scan_cols]
+            )
         sys_fields = [
             StructField(SYS_LSN, LongType(), True),
             StructField(SYS_DELETED, BooleanType(), True),
@@ -278,6 +308,11 @@ class LakeTable:
             ).drop(SYS_LSN, SYS_DELETED)
         if filters:
             out = out.filter(lake_stats.residual_condition(filters))
+        if columns is not None:
+            out = out.select(
+                *columns,
+                *([SYS_LSN, SYS_DELETED] if include_system else []),
+            )
         return out
 
     def _scan_files(

@@ -368,3 +368,36 @@ def test_mor_across_schema_evolution(spark, tmp_table_dir):
     m = t.manifest()
     assert all(f.kind == "base" and f.schema_id == m.current_schema_id for f in m.files)
     assert {(r.k, r.v, r.extra) for r in t.read().collect()} == got
+
+
+def test_read_columns_projection(spark, tmp_table_dir):
+    """read(columns=) equals read().select(...) in every mode, and the
+    MOR resolve's packed struct is narrowed: the pre-shuffle aggregate
+    must not carry unrequested columns."""
+    t = _mk(spark, tmp_table_dir, [("a", 1, "xx"), ("b", 2, "yy")])
+    ch = spark.createDataFrame(
+        [("a", 9, "XX", "U", 100)],
+        StructType(
+            list(SCHEMA.fields)
+            + [StructField("op", StringType()), StructField("lsn", LongType())]
+        ),
+    )
+    t.merge(ch, key_cols=["k"], strategy="mor")
+    got = {tuple(r) for r in t.read(columns=["k", "seq"]).collect()}
+    want = {tuple(r) for r in t.read().select("k", "seq").collect()}
+    assert got == want == {("a", 9), ("b", 2)}
+    df = t.read(columns=["k", "seq"])
+    assert df.columns == ["k", "seq"]
+    # the resolve aggregate never touches 'v'
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "v#" not in plan, plan
+    # composes with filters + include_system; order follows the request
+    df2 = t.read(columns=["seq", "k"], filters=[("seq", ">", 1)])
+    assert df2.columns == ["seq", "k"]
+    assert {tuple(r) for r in df2.collect()} == {(9, "a"), (2, "b")}
+    from dexspark.lake.table import SYS_DELETED, SYS_LSN
+
+    sys_df = t.read(columns=["seq"], include_system=True)
+    assert sys_df.columns == ["seq", SYS_LSN, SYS_DELETED]
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.read(columns=["nope"])
