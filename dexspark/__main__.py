@@ -112,6 +112,16 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_vacuum_orphans(args) -> int:
+    spark = _spark(args)
+    print(
+        json.dumps(
+            LakeTable(spark, args.table).vacuum_orphans(args.older_than)
+        )
+    )
+    return 0
+
+
 def cmd_mirror(args) -> int:
     spark = _spark(args)
     src = LakeTable(spark, args.source)
@@ -257,6 +267,18 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=10)
     e.set_defaults(fn=cmd_expire)
+
+    vo = sub.add_parser(
+        "vacuum-orphans",
+        help="GC data files no retained manifest references "
+             "(losers of commit races)",
+    )
+    vo.add_argument("--table", required=True)
+    vo.add_argument(
+        "--older-than", type=float, default=24 * 3600,
+        help="grace period in seconds for in-flight writers (default 24h)",
+    )
+    vo.set_defaults(fn=cmd_vacuum_orphans)
 
     mi = sub.add_parser("mirror", help="mirror an upstream table's change feed")
     mi.add_argument("--source", required=True)

@@ -1196,6 +1196,72 @@ class LakeTable:
             "removed_files": removed_files,
         }
 
+    def vacuum_orphans(
+        self, older_than_seconds: float = 24 * 3600
+    ) -> dict[str, Any]:
+        """Remove data files referenced by NO retained manifest.
+
+        Orphans are real: a merge/compact/delete attempt that loses its
+        commit race has already written its output files, and the
+        recompute writes fresh ones — the losers stay on disk forever
+        (``expire_snapshots`` only removes files that some expired
+        manifest REFERENCED). At streaming frequency with concurrent
+        maintenance, orphan volume grows with conflict rate; this is
+        the scheduled GC job (≙ Delta VACUUM / Iceberg
+        remove_orphan_files).
+
+        ``older_than_seconds`` is the safety margin for IN-FLIGHT
+        writers: a commit attempt writes data first and references it
+        in a manifest seconds later, so a freshly-written unreferenced
+        file may be about to be committed. Only files whose mtime is
+        older than the grace period are deleted — size it well beyond
+        the longest plausible write-to-commit latency (default 24 h,
+        Delta's default). Referenced-ness is computed against EVERY
+        retained manifest version, so time travel is never broken.
+        """
+        import time as _time
+
+        referenced: set[str] = set()
+        for v in mf.available_versions(self.table_dir):
+            for f in self.manifest(v).files:
+                referenced.add(f.path)
+        data_root = os.path.join(self.table_dir, mf.DATA_DIR)
+        cutoff = _time.time() - older_than_seconds
+        removed: list[str] = []
+        scanned = 0
+        for dirpath, _dirs, names in os.walk(data_root):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue  # sidecars ride with their data file below
+                scanned += 1
+                abs_p = os.path.join(dirpath, name)
+                rel_p = os.path.relpath(abs_p, self.table_dir)
+                if rel_p in referenced:
+                    continue
+                try:
+                    if os.path.getmtime(abs_p) > cutoff:
+                        continue  # possibly an in-flight commit
+                    os.remove(abs_p)
+                except OSError:
+                    continue  # racing another vacuum — already gone
+                removed.append(rel_p)
+                sc = lake_bloom.sidecar_path(abs_p)
+                if os.path.exists(sc):
+                    os.remove(sc)
+        # empty commit-token directories left behind by removed orphans
+        for dirpath, dirs, names in list(os.walk(data_root, topdown=False)):
+            if dirpath != data_root and not dirs and not names:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+        return {
+            "operation": "vacuum_orphans",
+            "scanned_files": scanned,
+            "removed_files": len(removed),
+            "removed": sorted(removed),
+        }
+
     # ------------------------------------------------------- schema evolution
     def evolve_schema(self, new_schema: StructType) -> bool:
         """Additive columns + numeric widening. Returns True if evolved.

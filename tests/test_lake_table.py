@@ -401,3 +401,47 @@ def test_read_columns_projection(spark, tmp_table_dir):
     assert sys_df.columns == ["seq", SYS_LSN, SYS_DELETED]
     with pytest.raises(ValueError, match="not in table schema"):
         t.read(columns=["nope"])
+
+
+def test_vacuum_orphans(spark, tmp_table_dir):
+    """Losers of commit races leave written-but-unreferenced files;
+    vacuum_orphans removes exactly those, honoring the in-flight grace
+    period and never touching any retained manifest's files (time
+    travel survives)."""
+    import os
+    import time
+
+    from dexspark.lake import bloom as lake_bloom
+
+    t = _mk(spark, tmp_table_dir, [("a", 1, "x"), ("b", 2, "y")])
+    v_ab = t.current_version()
+    t.append(spark.createDataFrame([("c", 3, "z")], SCHEMA))
+    # a conflict loser: data written, commit never happened
+    orphans = t._write_data(
+        spark.createDataFrame([("d", 4, "o")], SCHEMA), t.manifest()
+    )
+    assert orphans
+    old = time.time() - 100_000
+    for f in orphans:
+        p = os.path.join(tmp_table_dir, f.path)
+        os.utime(p, (old, old))
+        sc = lake_bloom.sidecar_path(p)
+        if os.path.exists(sc):
+            os.utime(sc, (old, old))
+    # a FRESH orphan stays (grace period)
+    fresh = t._write_data(
+        spark.createDataFrame([("e", 5, "f")], SCHEMA), t.manifest()
+    )
+    res = t.vacuum_orphans(older_than_seconds=3600)
+    assert sorted(res["removed"]) == sorted(f.path for f in orphans)
+    for f in orphans:
+        p = os.path.join(tmp_table_dir, f.path)
+        assert not os.path.exists(p)
+        assert not os.path.exists(lake_bloom.sidecar_path(p))
+    for f in fresh:
+        assert os.path.exists(os.path.join(tmp_table_dir, f.path))
+    # live data + time travel intact
+    assert {r.k for r in t.read().collect()} == {"a", "b", "c"}
+    assert {r.k for r in t.read(version=v_ab).collect()} == {"a", "b"}
+    # idempotent
+    assert t.vacuum_orphans(older_than_seconds=3600)["removed_files"] == 0
