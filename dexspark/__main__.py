@@ -112,6 +112,12 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_rebucket(args) -> int:
+    spark = _spark(args)
+    print(json.dumps(LakeTable(spark, args.table).rebucket(args.buckets)))
+    return 0
+
+
 def cmd_vacuum_orphans(args) -> int:
     spark = _spark(args)
     print(
@@ -267,6 +273,15 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=10)
     e.set_defaults(fn=cmd_expire)
+
+    rb = sub.add_parser(
+        "rebucket",
+        help="change the table's bucket count (layout evolution for "
+             "grown tables); full rewrite, content-preserving",
+    )
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--buckets", type=int, required=True)
+    rb.set_defaults(fn=cmd_rebucket)
 
     vo = sub.add_parser(
         "vacuum-orphans",

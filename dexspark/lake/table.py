@@ -610,6 +610,18 @@ class LakeTable:
                 )
             except CommitConflict:
                 head = self.manifest()
+                if (
+                    head.num_buckets != read_from.num_buckets
+                    or head.bucket_key != read_from.bucket_key
+                ):
+                    # a concurrent rebucket() changed the layout: our
+                    # files carry STALE bucket ids — rebasing them into
+                    # the new-layout manifest would break bucket
+                    # pruning and merge targeting. Recompute from head.
+                    raise CommitConflict(
+                        "bucket layout changed by a concurrent rebucket "
+                        "— recompute from the new head"
+                    ) from None
                 if surgical:
                     live = {f.path for f in head.files}
                     if not removed_paths <= live:
@@ -630,13 +642,23 @@ class LakeTable:
         raise CommitConflict(f"gave up after {max_rebases} rebases")
 
     def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> None:
-        m = self.manifest()
-        current = self.schema()
-        new_files = self._write_data(_align(df, current), m)
-        # purely additive: always rebasable, never recomputes
-        self._commit_delta(
-            m, set(), new_files, {"operation": "append", **(summary or {})}
-        )
+        for attempt in range(MAX_COMMIT_RETRIES + 1):
+            m = self.manifest()
+            current = self.schema()
+            new_files = self._write_data(_align(df, current), m)
+            try:
+                # purely additive: always rebasable — the only conflict
+                # that surfaces here is a concurrent rebucket, which
+                # invalidates our files' bucket ids → rewrite under the
+                # new layout (losers become orphans; vacuum_orphans GC)
+                self._commit_delta(
+                    m, set(), new_files, {"operation": "append", **(summary or {})}
+                )
+                return
+            except CommitConflict:
+                if attempt == MAX_COMMIT_RETRIES:
+                    raise
+                _conflict_backoff(attempt)
 
     def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> None:
         m = self.manifest()
@@ -708,11 +730,13 @@ class LakeTable:
             raise ValueError(f"unknown merge strategy: {strategy!r}")
         m0 = self.manifest()
         own_persist = bucket_stats is None
-        # bucket_key / num_buckets are immutable table identity — the
-        # bucket column stays valid across conflict recomputes
+        # bucket_key is immutable table identity; num_buckets can move
+        # under us via rebucket() — the retry loop below re-derives the
+        # bucket column and affected-bucket map on layout drift
         changes = changes.withColumn(BUCKET_COL, self._bucket_expr(m0))
         if own_persist:
             changes = changes.persist()
+        persisted = changes  # `changes` may be re-projected on layout drift
         try:
             if bucket_stats is None:
                 # one job: affected buckets + batch size
@@ -721,9 +745,25 @@ class LakeTable:
             affected = set(bucket_stats)
             n_changes = int(sum(bucket_stats.values()))
             batch_id = (summary or {}).get("batch_id")
+            cur_layout = m0.num_buckets
 
             for attempt in range(MAX_COMMIT_RETRIES + 1):
                 m = self.manifest() if attempt else m0
+                if m.num_buckets != cur_layout:
+                    # a concurrent rebucket() landed mid-merge: the
+                    # change set's bucket column and the affected-bucket
+                    # map were computed under the OLD layout — recompute
+                    # both against the new one (the persisted change
+                    # rows themselves are layout-independent)
+                    changes = changes.withColumn(
+                        BUCKET_COL, self._bucket_expr(m)
+                    )
+                    stats = changes.groupBy(BUCKET_COL).count().collect()
+                    bucket_stats = {
+                        int(r[BUCKET_COL]): int(r["count"]) for r in stats
+                    }
+                    affected = set(bucket_stats)
+                    cur_layout = m.num_buckets
                 if attempt and batch_id is not None and (
                     batch_id in self.committed_batch_ids()
                 ):
@@ -753,7 +793,7 @@ class LakeTable:
             raise AssertionError("unreachable")
         finally:
             if own_persist:
-                changes.unpersist()
+                persisted.unpersist()
 
     def _merge_attempt(
         self,
@@ -1053,6 +1093,81 @@ class LakeTable:
             except CommitConflict:
                 if attempt == MAX_COMMIT_RETRIES:
                     raise
+                _conflict_backoff(attempt)
+        raise AssertionError("unreachable")
+
+    # --------------------------------------------------------------- rebucket
+    def rebucket(
+        self, new_num_buckets: int, summary: dict[str, Any] | None = None
+    ) -> dict[str, Any]:
+        """Change the table's bucket count — the layout evolution a
+        growing table needs (created at 64 buckets, 100× the data
+        later, every bucket is now 100 GB and one merge task). One
+        full-table rewrite under the new layout in one snapshot commit
+        (≙ Iceberg partition-spec evolution, realized eagerly: this
+        manifest format records one layout per snapshot, so history
+        stays readable — each version's files carry that version's
+        bucket ids).
+
+        Content-preserving: rows, per-row applied LSNs and delete
+        tombstones read back identically; outstanding MOR deltas are
+        resolved and folded (the rewrite reads through ``read``).
+        Concurrent writers are safe by construction: a rebucket landing
+        first makes every in-flight commit's bucket ids stale, which
+        ``_commit_delta`` detects (layout guard) and turns into a
+        recompute — ``merge`` re-derives its bucket column and
+        affected-bucket map against the new layout, ``append`` rewrites
+        under it. A data commit landing first aborts the rebucket
+        attempt, which recomputes from the new head (maintenance yields
+        to the data plane, like ``compact``).
+        """
+        if new_num_buckets < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        import dataclasses
+
+        for attempt in range(MAX_COMMIT_RETRIES + 1):
+            m = self.manifest()
+            if m.num_buckets == new_num_buckets:
+                return {
+                    "operation": "rebucket",
+                    "num_buckets": new_num_buckets,
+                    "skipped": True,
+                }
+            m_new = dataclasses.replace(m, num_buckets=new_num_buckets)
+            data = self.read(version=m.version, include_system=True)
+            new_files = self._write_data(
+                data, m_new, n_buckets_hint=new_num_buckets
+            )
+            info = {
+                "operation": "rebucket",
+                "num_buckets_before": m.num_buckets,
+                "num_buckets": new_num_buckets,
+                "files": len(new_files),
+                **(summary or {}),
+            }
+            nxt = mf.Manifest(
+                version=m.version + 1,
+                current_schema_id=m.current_schema_id,
+                schemas=m.schemas,
+                bucket_key=m.bucket_key,
+                num_buckets=new_num_buckets,
+                files=new_files,
+                summary=info,
+                parent=m.version,
+                properties=m.properties,
+            )
+            try:
+                mf.commit_manifest(self.table_dir, nxt)
+                return info
+            except FileExistsError:
+                # lost to a concurrent data commit — the rewrite is
+                # stale in content, not just placement: recompute
+                # (orphaned output is vacuum_orphans' job)
+                if attempt == MAX_COMMIT_RETRIES:
+                    raise CommitConflict(
+                        f"rebucket lost the commit race {attempt + 1} times "
+                        f"at {self.table_dir}"
+                    ) from None
                 _conflict_backoff(attempt)
         raise AssertionError("unreachable")
 
