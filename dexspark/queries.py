@@ -571,6 +571,44 @@ WHERE event_id % 480 BETWEEN 180 AND 239
 """
 
 
+def lake_clustered_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered compaction under the hard oracle: the same hourly
+    ingest as ``lake_stats_pruned_scan``, but arriving UNCLUSTERED
+    (each append spans the whole day — the shape after an out-of-order
+    backfill), so per-file min/max cannot prune a time-range read.
+    ``compact(cluster_by=["ts"])`` rewrites each bucket as
+    range-disjoint files; the hour-3 read must then both prune (file
+    counts machine-asserted in tests/test_lake_stats.py) and return
+    exactly the row-filter result — compaction must never change
+    data while changing layout."""
+    import datetime as _dt
+
+    ev = load(spark, sf_dir, "events")
+    lsn = F.col("event_id")
+    rows = ev.select(
+        lsn.alias("lsn"),
+        F.col("user_id").cast("long").alias("uid"),
+        F.col("event_type").alias("etype"),
+        F.timestamp_seconds(
+            F.lit(_WIN_BASE_EPOCH) + F.pmod(lsn, 480).cast("long") * 60
+        ).alias("ts"),
+    )
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "events_lake"),
+        _parse_datatype_string("lsn long, uid long, etype string, ts timestamp"),
+        "uid", num_buckets=4,
+    )
+    # 4 appends, each a ts-interleaved slice of the day (lsn stripes)
+    for s in range(4):
+        table.append(rows.filter(F.pmod(F.col("lsn"), 4) == s))
+    table.compact(cluster_by=["ts"], files_per_bucket=8)
+    base = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    lo = base + _dt.timedelta(hours=3)
+    hi = base + _dt.timedelta(hours=4)
+    return table.read(filters=[("ts", ">=", lo), ("ts", "<", hi)])
+
+
 def cdc_retention_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate DELETE under the hard oracle — the retention /
     right-to-be-forgotten surface (``DELETE FROM t WHERE ts <
@@ -619,6 +657,35 @@ SELECT conv_id, turn_idx, role, text, tool, ts
 FROM latest WHERE rn = 1 AND op <> 'D'
   AND ts >= TIMESTAMP '2024-01-01 00:08:00'
 """
+
+
+def cdc_replay_rebucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout evolution mid-ingest under the hard oracle: replay the
+    first half of the log into a 4-bucket table (a table sized for
+    day-one data), ``rebucket(16)`` while outstanding MOR deltas exist,
+    then land the remaining batches COW under the new layout. The
+    final state must equal the plain serial replay bit-for-bit —
+    rebucketing is content-preserving (LSNs, tombstones) and merges
+    re-target the new buckets (concurrent-writer guard tested in
+    tests/test_lake_rebucket.py)."""
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=4,
+    )
+    batches = batch_range(log)
+    mid = (batches.start + batches.stop) // 2
+    for b in batches:
+        apply_changes(
+            table, log.filter(F.col("batch_seq") == b),
+            batch_id=f"rb{b}", strategy="mor" if b < mid else "cow",
+        )
+        if b == mid:
+            info = table.rebucket(16)
+            assert info["num_buckets"] == 16, info
+    assert table.manifest().num_buckets == 16
+    return table.read()
 
 
 def cdc_rtbf_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3276,6 +3343,8 @@ QUERIES: dict[str, tuple] = {
     "lake_stats_pruned_scan": (lake_stats_pruned_scan_q, ORACLE_STATS_PRUNED),
     "cdc_retention_delete": (cdc_retention_delete_q, ORACLE_RETENTION_DELETE),
     "cdc_rtbf_delete": (cdc_rtbf_delete_q, ORACLE_RTBF_DELETE),
+    "cdc_replay_rebucketed": (cdc_replay_rebucketed_q, ORACLE_REPLAY),
+    "lake_clustered_scan": (lake_clustered_scan_q, ORACLE_STATS_PRUNED),
     "cdc_change_feed": (cdc_change_feed_q, ORACLE_CHANGE_FEED),
     "conv_progress_stateful": (conv_progress_stateful_q, ORACLE_CONV_PROGRESS),
     # -- corpus curation / similarity / multimodal --
