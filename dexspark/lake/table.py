@@ -201,6 +201,39 @@ class LakeTable:
             v for c, op, v in (filters or []) if op == "=" and c == m.bucket_key
         ]
 
+    def _buckets_for_keys(
+        self, m: mf.Manifest, key_vals: list[Any]
+    ) -> set[int] | None:
+        """The only buckets that can hold rows satisfying the key-``=``
+        conjuncts, or None when no key predicate restricts the scan.
+        Bucket placement is pmod(xxhash64(key), n) — evaluated by a
+        one-row Spark job so the Python side never re-implements
+        Spark's xxhash64. Two DIFFERENT required key values make the
+        conjunction unsatisfiable → empty set (scan nothing)."""
+        vals = [v for v in key_vals if v is not None]
+        if not vals:
+            return None
+        ktype = next(
+            f.dataType
+            for f in self.schema(m.version).fields
+            if f.name == m.bucket_key
+        )
+        if len(set(map(str, vals))) > 1:
+            return set()  # x = 'a' AND x = 'b'
+        row = (
+            self.spark.range(1)
+            .select(
+                F.pmod(
+                    F.xxhash64(F.lit(vals[0]).cast(ktype)),
+                    F.lit(m.num_buckets),
+                )
+                .cast("int")
+                .alias("b")
+            )
+            .first()
+        )
+        return {int(row["b"])}
+
     def _bloom_keep(self, f: mf.DataFile, key_vals: list[Any]) -> bool:
         """False only when the file's bloom sidecar PROVES every
         conjunct's key absent is impossible — i.e. some required key is
@@ -276,6 +309,14 @@ class LakeTable:
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f.bucket in bset]
+        key_vals: list[Any] = []
+        if filters:
+            key_vals = self._key_eq_values(filters, m)
+            kb = self._buckets_for_keys(m, key_vals)
+            if kb is not None:
+                # a key's rows live in exactly one bucket in EVERY
+                # version of the file set, so this prunes deltas too
+                files = [f for f in files if f.bucket in kb]
         # Merge-on-read resolution: a bucket holding delta files needs
         # its rows collapsed to the max-applied-LSN winner per merge
         # key. Buckets WITHOUT deltas skip the resolution entirely, so
@@ -285,7 +326,6 @@ class LakeTable:
         res_files = [f for f in files if f.bucket in delta_buckets]
         clean_files = [f for f in files if f.bucket not in delta_buckets]
         if filters:
-            key_vals = self._key_eq_values(filters, m)
             clean_files = [
                 f
                 for f in clean_files
@@ -383,6 +423,7 @@ class LakeTable:
         kind: str = "base",
         cluster_by: list[str] | None = None,
         files_per_bucket: int = 1,
+        build_blooms: bool = True,
     ) -> list[mf.DataFile]:
         """Write df (table columns) bucketed; return new DataFile entries.
 
@@ -439,10 +480,17 @@ class LakeTable:
                     if fn.endswith(".parquet"):
                         fabs = os.path.join(bdir, fn)
                         # footer-only metadata read, O(new files per
-                        # commit) — see lake/stats.py; the key bloom
-                        # re-reads ONE thin column of the new file
-                        # (lake/bloom.py — the cost Iceberg pays to
-                        # build puffin blooms)
+                        # commit) — see lake/stats.py. Key blooms
+                        # (lake/bloom.py) re-read ONE thin column and
+                        # hash it driver-side, so they are built only
+                        # for MAINTENANCE/base writes (append, compact,
+                        # delete, rebucket) — the long-lived files
+                        # point lookups actually prune — and never on
+                        # the per-micro-batch merge hot path, where the
+                        # output is rewritten next batch anyway and the
+                        # hashing would tax every commit. Compaction
+                        # therefore also "blooms" a table whose files
+                        # were all merge-written.
                         new_files.append(
                             mf.DataFile(
                                 path=os.path.join(out_rel, entry, fn),
@@ -452,7 +500,8 @@ class LakeTable:
                                 stats=lake_stats.collect_file_stats(
                                     fabs, writer_schema
                                 ),
-                                bloom=lake_bloom.write_for_file(
+                                bloom=build_blooms
+                                and lake_bloom.write_for_file(
                                     fabs, m.bucket_key
                                 ),
                             )
@@ -858,6 +907,7 @@ class LakeTable:
             new_files = self._write_data(
                 _align(delta, current_sys), m,
                 n_buckets_hint=len(affected), kind="delta",
+                build_blooms=False,  # hot path; compaction blooms later
             )
             info = {
                 "operation": "merge",
@@ -916,7 +966,10 @@ class LakeTable:
         upserts = _align(upsert_src, current_sys)
         new_data = _align(survivors, current_sys).unionByName(upserts)
 
-        new_files = self._write_data(new_data, m, n_buckets_hint=len(affected))
+        new_files = self._write_data(
+            new_data, m, n_buckets_hint=len(affected),
+            build_blooms=False,  # hot path; compaction blooms later
+        )
         info = {
             "operation": "merge",
             "affected_buckets": sorted(affected),
@@ -996,14 +1049,20 @@ class LakeTable:
                     StructField(SYS_DELETED, BooleanType(), True),
                 ]
             )
-            delta_buckets = {f.bucket for f in m.files if f.kind == "delta"}
+            key_vals = self._key_eq_values(filters, m)
+            kb = self._buckets_for_keys(m, key_vals)
+            scoped = (
+                m.files
+                if kb is None
+                else [f for f in m.files if f.bucket in kb]
+            )
+            delta_buckets = {f.bucket for f in scoped if f.kind == "delta"}
             # file-level pruning for clean buckets; bucket-level pruning
             # for delta buckets (skippable only when NO file of the
             # bucket may match — no version of any key matches then)
-            key_vals = self._key_eq_values(filters, m)
             cand_files = [
                 f
-                for f in m.files
+                for f in scoped
                 if f.bucket not in delta_buckets
                 and lake_stats.file_may_match(f.stats, filters, current)
                 and self._bloom_keep(f, key_vals)
@@ -1014,7 +1073,7 @@ class LakeTable:
                 if any(
                     lake_stats.file_may_match(f.stats, filters, current)
                     and self._bloom_keep(f, key_vals)
-                    for f in m.files
+                    for f in scoped
                     if f.bucket == b
                 )
             }

@@ -106,9 +106,16 @@ def test_pre_bloom_files_never_pruned(spark, tmp_table_dir):
     t._commit_next(m, m.files, {"operation": "overwrite"})
     got = t.read(filters=[("k", "=", "k50")]).collect()
     assert [(r.k, r.seq) for r in got] == [("k50", 50)]
+    # without sidecars the blooms cannot prune WITHIN the bucket: the
+    # scan must touch every file of k50's bucket (key->bucket pruning
+    # still applies — it needs no per-file metadata)
+    m2 = t.manifest()
+    kb = t._buckets_for_keys(m2, ["k50"])
+    per_bucket = [f for f in m2.files if f.bucket in kb]
     assert len(t.read(filters=[("k", "=", "k50")]).inputFiles()) == len(
-        t.read().inputFiles()
+        per_bucket
     )
+    assert len(per_bucket) > 1  # the no-pruning claim is non-vacuous
 
 
 def test_expire_removes_sidecars(spark, tmp_table_dir):
