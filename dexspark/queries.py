@@ -2296,6 +2296,105 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 """
 
 
+def q8_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a national supplier's share of regional order
+    volume by year — a 6-way join where ONE side of a conditional sum
+    depends on a dimension attribute (supplier nation), the classic
+    numerator-inside-the-aggregate pattern. Share is returned as exact
+    fixed-point numerator/denominator per year (cross-engine float
+    division would put libm in the hash)."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    re_ = load(spark, sf_dir, "region")
+    cn = na.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    sn = na.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(cn), cu.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(sn), su.s_nationkey == F.col("s_nk"))
+        .join(
+            F.broadcast(re_.filter(F.col("r_name") == "ASIA")),
+            F.col("c_rk") == re_.r_regionkey,
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nation_volume_x10000"),
+            F.sum(rev).alias("total_volume_x10000"),
+        )
+    )
+
+
+ORACLE_Q8 = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  CAST(sum(CASE WHEN sn.n_name = 'NATION_5' THEN {_REV_EXPR_SQL} ELSE 0 END)
+       AS BIGINT) AS nation_volume_x10000,
+  {_SUM_BIGINT.format(expr=_REV_EXPR_SQL)} AS total_volume_x10000
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY o_year
+"""
+
+
+def q9_product_type_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: revenue by supplier nation × order year for one
+    product line — fact × part-dim filter × supplier-dim × date-derived
+    key. The part filter broadcasts and prunes the fact rows before the
+    wide joins; the two-level grouping key mixes a dimension attribute
+    with a derived expression."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    pa = load(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(pa.filter(F.col("p_type") == "ECONOMY")),
+            li.l_partkey == pa.p_partkey,
+        )
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_revenue_x10000(), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+ORACLE_Q9 = f"""
+SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  {_REVENUE_X10000}, count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'ECONOMY'
+GROUP BY supp_nation, o_year
+"""
+
+
 def q22_dormant_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar aggregate subquery (average positive
     balance) gating the outer scan, plus NOT EXISTS (no orders in the
@@ -3399,6 +3498,8 @@ QUERIES: dict[str, tuple] = {
     "q16_supplier_part_cnt": (q16_supplier_part_cnt_q, ORACLE_Q16),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue_q, ORACLE_Q19),
     "q22_dormant_customers": (q22_dormant_customers_q, ORACLE_Q22),
+    "q8_market_share": (q8_market_share_q, ORACLE_Q8),
+    "q9_product_type_profit": (q9_product_type_profit_q, ORACLE_Q9),
     "churned_buyers": (churned_buyers_q, ORACLE_CHURNED),
     "lang_length_median": (lang_length_median_q, _oracle_lang_median()),
     "top_trigrams": (top_trigrams_q, ORACLE_TRIGRAMS),

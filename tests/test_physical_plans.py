@@ -54,6 +54,8 @@ AUDITED = [
     "q14_promo_revenue",
     "q16_supplier_part_cnt",
     "q19_disjunctive_revenue",
+    "q8_market_share",
+    "q9_product_type_profit",
 ]
 
 
