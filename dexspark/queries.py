@@ -2395,6 +2395,339 @@ GROUP BY supp_nation, o_year
 """
 
 
+def q2_min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: a correlated scalar MIN subquery (cheapest
+    regional offer per part) decorrelated into an aggregate + equality
+    join-back, ties preserved. The testdata has no partsupp table, so
+    the offer relation is derived from lineitem: supplier s "offers"
+    part p at the minimum extended price they ever shipped it for
+    (exact cents — no float boundary rows). Plan shape: the offer
+    relation aggregates once per (part, supplier), its per-part MIN is
+    orders of magnitude smaller and broadcasts back; supplier/nation/
+    region dims all broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    re_ = load(spark, sf_dir, "region")
+    pa = load(spark, sf_dir, "part")
+    region_supp = (
+        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(
+            F.broadcast(re_.filter(F.col("r_name") == "EUROPE")),
+            na.n_regionkey == re_.r_regionkey,
+        )
+        .select("s_suppkey", "s_name", _cents("s_acctbal").alias("s_acctbal_x100"), "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(region_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal_x100", "n_name")
+        .agg(F.min(_cents("l_extendedprice")).alias("cost_x100"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("_bp")).agg(
+        F.min("cost_x100").alias("_min_cost")
+    )
+    small_parts = pa.filter(F.col("p_size") <= 5).select("p_partkey", "p_name")
+    return (
+        offers.join(
+            F.broadcast(best),
+            (offers.l_partkey == F.col("_bp"))
+            & (offers.cost_x100 == F.col("_min_cost")),
+        )
+        .join(small_parts, offers.l_partkey == small_parts.p_partkey)
+        .select(
+            "s_acctbal_x100", "s_name", "n_name", "p_partkey", "p_name", "cost_x100"
+        )
+        .orderBy(
+            F.col("s_acctbal_x100").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+ORACLE_Q2 = f"""
+WITH offers AS (
+  SELECT l_partkey, s.s_suppkey, s.s_name,
+         {_CENTS_SQL.format(col='s.s_acctbal')} AS s_acctbal_x100, n.n_name,
+         CAST(min({_CENTS_SQL.format(col='l_extendedprice')}) AS BIGINT) AS cost_x100
+  FROM lineitem
+  JOIN supplier s ON l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY l_partkey, s.s_suppkey, s.s_name, s_acctbal_x100, n.n_name
+), best AS (
+  SELECT l_partkey AS bp, min(cost_x100) AS min_cost FROM offers GROUP BY l_partkey
+)
+SELECT o.s_acctbal_x100, o.s_name, o.n_name, p.p_partkey, p.p_name, o.cost_x100
+FROM offers o
+JOIN best b ON o.l_partkey = b.bp AND o.cost_x100 = b.min_cost
+JOIN part p ON o.l_partkey = p.p_partkey
+WHERE p.p_size <= 5
+ORDER BY o.s_acctbal_x100 DESC, o.n_name, o.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+def q11_important_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: GROUP BY ... HAVING against a scalar fraction
+    of the GLOBAL aggregate over the same relation — the classic
+    "share of total" decorrelation: one grouped pass, one re-aggregate
+    of its (tiny) output for the total, broadcast scalar join, exact
+    integer threshold (value * 1000 > total ⟺ value > total/1000, no
+    float division). Restricted to one nation's suppliers, as in the
+    original."""
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    nat_supp = (
+        su.join(
+            F.broadcast(na.filter(F.col("n_name") == "NATION_11")),
+            su.s_nationkey == na.n_nationkey,
+        ).select("s_suppkey")
+    )
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    per_part = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(rev).alias("value_x10000"))
+    )
+    total = per_part.agg(F.sum("value_x10000").alias("_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_x10000") * F.lit(1000) > F.col("_total"))
+        .select("l_partkey", "value_x10000")
+        .orderBy(F.col("value_x10000").desc(), "l_partkey")
+    )
+
+
+ORACLE_Q11 = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum({_CENTS_SQL.format(col='l_extendedprice')}
+                  * (100 - {_CENTS_SQL.format(col='l_discount')})) AS BIGINT)
+           AS value_x10000
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_11'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value_x10000
+FROM per_part
+WHERE value_x10000 * 1000 > (SELECT CAST(sum(value_x10000) AS BIGINT) FROM per_part)
+ORDER BY value_x10000 DESC, l_partkey
+"""
+
+
+def q12_priority_class_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-to-fact join feeding DUAL conditional
+    counters (CASE WHEN inside SUM) grouped by a derived key. The
+    original splits by ship mode and commit/receipt lateness; the
+    testdata carries neither column, so the derived key is ship YEAR
+    and the split is urgent (1-URGENT / 2-HIGH) vs other order
+    priority — same plan: one equi-join, one hash aggregate, both
+    counters map-side combinable, no second pass."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+ORACLE_Q12 = """
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY ship_year
+ORDER BY ship_year
+"""
+
+
+def q15_top_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a revenue view aggregated per supplier over a
+    quarter, then the supplier(s) achieving the GLOBAL MAX — the view
+    + scalar-max + equality join-back pattern (ties kept, as the spec
+    requires). Exact fixed-point revenue so the max comparison is
+    integer equality; the per-supplier view re-aggregates to one row
+    for the max and broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    view = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("total_revenue_x10000"))
+    )
+    top = view.agg(F.max("total_revenue_x10000").alias("_max_rev"))
+    return (
+        view.join(F.broadcast(top))
+        .filter(F.col("total_revenue_x10000") == F.col("_max_rev"))
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .select(
+            F.col("s_suppkey"), "s_name", "total_revenue_x10000"
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(sum({_CENTS_SQL.format(col='l_extendedprice')}
+                  * (100 - {_CENTS_SQL.format(col='l_discount')})) AS BIGINT)
+           AS total_revenue_x10000
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_x10000
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_x10000 = (SELECT max(total_revenue_x10000) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q20_dominant_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: a nested aggregate-threshold subquery deciding
+    a SEMI-join chain up to suppliers. The original compares stock
+    against half the shipped quantity (partsupp is absent here), so
+    the adapted threshold is supply dominance: keep (part, supplier)
+    pairs where the supplier shipped MORE than half that part's 1997
+    volume (2*pair > part total — exact integers), for small parts,
+    then semi-join suppliers. Plan: one grouped pass over the filtered
+    fact, its per-part total derived from the SAME grouped output
+    (rollup reuse, no second fact scan), broadcast dims, LEFT SEMI to
+    dedup suppliers."""
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    pa = load(spark, sf_dir, "part")
+    li97 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    small = pa.filter(F.col("p_type") == "SMALL").select("p_partkey")
+    pair_qty = (
+        li97.join(F.broadcast(small), li97.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_cents("l_quantity")).alias("pair_qty_x100"))
+    )
+    part_qty = pair_qty.groupBy(F.col("l_partkey").alias("_pp")).agg(
+        F.sum("pair_qty_x100").alias("part_qty_x100")
+    )
+    dominant = (
+        pair_qty.join(F.broadcast(part_qty), pair_qty.l_partkey == F.col("_pp"))
+        .filter(F.col("pair_qty_x100") * F.lit(2) > F.col("part_qty_x100"))
+        .select("l_suppkey")
+    )
+    return (
+        su.join(dominant, su.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", _cents("s_acctbal").alias("s_acctbal_x100"))
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q20 = f"""
+WITH pair_qty AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum({_CENTS_SQL.format(col='l_quantity')}) AS BIGINT) AS pair_qty_x100
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'SMALL'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+), part_qty AS (
+  SELECT l_partkey AS pp, CAST(sum(pair_qty_x100) AS BIGINT) AS part_qty_x100
+  FROM pair_qty GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, {_CENTS_SQL.format(col='s_acctbal')} AS s_acctbal_x100
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM pair_qty JOIN part_qty ON l_partkey = pp
+  WHERE pair_qty_x100 * 2 > part_qty_x100)
+ORDER BY s_suppkey
+"""
+
+
+def q21_waiting_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins on the fact
+    table — suppliers who were the ONLY problem supplier on a
+    multi-supplier finalized order. The testdata has no commit/receipt
+    dates, so "problem" is l_returnflag='R' (returned): for each R
+    line on an 'F' order, EXISTS another supplier on the order (semi
+    join) and NOT EXISTS another supplier who ALSO returned (anti
+    join). Both self-joins hash on l_orderkey with the supplier
+    inequality as a residual filter — never a cartesian; supplier dim
+    broadcasts for the final name lookup."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    su = load(spark, sf_dir, "supplier")
+    f_orders = od.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(f_orders, li.l_orderkey == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey", "l_linenumber")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == F.col("_ok2")) & (l1.l_suppkey != F.col("_sk2")),
+            "left_semi",
+        ).join(
+            l3,
+            (l1.l_orderkey == F.col("_ok3")) & (l1.l_suppkey != F.col("_sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(su), waiting.l_suppkey == su.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+ORACLE_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 def q22_dormant_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar aggregate subquery (average positive
     balance) gating the outer scan, plus NOT EXISTS (no orders in the
@@ -3498,6 +3831,12 @@ QUERIES: dict[str, tuple] = {
     "q16_supplier_part_cnt": (q16_supplier_part_cnt_q, ORACLE_Q16),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue_q, ORACLE_Q19),
     "q22_dormant_customers": (q22_dormant_customers_q, ORACLE_Q22),
+    "q2_min_cost_supplier": (q2_min_cost_supplier_q, ORACLE_Q2),
+    "q11_important_parts": (q11_important_parts_q, ORACLE_Q11),
+    "q12_priority_class": (q12_priority_class_q, ORACLE_Q12),
+    "q15_top_supplier": (q15_top_supplier_q, ORACLE_Q15),
+    "q20_dominant_suppliers": (q20_dominant_suppliers_q, ORACLE_Q20),
+    "q21_waiting_supplier": (q21_waiting_supplier_q, ORACLE_Q21),
     "q8_market_share": (q8_market_share_q, ORACLE_Q8),
     "q9_product_type_profit": (q9_product_type_profit_q, ORACLE_Q9),
     "churned_buyers": (churned_buyers_q, ORACLE_CHURNED),

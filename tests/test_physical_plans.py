@@ -56,6 +56,10 @@ AUDITED = [
     "q19_disjunctive_revenue",
     "q8_market_share",
     "q9_product_type_profit",
+    "q2_min_cost_supplier",
+    "q12_priority_class",
+    "q20_dominant_suppliers",
+    "q21_waiting_supplier",
 ]
 
 
@@ -152,3 +156,30 @@ def test_q22_scalar_subquery_broadcasts(spark):
     plan = plan_of(spark, "q22_dormant_customers")
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+
+
+@needs_data
+def test_q21_self_joins_hash_on_orderkey(spark):
+    """Q21's EXISTS / NOT EXISTS self-joins carry a supplier
+    INEQUALITY alongside the orderkey equality; the plan must hash on
+    the equi-key and keep the inequality as a residual — a planner
+    that loses the equi-key would nested-loop the fact table against
+    itself."""
+    plan = plan_of(spark, "q21_waiting_supplier")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"Join .*LeftSemi", plan), plan
+    assert re.search(r"Join .*LeftAnti", plan), plan
+
+
+@needs_data
+@pytest.mark.parametrize("name", ["q11_important_parts", "q15_top_supplier"])
+def test_global_scalar_joins_broadcast_single_row(spark, name):
+    """Q11/Q15 join a 1-row global aggregate back onto the grouped
+    view. The single row must be the broadcast side (BNLJ over a
+    1-row build is O(rows) — the sanctioned scalar-subquery shape);
+    the grouped view itself must never be on the build side of a
+    cartesian."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, plan
+    assert "Broadcast" in plan, plan

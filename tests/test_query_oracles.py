@@ -50,6 +50,13 @@ SUBSET = [
     "emb_ann_multiband_topk",
     "lake_stats_pruned_scan",
     "cdc_replay_concurrent_maintenance",
+    # TPC-H sweep completion (all 22 shapes now covered)
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_priority_class",
+    "q15_top_supplier",
+    "q20_dominant_suppliers",
+    "q21_waiting_supplier",
 ]
 
 
