@@ -69,6 +69,7 @@ def snapshot_diff(
     key_cols: list[str],
     payload: list[str],
     op_col: str = "op",
+    images: bool = False,
 ) -> DataFrame:
     """Classify the rows of two keyed snapshots into I/U/D.
 
@@ -76,7 +77,14 @@ def snapshot_diff(
     aligned to new's schema) with one row per key. Output = payload +
     ``op_col``; D rows carry the deleted row's (old) payload; identical
     rows are dropped by a null-safe struct compare before anything
-    wide happens, so the output is O(changed rows)."""
+    wide happens, so the output is O(changed rows).
+
+    ``images=True`` switches the output to key_cols + ``op_col`` +
+    ``_old``/``_new`` payload STRUCTS (``_old`` null for I, ``_new``
+    null for D) — the pre/post-image feed consumers that must RETRACT
+    an old value need (incremental aggregate maintenance,
+    lake/matview.py); the default single-image shape cannot say what a
+    U row used to be."""
     non_keys = [c for c in payload if c not in key_cols]
     o = old.select(
         *[F.col(c).alias(f"_o_{c}") for c in payload],
@@ -99,6 +107,23 @@ def snapshot_diff(
         .when(in_old & ~in_new, F.lit("D"))
         .when(~same, F.lit("U"))
     )
+    if images:
+        old_img = F.when(
+            in_old, F.struct(*[F.col(f"_o_{c}").alias(c) for c in payload])
+        )
+        new_img = F.when(
+            in_new, F.struct(*[F.col(f"_n_{c}").alias(c) for c in payload])
+        )
+        return (
+            j.withColumn(op_col, op)
+            .filter(F.col(op_col).isNotNull())
+            .select(
+                *key_cols,
+                F.col(op_col),
+                old_img.alias("_old"),
+                new_img.alias("_new"),
+            )
+        )
     side = F.when(in_new, F.lit("n")).otherwise(F.lit("o"))
     out_cols = [
         F.when(side == "n", F.col(f"_n_{c}")).otherwise(F.col(f"_o_{c}")).alias(c)
@@ -118,6 +143,7 @@ def table_changes(
     key_cols: list[str] | None = None,
     op_col: str = "op",
     prune_buckets: bool = True,
+    images: bool = False,
 ) -> DataFrame:
     """Rows that changed between two snapshots, classified I/U/D.
 
@@ -125,6 +151,8 @@ def table_changes(
     ``op_col``; D rows carry the deleted row's (old) payload. Rows
     identical in both snapshots are dropped. ``key_cols`` defaults to
     the manifest's recorded merge keys (see ``_default_keys``).
+    ``images=True`` emits pre/post-image structs instead of the single
+    payload image (see ``snapshot_diff``).
 
     ``prune_buckets`` (default) restricts BOTH snapshot reads to the
     buckets whose files differ between the versions (a manifest-only
@@ -143,7 +171,7 @@ def table_changes(
         table.read(version=from_version, buckets=buckets), new_schema
     )
     new = table.read(version=to_version, buckets=buckets)
-    return snapshot_diff(old, new, key_cols, payload, op_col=op_col)
+    return snapshot_diff(old, new, key_cols, payload, op_col=op_col, images=images)
 
 
 def _covers(have: StructType, want: StructType) -> bool:

@@ -424,6 +424,69 @@ def cdc_feed_mirror_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dst.read()
 
 
+def cdc_agg_view_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained rollup under the hard oracle
+    (lake/matview.py): replay the log into a transcript table while a
+    per-conversation aggregate VIEW (n_rows / sum of text length / sum
+    of turn_idx) is kept current off the table's own change feed —
+    refreshed after the first batch (initial build), mid-replay, and at
+    head (two composed multi-version catch-ups over inserts, updates,
+    AND deletes). The view is returned; the oracle recomputes the
+    rollup from scratch over the final replayed state, so matching it
+    proves the delta algebra (−old +new per changed row, group
+    retirement at zero) is exact — the dashboard never re-reads the
+    100 TB base table. A final re-refresh must be a ledger no-op
+    (exactly-once). ≙ the reference's staged pub-sub consumers
+    (eventgridsystemtopic/dex-rs-file-ingested/template.json:48-106),
+    with an aggregate subscriber instead of a copy."""
+    from dexspark.lake.matview import create_agg_view, refresh_agg_view
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    group, sums = ["conv_id"], {
+        "sum_len": "length(text)",
+        "sum_turn": "turn_idx",
+    }
+    view = create_agg_view(
+        spark, os.path.join(d, "conv_rollup"), table, group, sums, num_buckets=8
+    )
+    batches = batch_range(log)
+    mid = (batches.start + batches.stop) // 2
+    for b in batches:
+        apply_changes(table, log.filter(F.col("batch_seq") == b), batch_id=f"v{b}")
+        if b in (batches.start, mid):
+            info = refresh_agg_view(table, view, group, sums)
+            assert info and info["view_mode"] == "incremental"
+    # final catch-up (a no-op at tiny SFs where mid == last batch) …
+    info = refresh_agg_view(table, view, group, sums)
+    assert info is None or info["view_mode"] == "incremental"
+    # … and re-running the refresh is ALWAYS a ledger no-op
+    assert refresh_agg_view(table, view, group, sums) is None
+    return view.read().select("conv_id", "n_rows", "sum_len", "sum_turn")
+
+
+ORACLE_AGG_VIEW = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM flagged WHERE reject_reason IS NULL
+),
+state AS (
+  SELECT conv_id, turn_idx, text FROM latest WHERE rn = 1 AND op <> 'D'
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+       CAST(SUM(turn_idx) AS BIGINT) AS sum_turn
+FROM state GROUP BY conv_id
+"""
+
+
 def conv_progress_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-stateful streaming (applyInPandasWithState) under the
     hard oracle: per-conversation running progress over the raw change
@@ -3770,6 +3833,7 @@ QUERIES: dict[str, tuple] = {
         ORACLE_REPLAY,
     ),
     "cdc_feed_mirror": (cdc_feed_mirror_q, ORACLE_REPLAY),
+    "cdc_agg_view": (cdc_agg_view_q, ORACLE_AGG_VIEW),
     "cdc_stream_replay_mor": (cdc_stream_replay_mor_q, ORACLE_REPLAY),
     "cdc_time_travel": (cdc_time_travel_q, ORACLE_TIME_TRAVEL),
     "lake_stats_pruned_scan": (lake_stats_pruned_scan_q, ORACLE_STATS_PRUNED),

@@ -374,3 +374,25 @@ def test_default_keys_prefer_recorded_merge_keys(spark, tmp_table_dir):
     feed = table_changes(t, v0)
     got = {(r.k, r.seq, r.op) for r in feed.collect()}
     assert got == {("a", 1, "I"), ("a", 2, "I")}
+
+
+def test_table_changes_images_emits_pre_and_post(spark, tmp_table_dir):
+    t = _table(spark, tmp_table_dir)
+    v1 = t.current_version()
+    t.merge(
+        spark.createDataFrame(
+            [("a", 1, "x2", "U"), ("b", 1, "y", "D"), ("d", 1, "w", "I")],
+            "k string, seq int, v string, op string",
+        ),
+        key_cols=["k", "seq"],
+    )
+    feed = table_changes(t, v1, t.current_version(), key_cols=["k", "seq"], images=True)
+    got = {
+        (r.k, r.seq): (r.op, r._old and r._old.v, r._new and r._new.v)
+        for r in feed.collect()
+    }
+    assert got == {
+        ("a", 1): ("U", "x", "x2"),   # both images on update
+        ("b", 1): ("D", "y", None),   # no post-image on delete
+        ("d", 1): ("I", None, "w"),   # no pre-image on insert
+    }
