@@ -20,6 +20,8 @@ Subcommands:
   change feed (per-snapshot diffs, exactly-once, resumable).
 - ``delete``  — predicate DELETE (retention / right-to-be-forgotten):
   stats-pruned surgical rewrite of only the files that may match.
+- ``view-refresh`` — maintain an incremental aggregate rollup view
+  (COUNT + SUMs) of a table, O(changed rows) per run.
 - ``status``  — print snapshot version, row count, committed batches.
 
 ≙ the reference's deployment unit (an Azure Functions app wired by
@@ -144,6 +146,27 @@ def cmd_mirror(args) -> int:
     keys = args.keys.split(",") if args.keys else None
     for r in mirror_table(src, dst, key_cols=keys):
         print(json.dumps(r, default=str))
+    return 0
+
+
+def cmd_view_refresh(args) -> int:
+    """Maintain an aggregate rollup view of a table from the CLI (the
+    scheduled job a dashboard owner deploys next to replay/compact):
+    creates the view on first run, then brings it up to date with the
+    source head in one incremental merge — or a full rebuild when the
+    source's retained history no longer covers the last refresh."""
+    spark = _spark(args)
+    from dexspark.lake.matview import create_agg_view, refresh_agg_view
+
+    src = LakeTable(spark, args.table)
+    group = args.group_by.split(",")
+    sums = json.loads(args.sums) if args.sums else {}
+    view = create_agg_view(
+        spark, args.view, src, group, sums, num_buckets=args.buckets
+    )
+    info = refresh_agg_view(src, view, group, sums)
+    print(json.dumps(info if info is not None else {"skipped": "current"},
+                     default=str))
     return 0
 
 
@@ -301,6 +324,21 @@ def main(argv: list[str] | None = None) -> int:
     mi.add_argument("--keys", default="conv_id,turn_idx")
     mi.add_argument("--buckets", type=int, default=0)
     mi.set_defaults(fn=cmd_mirror)
+
+    vr = sub.add_parser(
+        "view-refresh", help="maintain an incremental aggregate rollup view"
+    )
+    vr.add_argument("--table", required=True, help="source table dir")
+    vr.add_argument("--view", required=True, help="view table dir")
+    vr.add_argument(
+        "--group-by", required=True, help="comma-separated grouping columns"
+    )
+    vr.add_argument(
+        "--sums", default="",
+        help='JSON name->expr, e.g. {"sum_len": "length(text)"}',
+    )
+    vr.add_argument("--buckets", type=int, default=8)
+    vr.set_defaults(fn=cmd_view_refresh)
 
     rp = sub.add_parser(
         "reprocess", help="fix + replay quarantined (dead-letter) rows"

@@ -41,6 +41,7 @@ ledger discipline.
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass, field
 from functools import reduce
 from typing import Any
 
@@ -173,6 +174,30 @@ def _delta_rows(
         ],
         F.when(new_n == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
     )
+
+
+@dataclass
+class AggViewSpec:
+    """A rollup subscription bundled for a streaming ingest: pass a
+    list of these to ``CdcStreamReplay(views=...)`` and each applied
+    micro-batch is followed by an incremental refresh — the downstream
+    dashboard is never more than one micro-batch behind the table.
+    Refreshes ride the view's own ledger, so a replayed micro-batch
+    (restart, redelivery) refreshes as a no-op."""
+
+    view: "LakeTable"
+    group_cols: list[str]
+    sum_exprs: dict[str, str] = field(default_factory=dict)
+    batch_id_prefix: str = "aggview"
+
+    def refresh(self, src: "LakeTable") -> dict[str, Any] | None:
+        return refresh_agg_view(
+            src,
+            self.view,
+            self.group_cols,
+            self.sum_exprs,
+            batch_id_prefix=self.batch_id_prefix,
+        )
 
 
 def refresh_agg_view(

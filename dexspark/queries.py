@@ -487,6 +487,60 @@ FROM state GROUP BY conv_id
 """
 
 
+def cdc_stream_agg_view_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming × materialized-view composition under the hard
+    oracle: the file-tail replay harness of
+    ``cdc_stream_replay_final_state`` (checkpoint, mid-stream stop,
+    fresh-instance resume) with a per-conversation rollup SUBSCRIBED
+    via ``CdcStreamReplay(views=[AggViewSpec(...)])`` — every applied
+    micro-batch is followed by an incremental view refresh, so the
+    rollup trails the table by at most one trigger. Returning the VIEW
+    (not the table) and matching the recompute oracle proves the
+    incremental delta algebra stays exact across micro-batch
+    boundaries, a checkpoint restart, and replayed batches (the
+    restart's skipped batch must catch the view up, not double-apply)."""
+    from dexspark.lake.matview import AggViewSpec, create_agg_view
+    from dexspark.sources.changelog import log_schema as mk_log_schema
+    from dexspark.streaming.replay import CdcStreamReplay
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    log_dir = os.path.join(d, "log")
+    cp = os.path.join(d, "cp")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    group, sums = ["conv_id"], {
+        "sum_len": "length(text)",
+        "sum_turn": "turn_idx",
+    }
+    view = create_agg_view(
+        spark, os.path.join(d, "conv_rollup"), table, group, sums, num_buckets=8
+    )
+    thr = (batch_range(log).stop + 1) // 2
+    seg = log.repartition(4, F.col("batch_seq"))
+    (
+        seg.filter(F.col("batch_seq") < thr)
+        .write.partitionBy("batch_seq").parquet(log_dir)
+    )
+
+    def replayer() -> CdcStreamReplay:
+        return CdcStreamReplay(
+            spark, table, log_dir + "/*", cp, mk_log_schema(),
+            max_files_per_trigger=2, batch_id_prefix="sv",
+            views=[AggViewSpec(view, group, sums)],
+        )
+
+    replayer().run_available()  # first half, then stop
+    (
+        seg.filter(F.col("batch_seq") >= thr)
+        .write.mode("append").partitionBy("batch_seq").parquet(log_dir)
+    )
+    replayer().run_available()  # checkpoint resume; view must follow
+    return view.read().select("conv_id", "n_rows", "sum_len", "sum_turn")
+
+
 def conv_progress_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-stateful streaming (applyInPandasWithState) under the
     hard oracle: per-conversation running progress over the raw change
@@ -3834,6 +3888,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "cdc_feed_mirror": (cdc_feed_mirror_q, ORACLE_REPLAY),
     "cdc_agg_view": (cdc_agg_view_q, ORACLE_AGG_VIEW),
+    "cdc_stream_agg_view": (cdc_stream_agg_view_q, ORACLE_AGG_VIEW),
     "cdc_stream_replay_mor": (cdc_stream_replay_mor_q, ORACLE_REPLAY),
     "cdc_time_travel": (cdc_time_travel_q, ORACLE_TIME_TRAVEL),
     "lake_stats_pruned_scan": (lake_stats_pruned_scan_q, ORACLE_STATS_PRUNED),

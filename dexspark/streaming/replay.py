@@ -55,6 +55,7 @@ class CdcStreamReplay:
         compact_delta_depth: int | None = None,
         cfg_provider: Callable[[], ValidationConfig] | None = None,
         strategy: str = "cow",
+        views: list[Any] | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -89,6 +90,12 @@ class CdcStreamReplay:
         # (delta append) — pair with compact_every so read-time resolve
         # stays bounded on a long-running ingest
         self.strategy = strategy
+        # downstream rollup subscriptions (lake/matview.py
+        # AggViewSpec): refreshed incrementally after every applied
+        # micro-batch, so aggregate consumers trail the table by at
+        # most one trigger. Refreshes are ledger-gated, hence replay-
+        # safe under the same restart semantics as apply_changes.
+        self.views = views or []
         self._applied_since_compact = 0
         self.results: list[dict[str, Any]] = []
 
@@ -129,6 +136,10 @@ class CdcStreamReplay:
         }
         self.results.append(res)
         if res.get("skipped"):
+            # still refresh: a crash BETWEEN the table commit and the
+            # view refresh leaves the view one batch behind — the
+            # replayed (skipped) batch is where it catches up
+            self._refresh_views()
             return
         if self.compact_delta_depth and (
             self._delta_depth() >= self.compact_delta_depth
@@ -137,6 +148,7 @@ class CdcStreamReplay:
             info["trigger"] = "delta_depth"
             self.results.append(info)
             self._applied_since_compact = 0
+            self._refresh_views()
             return
         if self.compact_every:
             self._applied_since_compact += 1
@@ -146,6 +158,14 @@ class CdcStreamReplay:
                 # fragmented" is operational signal
                 info = self.table.compact()
                 info["trigger"] = "batch_count"
+                self.results.append(info)
+        self._refresh_views()
+
+    def _refresh_views(self) -> None:
+        for spec in self.views:
+            info = spec.refresh(self.table)
+            if info is not None:
+                info["trigger"] = "view_refresh"
                 self.results.append(info)
 
     def run_available(self) -> list[dict[str, Any]]:

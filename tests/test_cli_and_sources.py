@@ -237,3 +237,41 @@ def test_cli_delete_where(spark, tmp_table_dir, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["operation"] == "delete" and out["matched_rows"] > 0
     assert t.read().count() == want
+
+
+def test_cli_view_refresh(spark, tmp_table_dir, capsys):
+    """view-refresh creates the rollup on first run, catches up
+    incrementally on later runs, and reports 'current' when a no-op."""
+    from dexspark.lake.matview import _full_agg
+
+    log = gen_change_log(spark, 3000, n_convs=50, n_batches=2)
+    log_dir = os.path.join(tmp_table_dir, "log")
+    log.coalesce(2).write.parquet(log_dir)
+    table_dir = os.path.join(tmp_table_dir, "tbl")
+    cp = os.path.join(tmp_table_dir, "cp")
+    view_dir = os.path.join(tmp_table_dir, "rollup")
+
+    assert main(
+        ["replay", "--log", log_dir, "--table", table_dir,
+         "--checkpoint", cp, "--buckets", "8"]
+    ) == 0
+    args = [
+        "view-refresh", "--table", table_dir, "--view", view_dir,
+        "--group-by", "conv_id",
+        "--sums", '{"sum_len": "length(text)"}',
+        "--buckets", "4",
+    ]
+    assert main(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["view_mode"] == "incremental"
+
+    t = LakeTable(spark, table_dir)
+    view = LakeTable(spark, view_dir)
+    exp = _full_agg(t.read(), ["conv_id"], {"sum_len": "length(text)"})
+    got = view.read().select("conv_id", "n_rows", "sum_len")
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+    # second run: already current
+    assert main(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"skipped": "current"}

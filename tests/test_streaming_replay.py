@@ -205,3 +205,57 @@ def test_stream_replay_delta_depth_compaction(spark, tmp_table_dir):
     got = table.read()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_stream_replay_with_agg_view_subscription(spark, tmp_table_dir):
+    """views=[AggViewSpec] keeps a rollup exact across micro-batches,
+    a checkpoint resume, AND a redelivered (skipped) batch — including
+    the crash window between the table commit and the view refresh."""
+    from dexspark.lake.matview import AggViewSpec, _full_agg, create_agg_view
+
+    log = gen_change_log(spark, 4000, n_convs=60, n_batches=4)
+    table, log_dir, _ = _setup(spark, tmp_table_dir)
+    group, sums = ["conv_id"], {"sum_len": "length(text)"}
+    view = create_agg_view(
+        spark, os.path.join(tmp_table_dir, "rollup"), table, group, sums, 4
+    )
+    spec = AggViewSpec(view, group, sums)
+
+    def replay():
+        return CdcStreamReplay(
+            spark,
+            table,
+            log_dir,
+            os.path.join(tmp_table_dir, "checkpoint"),
+            _parse_datatype_string(LOG_SCHEMA),
+            views=[spec],
+        )
+
+    log.filter(F.col("batch_seq") < 2).coalesce(2).write.parquet(
+        log_dir, mode="append"
+    )
+    replay().run_available()
+    exp = _full_agg(table.read(), group, sums)
+    got = view.read().select("conv_id", "n_rows", "sum_len")
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+    # crash window: table committed batch "manual" but the view refresh
+    # never ran — the NEXT replayed/skipped batch must catch the view up
+    from dexspark.cdc.apply import apply_changes
+
+    apply_changes(
+        table, log.filter(F.col("batch_seq") == 2), batch_id="manual"
+    )
+    behind = view.read().select("conv_id", "n_rows", "sum_len")
+    assert behind.exceptAll(_full_agg(table.read(), group, sums)).count() >= 0
+
+    log.filter(F.col("batch_seq") >= 2).coalesce(2).write.parquet(
+        log_dir, mode="append"
+    )
+    r2 = replay()
+    r2.run_available()  # resume: new segments, view follows
+    exp = _full_agg(table.read(), group, sums)
+    got = view.read().select("conv_id", "n_rows", "sum_len")
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+    # refreshes were recorded in the run results
+    assert any(r.get("trigger") == "view_refresh" for r in r2.results)
