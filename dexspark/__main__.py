@@ -161,10 +161,15 @@ def cmd_view_refresh(args) -> int:
     src = LakeTable(spark, args.table)
     group = args.group_by.split(",")
     sums = json.loads(args.sums) if args.sums else {}
+    mins = json.loads(args.mins) if args.mins else {}
+    maxs = json.loads(args.maxs) if args.maxs else {}
     view = create_agg_view(
-        spark, args.view, src, group, sums, num_buckets=args.buckets
+        spark, args.view, src, group, sums, num_buckets=args.buckets,
+        min_exprs=mins, max_exprs=maxs,
     )
-    info = refresh_agg_view(src, view, group, sums)
+    info = refresh_agg_view(
+        src, view, group, sums, min_exprs=mins, max_exprs=maxs
+    )
     print(json.dumps(info if info is not None else {"skipped": "current"},
                      default=str))
     return 0
@@ -337,6 +342,8 @@ def main(argv: list[str] | None = None) -> int:
         "--sums", default="",
         help='JSON name->expr, e.g. {"sum_len": "length(text)"}',
     )
+    vr.add_argument("--mins", default="", help="JSON name->expr (MIN)")
+    vr.add_argument("--maxs", default="", help="JSON name->expr (MAX)")
     vr.add_argument("--buckets", type=int, default=8)
     vr.set_defaults(fn=cmd_view_refresh)
 

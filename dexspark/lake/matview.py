@@ -6,12 +6,18 @@ after every ingest micro-batch is O(table); this module keeps it
 current in O(changed rows) by subscribing to the lake's own change
 feed — classic self-maintainable-view algebra:
 
-- supported aggregates: COUNT(*) (always, as ``n_rows``) and integer
+- supported aggregates: COUNT(*) (always, as ``n_rows``), integer
   SUMs of arbitrary non-null row expressions (AVG is derivable as
-  sum/count by the reader). MIN/MAX are deliberately ABSENT: they are
-  not self-maintainable under deletes (losing the current minimum
-  forces a rescan of the group), so offering them here would silently
-  reintroduce the O(table) cost this module exists to avoid.
+  sum/count by the reader), and integer MIN/MAX. SUM/COUNT are fully
+  self-maintainable; MIN/MAX are only PARTIALLY so — inserts and
+  replacing updates fold in exactly (``least``/``greatest`` against
+  the stored extremum), but a delete that removes the current
+  extremum cannot be undone from the change feed alone. Those groups
+  are detected per refresh (an old-image value touching the stored
+  extremum with no new-image value re-covering it) and re-scanned
+  from the SOURCE head — one job over only the dirty groups,
+  bucket-pruned when the group key is the source bucket key, never
+  O(table) unless deletions hit the extremum of every group at once.
 - maintenance: every changed row contributes ``-contribution(old)``
   and ``+contribution(new)`` to its group (pre/post images from
   ``table_changes(images=True)``, bucket-pruned so I/O is O(changed
@@ -56,20 +62,27 @@ N_ROWS = "n_rows"
 
 
 def view_schema(
-    src_schema: StructType, group_cols: list[str], sum_exprs: dict[str, str]
+    src_schema: StructType,
+    group_cols: list[str],
+    sum_exprs: dict[str, str],
+    min_exprs: dict[str, str] | None = None,
+    max_exprs: dict[str, str] | None = None,
 ) -> StructType:
     """Schema of the rollup table: the grouping columns (types taken
-    from the source schema) + ``n_rows`` + one long per SUM."""
+    from the source schema) + ``n_rows`` + one long per SUM/MIN/MAX."""
     by_name = {f.name: f for f in src_schema.fields}
     missing = [c for c in group_cols if c not in by_name]
     if missing:
         raise ValueError(f"group columns not in source schema: {missing}")
-    clash = [n for n in sum_exprs if n in group_cols or n == N_ROWS]
+    agg_names = list(sum_exprs) + list(min_exprs or {}) + list(max_exprs or {})
+    clash = [n for n in agg_names if n in group_cols or n == N_ROWS]
     if clash:
-        raise ValueError(f"sum names collide with group/{N_ROWS}: {clash}")
+        raise ValueError(f"aggregate names collide with group/{N_ROWS}: {clash}")
+    if len(set(agg_names)) != len(agg_names):
+        raise ValueError(f"duplicate aggregate names: {agg_names}")
     fields = [StructField(c, by_name[c].dataType, True) for c in group_cols]
     fields.append(StructField(N_ROWS, LongType(), True))
-    fields.extend(StructField(n, LongType(), True) for n in sum_exprs)
+    fields.extend(StructField(n, LongType(), True) for n in agg_names)
     return StructType(fields)
 
 
@@ -80,33 +93,46 @@ def create_agg_view(
     group_cols: list[str],
     sum_exprs: dict[str, str],
     num_buckets: int = 8,
+    min_exprs: dict[str, str] | None = None,
+    max_exprs: dict[str, str] | None = None,
 ) -> LakeTable:
     """Create (or open) the rollup table for ``src`` grouped by
-    ``group_cols`` with the given SUM expressions.
+    ``group_cols`` with the given SUM/MIN/MAX expressions.
 
-    ``sum_exprs`` maps output column name → a Spark SQL expression
-    over the source's payload columns (e.g. ``{"sum_len":
-    "length(text)"}``). Expressions must be NON-NULL on every live row:
-    SQL SUM skips nulls, but a retraction of null is null, so a
-    nullable expression would make incremental and recomputed totals
-    diverge — wrap with ``coalesce(e, 0)`` at the call site if the
-    column is nullable."""
+    Each dict maps output column name → a Spark SQL expression over
+    the source's payload columns (e.g. ``{"sum_len": "length(text)"}``).
+    Expressions must be NON-NULL on every live row: SQL aggregates skip
+    nulls, but a retraction of null is null, so a nullable expression
+    would make incremental and recomputed totals diverge — wrap with
+    ``coalesce(e, 0)`` at the call site if the column is nullable."""
     if LakeTable.exists(view_dir):
         return LakeTable(spark, view_dir)
-    schema = view_schema(src.schema(), group_cols, sum_exprs)
+    schema = view_schema(src.schema(), group_cols, sum_exprs, min_exprs, max_exprs)
     return LakeTable.create(
         spark, view_dir, schema, bucket_key=group_cols[0], num_buckets=num_buckets
     )
 
 
 def _full_agg(
-    df: DataFrame, group_cols: list[str], sum_exprs: dict[str, str]
+    df: DataFrame,
+    group_cols: list[str],
+    sum_exprs: dict[str, str],
+    min_exprs: dict[str, str] | None = None,
+    max_exprs: dict[str, str] | None = None,
 ) -> DataFrame:
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias(N_ROWS),
         *[
             F.sum(F.expr(e).cast("long")).cast("long").alias(n)
             for n, e in sum_exprs.items()
+        ],
+        *[
+            F.min(F.expr(e).cast("long")).alias(n)
+            for n, e in (min_exprs or {}).items()
+        ],
+        *[
+            F.max(F.expr(e).cast("long")).alias(n)
+            for n, e in (max_exprs or {}).items()
         ],
     )
 
@@ -116,14 +142,31 @@ def _delta_rows(
     feed: DataFrame,
     group_cols: list[str],
     sum_exprs: dict[str, str],
+    min_exprs: dict[str, str] | None = None,
+    max_exprs: dict[str, str] | None = None,
+    src: LakeTable | None = None,
+    head: int | None = None,
 ) -> DataFrame:
     """Fold a pre/post-image change feed into per-group view rows
     ready to merge: new totals for affected groups (op U) and deletes
-    for groups whose row count reached zero (op D)."""
+    for groups whose row count reached zero (op D).
+
+    MIN/MAX maintenance: per group the feed yields a new-image
+    candidate (the batch's own extremum) and an old-image candidate
+    (the extremum of what was removed/replaced). A stored extremum M
+    survives unless an old value touched it (``old <= M`` for MIN)
+    AND no new value re-covers it (``new > M``); only those DIRTY
+    groups are re-aggregated from the source head (``src`` at version
+    ``head``), one semi-joined job over only those groups."""
+    min_exprs = min_exprs or {}
+    max_exprs = max_exprs or {}
     names = list(sum_exprs)
+    ext = list(min_exprs.items()) + list(max_exprs.items())
 
     def contributions(img_col: str, sign: int) -> DataFrame:
         img = feed.filter(F.col(img_col).isNotNull()).select(f"{img_col}.*")
+        side = "n" if sign > 0 else "o"
+        other = "o" if sign > 0 else "n"
         return img.select(
             *group_cols,
             F.lit(sign).cast("long").alias("_dn"),
@@ -131,8 +174,21 @@ def _delta_rows(
                 (F.expr(e).cast("long") * F.lit(sign)).alias(n)
                 for n, e in sum_exprs.items()
             ],
+            # extreme candidates, side-tagged (the other side is null
+            # so the per-group agg below sees each side separately)
+            *[F.expr(e).cast("long").alias(f"_{side}e_{n}") for n, e in ext],
+            *[F.lit(None).cast("long").alias(f"_{other}e_{n}") for n, _ in ext],
         )
 
+    mn = list(min_exprs)
+    mx = list(max_exprs)
+    changed = [F.col("_dn") != 0] + [F.col(f"_d_{n}") != 0 for n in names] + [
+        # a changed extreme-expr value can move MIN/MAX even when every
+        # SUM delta cancels; an unchanged one (U touching other
+        # columns) cannot — its value left and re-entered the group
+        ~F.col(f"_ne_{n}").eqNullSafe(F.col(f"_oe_{n}"))
+        for n, _ in ext
+    ]
     deltas = (
         contributions("_new", 1)
         .unionByName(contributions("_old", -1))
@@ -140,16 +196,14 @@ def _delta_rows(
         .agg(
             F.sum("_dn").cast("long").alias("_dn"),
             *[F.sum(n).cast("long").alias(f"_d_{n}") for n in names],
+            *[F.min(f"_ne_{n}").alias(f"_ne_{n}") for n in mn],
+            *[F.min(f"_oe_{n}").alias(f"_oe_{n}") for n in mn],
+            *[F.max(f"_ne_{n}").alias(f"_ne_{n}") for n in mx],
+            *[F.max(f"_oe_{n}").alias(f"_oe_{n}") for n in mx],
         )
         # all-zero deltas (a U that changed only non-aggregated
         # columns) would rewrite view buckets for nothing — drop them
-        .filter(
-            reduce(
-                lambda a, b: a | b,
-                [F.col("_dn") != 0]
-                + [F.col(f"_d_{n}") != 0 for n in names],
-            )
-        )
+        .filter(reduce(lambda a, b: a | b, changed))
     )
 
     # read ONLY the view buckets that can hold an affected group: the
@@ -161,10 +215,67 @@ def _delta_rows(
     existing = view.read(buckets=b_ids).select(
         *group_cols,
         F.col(N_ROWS).alias("_v_n"),
-        *[F.col(n).alias(f"_v_{n}") for n in names],
+        *[F.col(n).alias(f"_v_{n}") for n in names + mn + mx],
     )
     joined = deltas.join(existing, on=group_cols, how="left")
     new_n = F.coalesce(F.col("_v_n"), F.lit(0)) + F.col("_dn")
+
+    def dirty(n: str, is_min: bool):
+        v, old, new = F.col(f"_v_{n}"), F.col(f"_oe_{n}"), F.col(f"_ne_{n}")
+        hit = (old <= v) if is_min else (old >= v)
+        covered = (new <= v) if is_min else (new >= v)
+        return v.isNotNull() & old.isNotNull() & hit & ~F.coalesce(
+            covered, F.lit(False)
+        )
+
+    ext_cols: list = []
+    if ext:
+        dirty_flags = [dirty(n, True) for n in mn] + [dirty(n, False) for n in mx]
+        any_dirty = reduce(lambda a, b: a | b, dirty_flags) & (new_n > 0)
+        if src is None:
+            raise ValueError("min/max maintenance requires the source table")
+        dirty_keys = joined.filter(any_dirty).select(*group_cols)
+        sm = src.manifest(head)
+        if group_cols[0] == sm.bucket_key:
+            # group key starts at the source bucket key: the rescan
+            # only reads the source buckets holding dirty groups
+            db = (
+                dirty_keys.select(src._bucket_expr(sm).alias("_b"))
+                .distinct()
+                .collect()
+            )
+            src_state = src.read(
+                version=head, buckets=sorted(int(r["_b"]) for r in db)
+            )
+        else:
+            src_state = src.read(version=head)
+        rescan = (
+            src_state.join(F.broadcast(dirty_keys), group_cols, "left_semi")
+            .groupBy(*group_cols)
+            .agg(
+                *[
+                    F.min(F.expr(e).cast("long")).alias(f"_r_{n}")
+                    for n, e in min_exprs.items()
+                ],
+                *[
+                    F.max(F.expr(e).cast("long")).alias(f"_r_{n}")
+                    for n, e in max_exprs.items()
+                ],
+            )
+        )
+        joined = joined.join(rescan, on=group_cols, how="left")
+        for n, is_min in [(n, True) for n in mn] + [(n, False) for n in mx]:
+            fold = F.least if is_min else F.greatest
+            incremental = fold(
+                F.coalesce(F.col(f"_v_{n}"), F.col(f"_ne_{n}")),
+                F.coalesce(F.col(f"_ne_{n}"), F.col(f"_v_{n}")),
+            )
+            ext_cols.append(
+                F.when(dirty(n, is_min), F.col(f"_r_{n}"))
+                .otherwise(incremental)
+                .alias(n)
+            )
+
     return joined.select(
         *group_cols,
         new_n.alias(N_ROWS),
@@ -172,6 +283,7 @@ def _delta_rows(
             (F.coalesce(F.col(f"_v_{n}"), F.lit(0)) + F.col(f"_d_{n}")).alias(n)
             for n in names
         ],
+        *ext_cols,
         F.when(new_n == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
     )
 
@@ -189,6 +301,8 @@ class AggViewSpec:
     group_cols: list[str]
     sum_exprs: dict[str, str] = field(default_factory=dict)
     batch_id_prefix: str = "aggview"
+    min_exprs: dict[str, str] = field(default_factory=dict)
+    max_exprs: dict[str, str] = field(default_factory=dict)
 
     def refresh(self, src: "LakeTable") -> dict[str, Any] | None:
         return refresh_agg_view(
@@ -197,6 +311,8 @@ class AggViewSpec:
             self.group_cols,
             self.sum_exprs,
             batch_id_prefix=self.batch_id_prefix,
+            min_exprs=self.min_exprs,
+            max_exprs=self.max_exprs,
         )
 
 
@@ -206,6 +322,8 @@ def refresh_agg_view(
     group_cols: list[str],
     sum_exprs: dict[str, str],
     batch_id_prefix: str = "aggview",
+    min_exprs: dict[str, str] | None = None,
+    max_exprs: dict[str, str] | None = None,
 ) -> dict[str, Any] | None:
     """Bring ``view`` up to date with ``src``'s head snapshot.
 
@@ -236,13 +354,22 @@ def refresh_agg_view(
         # the diff join is read twice (affected-bucket collect + the
         # merge itself) — persist it so the snapshot scan runs once
         feed = feed.persist()
-        changes, mode = _delta_rows(view, feed, group_cols, sum_exprs), "incremental"
+        changes = _delta_rows(
+            view, feed, group_cols, sum_exprs,
+            min_exprs=min_exprs, max_exprs=max_exprs, src=src, head=head,
+        )
+        mode = "incremental"
     else:
         # retention gap (src history expired past the last refresh):
         # recompute the rollup at head and diff it against the stored
         # view — O(table) exactly once, never silent divergence
-        target = _full_agg(src.read(version=head), group_cols, sum_exprs)
-        payload = group_cols + [N_ROWS] + list(sum_exprs)
+        target = _full_agg(
+            src.read(version=head), group_cols, sum_exprs, min_exprs, max_exprs
+        )
+        payload = (
+            group_cols + [N_ROWS] + list(sum_exprs)
+            + list(min_exprs or {}) + list(max_exprs or {})
+        )
         changes = snapshot_diff(
             view.read().select(*payload), target.select(*payload),
             group_cols, payload,

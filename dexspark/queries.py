@@ -451,22 +451,36 @@ def cdc_agg_view_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_len": "length(text)",
         "sum_turn": "turn_idx",
     }
+    # MIN/MAX exercise the partially-self-maintainable path: the log's
+    # deletes and updates routinely remove a group's stored extremum,
+    # forcing the dirty-group source rescan (matview._delta_rows)
+    mins = {"min_len": "length(text)"}
+    maxs = {"max_turn": "turn_idx"}
     view = create_agg_view(
-        spark, os.path.join(d, "conv_rollup"), table, group, sums, num_buckets=8
+        spark, os.path.join(d, "conv_rollup"), table, group, sums,
+        num_buckets=8, min_exprs=mins, max_exprs=maxs,
     )
+
+    def refresh():
+        return refresh_agg_view(
+            table, view, group, sums, min_exprs=mins, max_exprs=maxs
+        )
+
     batches = batch_range(log)
     mid = (batches.start + batches.stop) // 2
     for b in batches:
         apply_changes(table, log.filter(F.col("batch_seq") == b), batch_id=f"v{b}")
         if b in (batches.start, mid):
-            info = refresh_agg_view(table, view, group, sums)
+            info = refresh()
             assert info and info["view_mode"] == "incremental"
     # final catch-up (a no-op at tiny SFs where mid == last batch) …
-    info = refresh_agg_view(table, view, group, sums)
+    info = refresh()
     assert info is None or info["view_mode"] == "incremental"
     # … and re-running the refresh is ALWAYS a ledger no-op
-    assert refresh_agg_view(table, view, group, sums) is None
-    return view.read().select("conv_id", "n_rows", "sum_len", "sum_turn")
+    assert refresh() is None
+    return view.read().select(
+        "conv_id", "n_rows", "sum_len", "sum_turn", "min_len", "max_turn"
+    )
 
 
 ORACLE_AGG_VIEW = f"""
@@ -482,7 +496,9 @@ state AS (
 SELECT conv_id,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(length(text)) AS BIGINT) AS sum_len,
-       CAST(SUM(turn_idx) AS BIGINT) AS sum_turn
+       CAST(SUM(turn_idx) AS BIGINT) AS sum_turn,
+       CAST(MIN(length(text)) AS BIGINT) AS min_len,
+       CAST(MAX(turn_idx) AS BIGINT) AS max_turn
 FROM state GROUP BY conv_id
 """
 
@@ -515,8 +531,11 @@ def cdc_stream_agg_view_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_len": "length(text)",
         "sum_turn": "turn_idx",
     }
+    mins = {"min_len": "length(text)"}
+    maxs = {"max_turn": "turn_idx"}
     view = create_agg_view(
-        spark, os.path.join(d, "conv_rollup"), table, group, sums, num_buckets=8
+        spark, os.path.join(d, "conv_rollup"), table, group, sums,
+        num_buckets=8, min_exprs=mins, max_exprs=maxs,
     )
     thr = (batch_range(log).stop + 1) // 2
     seg = log.repartition(4, F.col("batch_seq"))
@@ -529,7 +548,8 @@ def cdc_stream_agg_view_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return CdcStreamReplay(
             spark, table, log_dir + "/*", cp, mk_log_schema(),
             max_files_per_trigger=2, batch_id_prefix="sv",
-            views=[AggViewSpec(view, group, sums)],
+            views=[AggViewSpec(view, group, sums,
+                               min_exprs=mins, max_exprs=maxs)],
         )
 
     replayer().run_available()  # first half, then stop
@@ -538,7 +558,9 @@ def cdc_stream_agg_view_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("append").partitionBy("batch_seq").parquet(log_dir)
     )
     replayer().run_available()  # checkpoint resume; view must follow
-    return view.read().select("conv_id", "n_rows", "sum_len", "sum_turn")
+    return view.read().select(
+        "conv_id", "n_rows", "sum_len", "sum_turn", "min_len", "max_turn"
+    )
 
 
 def conv_progress_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -219,3 +219,105 @@ def test_refresh_per_batch_matches_composed(spark, tmp_table_dir):
     b = view_b.read().select("lang", "n_rows", "sum_len")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     _assert_view_equals_recompute(view_a, src_a)
+
+
+MINS = {"min_len": "length(text)"}
+MAXS = {"max_len": "length(text)", "max_turn": "turn_idx"}
+
+
+def _assert_minmax_equals_recompute(view, src):
+    expected = _full_agg(src.read(), GROUP, SUMS, MINS, MAXS)
+    cols = ["lang", "n_rows", "sum_len", "min_len", "max_len", "max_turn"]
+    got = view.read().select(*cols)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def _minmax_view(spark, d, src):
+    return create_agg_view(
+        spark, d, src, GROUP, SUMS, num_buckets=4,
+        min_exprs=MINS, max_exprs=MAXS,
+    )
+
+
+def _refresh_mm(src, view):
+    return refresh_agg_view(
+        src, view, GROUP, SUMS, min_exprs=MINS, max_exprs=MAXS
+    )
+
+
+def test_minmax_initial_and_insert_only(spark, tmp_table_dir):
+    src = _src(spark, tmp_table_dir + "/src")
+    view = _minmax_view(spark, tmp_table_dir + "/v", src)
+    assert _refresh_mm(src, view)["view_mode"] == "incremental"
+    _assert_minmax_equals_recompute(view, src)
+    # insert-only batch: extremes fold in with no rescan needed
+    src.merge(
+        _batch(spark, [("c7", 3, "en", "xy", "I")], 800),  # new min_len for en
+        key_cols=["conv_id", "turn_idx"],
+        summary={"batch_id": "mm1"},
+    )
+    assert _refresh_mm(src, view) is not None
+    _assert_minmax_equals_recompute(view, src)
+    rows = {r.lang: r.min_len for r in view.read().collect()}
+    assert rows["en"] == 2
+
+
+def test_minmax_delete_of_extremum_rescans_group(spark, tmp_table_dir):
+    src = _src(spark, tmp_table_dir + "/src")
+    view = _minmax_view(spark, tmp_table_dir + "/v", src)
+    _refresh_mm(src, view)
+    # en rows: len 11 ("hello world") and 14 ("more text here");
+    # delete the max-len row — the stored extremum is gone and only a
+    # source rescan of the group can recover the new max (11)
+    src.merge(
+        _batch(spark, [("c1", 1, "en", "more text here", "D")], 900),
+        key_cols=["conv_id", "turn_idx"],
+        summary={"batch_id": "mm2"},
+    )
+    assert _refresh_mm(src, view) is not None
+    rows = {r.lang: (r.n_rows, r.min_len, r.max_len) for r in view.read().collect()}
+    assert rows["en"] == (1, 11, 11)
+    _assert_minmax_equals_recompute(view, src)
+
+
+def test_minmax_update_replacing_extremum(spark, tmp_table_dir):
+    src = _src(spark, tmp_table_dir + "/src")
+    view = _minmax_view(spark, tmp_table_dir + "/v", src)
+    _refresh_mm(src, view)
+    # shrink the longest en row IN PLACE (old image hits max, new image
+    # does not re-cover it) and grow the fr row (pure fold, no rescan)
+    src.merge(
+        _batch(
+            spark,
+            [
+                ("c1", 1, "en", "tiny", "U"),
+                ("c2", 0, "fr", "bonjour tout le monde", "U"),
+            ],
+            1000,
+        ),
+        key_cols=["conv_id", "turn_idx"],
+        summary={"batch_id": "mm3"},
+    )
+    assert _refresh_mm(src, view) is not None
+    rows = {
+        r.lang: (r.min_len, r.max_len) for r in view.read().collect()
+    }
+    assert rows["en"] == (4, 11)   # max fell back to "hello world"
+    assert rows["fr"] == (21, 21)  # grew via the incremental fold
+    _assert_minmax_equals_recompute(view, src)
+
+
+def test_minmax_rebuild_after_retention_gap(spark, tmp_table_dir):
+    src = _src(spark, tmp_table_dir + "/src")
+    view = _minmax_view(spark, tmp_table_dir + "/v", src)
+    _refresh_mm(src, view)
+    src.merge(
+        _batch(spark, [("c1", 0, "en", "hello world", "D")], 1100),
+        key_cols=["conv_id", "turn_idx"],
+        summary={"batch_id": "mm4"},
+    )
+    src.expire_snapshots(keep_last=1)
+    info = _refresh_mm(src, view)
+    assert info["view_mode"] == "rebuild"
+    _assert_minmax_equals_recompute(view, src)
