@@ -249,8 +249,12 @@ def _delta_rows(
             )
         else:
             src_state = src.read(version=head)
+        # no broadcast hint: AQE broadcasts the dirty set when small
+        # (the common case — deletions rarely hit many extrema at
+        # once) but falls back to a shuffle join when a mass delete
+        # dirties millions of groups, instead of OOMing the driver
         rescan = (
-            src_state.join(F.broadcast(dirty_keys), group_cols, "left_semi")
+            src_state.join(dirty_keys, group_cols, "left_semi")
             .groupBy(*group_cols)
             .agg(
                 *[

@@ -178,3 +178,59 @@ def test_mor_replay_any_batching_any_order(
     expected = {k for k, (lsn, op) in model.items() if op != "D"}
     got = {(r.conv_id, r.turn_idx) for r in table.read().collect()}
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events_strategy, st.integers(min_value=1, max_value=4))
+def test_agg_view_refresh_matches_recompute(spark, tmp_path_factory, evs, n_refresh):
+    """After any op sequence (duplicate extremes, group retirement,
+    re-insert after delete) and any refresh cadence, the incremental
+    COUNT/SUM/MIN/MAX rollup equals a from-scratch GROUP BY of the
+    final table — the self-maintainability contract of lake/matview."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from dexspark.cdc.apply import apply_changes
+    from dexspark.lake.matview import (
+        _full_agg,
+        create_agg_view,
+        refresh_agg_view,
+    )
+    from dexspark.lake.table import LakeTable
+
+    seen = {}
+    uniq = {}
+    for conv, turn, lsn, op in evs:
+        op = seen.setdefault((conv, turn, lsn), op)
+        uniq[(conv, turn, lsn)] = (conv, turn, lsn, op)
+    ordered = sorted(uniq.values(), key=lambda e: e[2])
+
+    d = tmp_path_factory.mktemp("prop_view")
+    payload = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    table = LakeTable.create(
+        spark, str(d / "t"), _parse_datatype_string(payload), "conv_id", num_buckets=4
+    )
+    group = ["conv_id"]
+    sums = {"sum_len": "length(text)"}
+    mins = {"min_len": "length(text)"}
+    maxs = {"max_turn": "turn_idx", "max_len": "length(text)"}
+    view = create_agg_view(
+        spark, str(d / "v"), table, group, sums, num_buckets=4,
+        min_exprs=mins, max_exprs=maxs,
+    )
+    size = max(1, len(ordered) // n_refresh)
+    for b, start in enumerate(range(0, len(ordered), size)):
+        chunk = ordered[start : start + size]
+        df = spark.createDataFrame(_rows(chunk), SCHEMA)
+        apply_changes(table, df, batch_id=f"pv{b}")
+        refresh_agg_view(
+            table, view, group, sums, min_exprs=mins, max_exprs=maxs
+        )
+
+    cols = ["conv_id", "n_rows", "sum_len", "min_len", "max_turn", "max_len"]
+    expected = _full_agg(table.read(), group, sums, mins, maxs).select(*cols)
+    got = view.read().select(*cols)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
