@@ -321,3 +321,20 @@ def test_minmax_rebuild_after_retention_gap(spark, tmp_table_dir):
     info = _refresh_mm(src, view)
     assert info["view_mode"] == "rebuild"
     _assert_minmax_equals_recompute(view, src)
+
+
+def test_refresh_is_bucket_pruned(spark, tmp_table_dir):
+    # a change confined to one group must merge into exactly the ONE
+    # view bucket holding that group — the O(changed rows) contract,
+    # machine-checked via the merge's affected-bucket lineage
+    src = _src(spark, tmp_table_dir + "/src")
+    view = create_agg_view(spark, tmp_table_dir + "/v", src, GROUP, SUMS, num_buckets=8)
+    refresh_agg_view(src, view, GROUP, SUMS)
+    src.merge(
+        _batch(spark, [("c1", 2, "en", "a third english turn", "I")], 1500),
+        key_cols=["conv_id", "turn_idx"],
+        summary={"batch_id": "bp1"},
+    )
+    info = refresh_agg_view(src, view, GROUP, SUMS)
+    assert len(info["affected_buckets"]) == 1 and info["change_rows"] == 1
+    _assert_view_equals_recompute(view, src)
