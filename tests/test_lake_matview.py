@@ -338,3 +338,45 @@ def test_refresh_is_bucket_pruned(spark, tmp_table_dir):
     info = refresh_agg_view(src, view, GROUP, SUMS)
     assert len(info["affected_buckets"]) == 1 and info["change_rows"] == 1
     _assert_view_equals_recompute(view, src)
+
+
+def test_view_over_mor_source(spark, tmp_table_dir):
+    # the change feed resolves merge-on-read deltas at read time, so a
+    # view must stay exact over a MOR source — across outstanding
+    # deltas AND a compaction between refreshes
+    src = LakeTable.create(
+        spark, tmp_table_dir + "/src", _parse_datatype_string(SCHEMA),
+        bucket_key="conv_id", num_buckets=4,
+    )
+    view = create_agg_view(spark, tmp_table_dir + "/v", src, GROUP, SUMS, num_buckets=4)
+    src.merge(
+        _batch(
+            spark,
+            [
+                ("c1", 0, "en", "hello world", "I"),
+                ("c2", 0, "fr", "bonjour", "I"),
+            ],
+            100,
+        ),
+        key_cols=["conv_id", "turn_idx"],
+        summary={"batch_id": "m1"},
+        strategy="mor",
+    )
+    refresh_agg_view(src, view, GROUP, SUMS)
+    _assert_view_equals_recompute(view, src)
+    src.merge(
+        _batch(
+            spark,
+            [("c1", 0, "en", "hello world, edited", "U"),
+             ("c2", 0, "fr", "bonjour", "D")],
+            200,
+        ),
+        key_cols=["conv_id", "turn_idx"],
+        summary={"batch_id": "m2"},
+        strategy="mor",
+    )
+    src.compact()
+    refresh_agg_view(src, view, GROUP, SUMS)
+    rows = {r.lang: (r.n_rows, r.sum_len) for r in view.read().collect()}
+    assert rows == {"en": (1, 19)}
+    _assert_view_equals_recompute(view, src)
