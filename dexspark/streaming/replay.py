@@ -162,10 +162,14 @@ class CdcStreamReplay:
         self._refresh_views()
 
     def _refresh_views(self) -> None:
+        import time
+
         for spec in self.views:
+            t0 = time.monotonic()
             info = spec.refresh(self.table)
             if info is not None:
                 info["trigger"] = "view_refresh"
+                info["wall_sec"] = round(time.monotonic() - t0, 3)
                 self.results.append(info)
 
     def run_available(self) -> list[dict[str, Any]]:
