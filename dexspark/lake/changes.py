@@ -50,6 +50,20 @@ def changed_buckets(
     }
 
 
+def last_done_version(consumer: LakeTable, batch_id_prefix: str) -> int | None:
+    """Highest source version a subscriber (mirror, aggregate view) has
+    committed, recovered from its own batch ledger — the shared resume
+    gate for every ``{prefix}-v{version}`` consumer. None if it has
+    never run."""
+    pat = re.compile(re.escape(batch_id_prefix) + r"-v(\d+)$")
+    hits = [
+        int(g.group(1))
+        for i in consumer.committed_batch_ids()
+        if (g := pat.match(str(i)))
+    ]
+    return max(hits) if hits else None
+
+
 def _default_keys(table: LakeTable, key_cols: list[str] | None) -> list[str]:
     """Resolve the row-identity columns for a snapshot diff. Prefer the
     manifest's recorded ``merge_keys`` (written by every conditional
@@ -262,9 +276,7 @@ def mirror_table(
         return []
     head = versions[-1]
     done = {str(i) for i in dst.committed_batch_ids()}
-    pat = re.compile(re.escape(batch_id_prefix) + r"-v(\d+)$")
-    hits = [int(g.group(1)) for i in done if (g := pat.match(i))]
-    mirrored = max(hits) if hits else None
+    mirrored = last_done_version(dst, batch_id_prefix)
     if mirrored is not None and mirrored >= head:
         return []
 

@@ -46,7 +46,6 @@ ledger discipline.
 
 from __future__ import annotations
 
-import re
 from dataclasses import dataclass, field
 from functools import reduce
 from typing import Any
@@ -55,10 +54,33 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from dexspark.lake import manifest as mf
-from dexspark.lake.changes import snapshot_diff, table_changes
+from dexspark.lake.changes import last_done_version, snapshot_diff, table_changes
 from dexspark.lake.table import LakeTable
 
 N_ROWS = "n_rows"
+
+
+def _check_spec(
+    view: LakeTable,
+    group_cols: list[str],
+    sum_exprs: dict[str, str],
+    min_exprs: dict[str, str] | None,
+    max_exprs: dict[str, str] | None,
+) -> None:
+    """Refuse a refresh whose aggregate spec does not match the view's
+    stored schema: merge's schema alignment would silently DROP a
+    newly-requested aggregate column (it projects changes onto the view
+    schema), so spec drift must be an error, not a no-op."""
+    want = group_cols + [N_ROWS] + list(sum_exprs) + list(min_exprs or {}) + list(
+        max_exprs or {}
+    )
+    have = [f.name for f in view.schema().fields]
+    if sorted(want) != sorted(have):
+        raise ValueError(
+            f"aggregate spec {sorted(want)} does not match the view's "
+            f"schema {sorted(have)} — re-create the view (or fix the "
+            "spec); merging a drifted spec would silently drop columns"
+        )
 
 
 def view_schema(
@@ -104,7 +126,10 @@ def create_agg_view(
     Expressions must be NON-NULL on every live row: SQL aggregates skip
     nulls, but a retraction of null is null, so a nullable expression
     would make incremental and recomputed totals diverge — wrap with
-    ``coalesce(e, 0)`` at the call site if the column is nullable."""
+    ``coalesce(e, 0)`` at the call site if the column is nullable.
+    GROUP columns must be non-null too (keyed joins throughout the
+    refresh and merge are null-unsafe); the refresh raises on a null
+    group value rather than silently corrupting the view."""
     if LakeTable.exists(view_dir):
         return LakeTable(spark, view_dir)
     schema = view_schema(src.schema(), group_cols, sum_exprs, min_exprs, max_exprs)
@@ -146,7 +171,7 @@ def _delta_rows(
     max_exprs: dict[str, str] | None = None,
     src: LakeTable | None = None,
     head: int | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Fold a pre/post-image change feed into per-group view rows
     ready to merge: new totals for affected groups (op U) and deletes
     for groups whose row count reached zero (op D).
@@ -204,13 +229,37 @@ def _delta_rows(
         # all-zero deltas (a U that changed only non-aggregated
         # columns) would rewrite view buckets for nothing — drop them
         .filter(reduce(lambda a, b: a | b, changed))
+        # the per-group frame is read up to three times (bucket
+        # collect, dirty-key scan, the merge itself) — persist it;
+        # the caller unpersists after the merge commits
+        .persist()
     )
 
     # read ONLY the view buckets that can hold an affected group: the
     # distinct-bucket collect is bounded by the view's bucket count,
     # never by data size
     m = view.manifest()
-    b_rows = deltas.select(view._bucket_expr(m).alias("_b")).distinct().collect()
+    null_group = reduce(
+        lambda a, b: a | b, [F.col(c).isNull() for c in group_cols]
+    )
+    b_rows = (
+        deltas.select(
+            view._bucket_expr(m).alias("_b"), null_group.alias("_null")
+        )
+        .distinct()
+        .collect()
+    )
+    if any(r["_null"] for r in b_rows):
+        # a NULL group value can never join back to its stored view row
+        # (every keyed join in the refresh and the merge is null-unsafe;
+        # xxhash64 even buckets NULL like a real value) — corrupting
+        # silently is worse than failing loudly
+        deltas.unpersist()
+        raise ValueError(
+            "NULL in a group-by column: group columns must be non-null "
+            "on every live row (coalesce them in the source or group by "
+            "a derived non-null expression)"
+        )
     b_ids = sorted(int(r["_b"]) for r in b_rows)
     existing = view.read(buckets=b_ids).select(
         *group_cols,
@@ -280,7 +329,7 @@ def _delta_rows(
                 .alias(n)
             )
 
-    return joined.select(
+    out = joined.select(
         *group_cols,
         new_n.alias(N_ROWS),
         *[
@@ -290,6 +339,7 @@ def _delta_rows(
         *ext_cols,
         F.when(new_n == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
     )
+    return out, deltas
 
 
 @dataclass
@@ -337,19 +387,17 @@ def refresh_agg_view(
     view is already current. Cost: O(rows changed since the last
     refresh) + one view merge touching only affected buckets — never
     O(source table), except in the documented rebuild fallback."""
+    _check_spec(view, group_cols, sum_exprs, min_exprs, max_exprs)
     versions = mf.available_versions(src.table_dir)
     if not versions:
         return None
     head = versions[-1]
-    pat = re.compile(re.escape(batch_id_prefix) + r"-v(\d+)$")
-    done = {str(i) for i in view.committed_batch_ids()}
-    hits = [int(g.group(1)) for i in done if (g := pat.match(i))]
-    maintained = max(hits) if hits else None
+    maintained = last_done_version(view, batch_id_prefix)
     if maintained is not None and maintained >= head:
         return None
 
     is_create = src.manifest(versions[0]).summary.get("operation") == "create"
-    feed = None
+    feed = deltas = None
     if maintained is not None and maintained in versions:
         feed = table_changes(src, maintained, head, images=True)
     elif maintained is None and is_create:
@@ -358,7 +406,7 @@ def refresh_agg_view(
         # the diff join is read twice (affected-bucket collect + the
         # merge itself) — persist it so the snapshot scan runs once
         feed = feed.persist()
-        changes = _delta_rows(
+        changes, deltas = _delta_rows(
             view, feed, group_cols, sum_exprs,
             min_exprs=min_exprs, max_exprs=max_exprs, src=src, head=head,
         )
@@ -370,6 +418,14 @@ def refresh_agg_view(
         target = _full_agg(
             src.read(version=head), group_cols, sum_exprs, min_exprs, max_exprs
         )
+        null_groups = reduce(
+            lambda a, b: a | b, [F.col(c).isNull() for c in group_cols]
+        )
+        if target.filter(null_groups).limit(1).count() > 0:
+            raise ValueError(
+                "NULL in a group-by column: group columns must be "
+                "non-null on every live row"
+            )
         payload = (
             group_cols + [N_ROWS] + list(sum_exprs)
             + list(min_exprs or {}) + list(max_exprs or {})
@@ -392,5 +448,7 @@ def refresh_agg_view(
             },
         )
     finally:
+        if deltas is not None:
+            deltas.unpersist()
         if feed is not None:
             feed.unpersist()

@@ -380,3 +380,33 @@ def test_view_over_mor_source(spark, tmp_table_dir):
     rows = {r.lang: (r.n_rows, r.sum_len) for r in view.read().collect()}
     assert rows == {"en": (1, 19)}
     _assert_view_equals_recompute(view, src)
+
+
+def test_null_group_value_raises(spark, tmp_table_dir):
+    # a NULL group value can never join back to its stored view row
+    # (null-unsafe keyed joins throughout) — must fail loudly, not
+    # silently accumulate duplicate NULL rows
+    src = LakeTable.create(
+        spark, tmp_table_dir + "/src", _parse_datatype_string(SCHEMA),
+        bucket_key="conv_id", num_buckets=4,
+    )
+    src.merge(
+        _batch(spark, [("c1", 0, None, "hello", "I")], 100),
+        key_cols=["conv_id", "turn_idx"],
+        summary={"batch_id": "n1"},
+    )
+    view = create_agg_view(spark, tmp_table_dir + "/v", src, GROUP, SUMS, num_buckets=4)
+    with pytest.raises(ValueError, match="NULL in a group-by column"):
+        refresh_agg_view(src, view, GROUP, SUMS)
+
+
+def test_spec_drift_raises(spark, tmp_table_dir):
+    # refreshing an existing view with a different aggregate spec must
+    # error: merge's schema alignment would silently drop the new column
+    src = _src(spark, tmp_table_dir + "/src")
+    view = create_agg_view(spark, tmp_table_dir + "/v", src, GROUP, SUMS, num_buckets=4)
+    refresh_agg_view(src, view, GROUP, SUMS)
+    with pytest.raises(ValueError, match="does not match the view's"):
+        refresh_agg_view(
+            src, view, GROUP, SUMS, min_exprs={"min_len": "length(text)"}
+        )
