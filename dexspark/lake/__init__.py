@@ -27,3 +27,8 @@ summary ≙ stamped metadata/lineage.
 """
 
 from dexspark.lake.table import LakeTable  # noqa: F401
+from dexspark.lake.matview import (  # noqa: F401
+    AggViewSpec,
+    create_agg_view,
+    refresh_agg_view,
+)
