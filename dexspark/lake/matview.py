@@ -357,9 +357,19 @@ class AggViewSpec:
     batch_id_prefix: str = "aggview"
     min_exprs: dict[str, str] = field(default_factory=dict)
     max_exprs: dict[str, str] = field(default_factory=dict)
+    # every N applied refreshes, expire old view snapshots (keeping
+    # ``keep_last``): a long-running stream refreshes the view every
+    # micro-batch, and without in-loop expiry the view dir accumulates
+    # one manifest + one set of rewritten bucket files per trigger,
+    # forever. Caution: expiry prunes the ledger entries the resume
+    # gate reads, but the gate only needs the LATEST {prefix}-v{N}
+    # entry, which keep_last >= 1 always retains.
+    expire_every: int = 0
+    keep_last: int = 8
+    _refreshes: int = field(default=0, repr=False)
 
     def refresh(self, src: "LakeTable") -> dict[str, Any] | None:
-        return refresh_agg_view(
+        info = refresh_agg_view(
             src,
             self.view,
             self.group_cols,
@@ -368,6 +378,14 @@ class AggViewSpec:
             min_exprs=self.min_exprs,
             max_exprs=self.max_exprs,
         )
+        if info is not None and self.expire_every:
+            self._refreshes += 1
+            if self._refreshes >= self.expire_every:
+                self._refreshes = 0
+                info["expired"] = self.view.expire_snapshots(
+                    keep_last=self.keep_last
+                )
+        return info
 
 
 def refresh_agg_view(

@@ -410,3 +410,25 @@ def test_spec_drift_raises(spark, tmp_table_dir):
         refresh_agg_view(
             src, view, GROUP, SUMS, min_exprs={"min_len": "length(text)"}
         )
+
+
+def test_aggviewspec_expire_every_bounds_view_history(spark, tmp_table_dir):
+    # a per-micro-batch refresh accumulates one view snapshot per
+    # trigger forever; expire_every prunes them in-loop while the
+    # latest ledger entry (all the resume gate needs) always survives
+    from dexspark.lake import manifest as mf
+    from dexspark.lake.matview import AggViewSpec
+
+    src = _src(spark, tmp_table_dir + "/src")
+    view = create_agg_view(spark, tmp_table_dir + "/v", src, GROUP, SUMS, num_buckets=4)
+    spec = AggViewSpec(view, GROUP, SUMS, expire_every=2, keep_last=2)
+    for i in range(5):
+        src.merge(
+            _batch(spark, [("c1", i, "en", f"turn number {i}", "U" if i == 0 else "I")], 2000 + i),
+            key_cols=["conv_id", "turn_idx"],
+            summary={"batch_id": f"e{i}"},
+        )
+        assert spec.refresh(src) is not None
+    assert len(mf.available_versions(view.table_dir)) <= 4  # pruned
+    assert spec.refresh(src) is None  # resume gate survives expiry
+    _assert_view_equals_recompute(view, src)
