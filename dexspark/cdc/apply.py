@@ -153,6 +153,7 @@ def apply_changes(
             delete_value=cfg.delete_op,
             strategy=strategy,
             bucket_stats={int(r["bucket"]): int(r["applied"]) for r in lineage_rows},
+            bucket_stats_layout=m.num_buckets,
             summary={
                 "batch_id": batch_id,
                 "partitions": partitions,

@@ -127,6 +127,69 @@ def validate_filters(
             raise ValueError(f"filter column {col!r} not in table schema")
 
 
+def _canon_value(v: Any, t: DataType) -> Any:
+    """Coerce a filter value to its column's Python-native type when the
+    coercion is LOSSLESS, so every metadata consumer (stats compare,
+    bloom probe's string hash, bucket derivation, unsatisfiability
+    check) sees the same canonical representation the writer saw.
+    5.0 on a long column must probe as \"5\", not \"5.0\"; a lossy
+    coercion (1000.5 → int, datetime with a time-of-day → date) is NOT
+    applied — downstream pruning then conservatively keeps files and
+    the row-level residual decides."""
+    if v is None or isinstance(v, bool):
+        return v
+    if isinstance(t, (ByteType, ShortType, IntegerType, LongType)):
+        if isinstance(v, float) and v.is_integer():
+            return int(v)
+        if isinstance(v, str):
+            try:
+                return int(v)
+            except ValueError:
+                return v
+        return v
+    if isinstance(t, (FloatType, DoubleType)):
+        if isinstance(v, int):
+            return float(v)
+        if isinstance(v, str):
+            try:
+                return float(v)
+            except ValueError:
+                return v
+        return v
+    if isinstance(t, TimestampType):
+        if isinstance(v, _dt.datetime):
+            return v
+        if isinstance(v, _dt.date):
+            return _dt.datetime(v.year, v.month, v.day)
+        if isinstance(v, str):
+            try:
+                return _dt.datetime.fromisoformat(v)
+            except ValueError:
+                return v
+        return v
+    if isinstance(t, DateType):
+        if isinstance(v, _dt.datetime):
+            # only midnight converts losslessly; a time-of-day predicate
+            # against a date column keeps its own semantics
+            return v.date() if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0) else v
+        if isinstance(v, str):
+            try:
+                return _dt.date.fromisoformat(v)
+            except ValueError:
+                return v
+        return v
+    return v
+
+
+def canonicalize_filters(
+    filters: list[tuple[str, str, Any]], schema: StructType
+) -> list[tuple[str, str, Any]]:
+    """validate_filters + per-column value canonicalization."""
+    validate_filters(filters, schema)
+    types = {f.name: f.dataType for f in schema.fields}
+    return [(c, op, _canon_value(v, types[c])) for c, op, v in filters]
+
+
 def file_may_match(
     stats: dict[str, list], filters: list[tuple[str, str, Any]], schema: StructType
 ) -> bool:
@@ -142,14 +205,20 @@ def file_may_match(
             continue
         v = _norm_ts(v)
         mn, mx = (_decode(x, types[col]) for x in stats[col])
-        if (
-            (op == "=" and (v < mn or v > mx))
-            or (op == "<" and mn >= v)
-            or (op == "<=" and mn > v)
-            or (op == ">" and mx <= v)
-            or (op == ">=" and mx < v)
-        ):
-            return False
+        try:
+            if (
+                (op == "=" and (v < mn or v > mx))
+                or (op == "<" and mn >= v)
+                or (op == "<=" and mn > v)
+                or (op == ">" and mx <= v)
+                or (op == ">=" and mx < v)
+            ):
+                return False
+        except TypeError:
+            # a value canonicalization couldn't make the operands
+            # comparable (e.g. a time-of-day predicate on a date
+            # column) — keep the file, the residual filter decides
+            continue
     return True
 
 

@@ -218,7 +218,9 @@ class LakeTable:
             for f in self.schema(m.version).fields
             if f.name == m.bucket_key
         )
-        if len(set(map(str, vals))) > 1:
+        if any(v != vals[0] for v in vals[1:]):
+            # values are canonicalized to the column's type upstream,
+            # so direct inequality is sound (5 vs 5.0 already unified)
             return set()  # x = 'a' AND x = 'b'
         row = (
             self.spark.range(1)
@@ -283,7 +285,7 @@ class LakeTable:
             __import__("json").loads(m.schemas[m.current_schema_id])
         )
         if filters:
-            lake_stats.validate_filters(filters, current)
+            filters = lake_stats.canonicalize_filters(filters, current)
         if columns is not None:
             names = {f.name for f in current.fields}
             for c in columns:
@@ -716,6 +718,14 @@ class LakeTable:
         info = {"operation": "overwrite", **(summary or {})}
         base = m
         for attempt in range(MAX_COMMIT_RETRIES + 1):
+            if base.num_buckets != m.num_buckets:
+                # a concurrent rebucket() won the race: our files carry
+                # bucket ids from the OLD layout — committing them under
+                # the new one would silently break bucket pruning and
+                # future merges. Rewrite under the winner's layout (the
+                # old files become orphans; vacuum_orphans GC).
+                new_files = self._write_data(_align(df, self.schema()), base)
+                m = base
             try:
                 # overwrite does not depend on prior content — clobber
                 # whatever head it lands on (snapshot-replace semantics)
@@ -738,6 +748,7 @@ class LakeTable:
         bucket_stats: dict[int, int] | None = None,
         lsn_col: str | None = "lsn",
         strategy: str = "cow",
+        bucket_stats_layout: int | None = None,
     ) -> dict[str, Any]:
         """MERGE — copy-on-write (default) or merge-on-read.
 
@@ -778,6 +789,17 @@ class LakeTable:
         if strategy not in ("cow", "mor"):
             raise ValueError(f"unknown merge strategy: {strategy!r}")
         m0 = self.manifest()
+        # caller-supplied bucket_stats were computed under the layout
+        # the CALLER saw; if a rebucket() landed between the caller's
+        # manifest read and ours, those bucket ids are stale in a way
+        # the in-loop drift guard (which compares against m0) can never
+        # see — discard them and recompute under m0
+        if (
+            bucket_stats is not None
+            and bucket_stats_layout is not None
+            and bucket_stats_layout != m0.num_buckets
+        ):
+            bucket_stats = None
         own_persist = bucket_stats is None
         # bucket_key is immutable table identity; num_buckets can move
         # under us via rebucket() — the retry loop below re-derives the
@@ -925,7 +947,6 @@ class LakeTable:
             )
             return info
 
-        untouched = [f for f in m.files if f.bucket not in affected]
         removed = {f.path for f in m.files if f.bucket in affected}
         target = self.read(version=m.version, buckets=affected, include_system=True)
         if conditional:
@@ -1041,7 +1062,7 @@ class LakeTable:
         for attempt in range(MAX_COMMIT_RETRIES + 1):
             m = self.manifest()
             current = self.schema(m.version)
-            lake_stats.validate_filters(filters, current)
+            filters = lake_stats.canonicalize_filters(filters, current)
             current_sys = StructType(
                 list(current.fields)
                 + [
@@ -1422,6 +1443,24 @@ class LakeTable:
                 sc = lake_bloom.sidecar_path(abs_p)
                 if os.path.exists(sc):
                     os.remove(sc)
+        # sidecars whose data file is already gone (a vacuum crash
+        # between the two removes above, or any external delete of the
+        # parquet alone) would otherwise leak forever — the walk above
+        # only considers *.parquet names
+        for dirpath, _dirs, names in os.walk(data_root):
+            for name in names:
+                if not name.endswith(lake_bloom.SUFFIX):
+                    continue
+                abs_sc = os.path.join(dirpath, name)
+                if not os.path.exists(abs_sc[: -len(lake_bloom.SUFFIX)]):
+                    try:
+                        if os.path.getmtime(abs_sc) <= cutoff:
+                            os.remove(abs_sc)
+                            removed.append(
+                                os.path.relpath(abs_sc, self.table_dir)
+                            )
+                    except OSError:
+                        pass
         # empty commit-token directories left behind by removed orphans
         for dirpath, dirs, names in list(os.walk(data_root, topdown=False)):
             if dirpath != data_root and not dirs and not names:

@@ -846,7 +846,10 @@ def cdc_rtbf_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_changes(
             table, log.filter(F.col("batch_seq") == b), batch_id=f"rt{b}"
         )
-    info = table.delete_where([("conv_id", "=", "conv_42")])
+    # purge the lexicographically-first live conversation — exists at
+    # every SF (the fixed 'conv_42' only exists above ~sf0.01)
+    victim = table.read().agg(F.min("conv_id")).first()[0]
+    info = table.delete_where([("conv_id", "=", victim)])
     assert info["matched_rows"] > 0 and info["files_kept"] > 0, info
     return table.read()
 
@@ -859,7 +862,11 @@ latest AS (
   FROM flagged WHERE reject_reason IS NULL
 )
 SELECT conv_id, turn_idx, role, text, tool, ts
-FROM latest WHERE rn = 1 AND op <> 'D' AND conv_id <> 'conv_42'
+FROM latest
+WHERE rn = 1 AND op <> 'D'
+  AND conv_id <> (
+    SELECT min(conv_id) FROM latest WHERE rn = 1 AND op <> 'D'
+  )
 """
 
 

@@ -340,3 +340,53 @@ def test_orphan_files_from_lost_attempts_are_unreferenced(spark, tmp_table_dir):
     for v in mf.available_versions(t.table_dir):
         for f in t.manifest(v).files:
             assert os.path.exists(os.path.join(t.table_dir, f.path))
+
+
+def test_overwrite_rewrites_under_concurrent_rebucket(spark, tmp_table_dir):
+    """An overwrite whose files were placed under the OLD bucket count
+    must not commit them onto a head a concurrent rebucket() changed —
+    the retry rewrites the data under the winner's layout, keeping
+    bucket pruning and future merges correct."""
+    t = _mk(spark, tmp_table_dir, [("a", 1, "x"), ("b", 1, "y")])
+    real_commit = t._commit_next
+    fired = {"done": False}
+
+    def racy_commit(base, files, info, **kw):
+        if not fired["done"] and info.get("operation") == "overwrite":
+            fired["done"] = True
+            t.rebucket(16)  # the winner lands mid-overwrite
+            raise CommitConflict("injected: lost the version race")
+        return real_commit(base, files, info, **kw)
+
+    t._commit_next = racy_commit
+    t.overwrite(spark.createDataFrame([("a", 2, "z"), ("c", 1, "w")], SCHEMA))
+    m = t.manifest()
+    assert m.num_buckets == 16
+    # file bucket ids agree with the committed layout: the key-pruned
+    # point read under the NEW layout finds the row
+    got = t.read(filters=[("k", "=", "c")]).collect()
+    assert [(r.k, r.seq, r.v) for r in got] == [("c", 1, "w")]
+    assert {(r.k, r.seq) for r in t.read().collect()} == {("a", 2), ("c", 1)}
+
+
+def test_merge_discards_stale_bucket_stats_after_rebucket(spark, tmp_table_dir):
+    """Caller-precomputed bucket stats carry bucket ids from the layout
+    the CALLER saw; if a rebucket lands before merge() reads its own
+    manifest, those ids are stale in a way the in-loop drift guard
+    cannot see. With bucket_stats_layout the merge detects and
+    recomputes; the upsert must not duplicate keys."""
+    t = _mk(spark, tmp_table_dir, [("a", 1, "x"), ("b", 1, "y")])
+    ch = _changes(spark, [("a", 1, "x2", "U", 10), ("c", 1, "w", "I", 11)])
+    m_seen = t.manifest()
+    bucket = F.pmod(F.xxhash64(F.col("k")), F.lit(m_seen.num_buckets)).cast("int")
+    stale = {
+        int(r["b"]): int(r["n"])
+        for r in ch.groupBy(bucket.alias("b")).agg(F.count("*").alias("n")).collect()
+    }
+    t.rebucket(16)  # lands between the caller's manifest read and merge's
+    t.merge(
+        ch, key_cols=["k", "seq"],
+        bucket_stats=stale, bucket_stats_layout=m_seen.num_buckets,
+    )
+    rows = sorted((r.k, r.seq, r.v) for r in t.read().collect())
+    assert rows == [("a", 1, "x2"), ("b", 1, "y"), ("c", 1, "w")]

@@ -158,3 +158,45 @@ def test_bloom_with_mor_deltas_and_range_filters(spark, tmp_table_dir):
         want = sorted((r.k, r.v) for r in t.read().filter(cond).collect())
         assert got == want
     assert t.read(filters=[("k", "=", "k50")]).first().v == "NEW"
+
+
+def test_filter_values_canonicalized_to_key_type(spark, tmp_table_dir):
+    """A semantically-equal but differently-typed filter value (1000.0
+    on a long key, or a numeric string) must probe the bloom / derive
+    the bucket / compare stats under the COLUMN's type — not its own
+    repr — or files get wrongly 'proven absent'."""
+    uid_schema = StructType(
+        [StructField("uid", LongType()), StructField("v", StringType())]
+    )
+    t = LakeTable.create(
+        spark, tmp_table_dir, uid_schema, bucket_key="uid", num_buckets=4
+    )
+    t.append(
+        spark.createDataFrame([(1000, "a"), (7, "b")], uid_schema)
+    )
+    for val in (1000, 1000.0, "1000"):
+        got = t.read(filters=[("uid", "=", val)]).collect()
+        assert [(r.uid, r.v) for r in got] == [(1000, "a")], val
+    # redundant equal-valued conjuncts are NOT unsatisfiable
+    got = t.read(filters=[("uid", "=", 1000), ("uid", "=", 1000.0)]).collect()
+    assert [(r.uid, r.v) for r in got] == [(1000, "a")]
+    # genuinely different values ARE (scan nothing, return nothing)
+    assert t.read(filters=[("uid", "=", 7), ("uid", "=", 1000)]).count() == 0
+    # a fractional float can match no long — empty, not an error
+    assert t.read(filters=[("uid", "=", 1000.5)]).count() == 0
+
+
+def test_vacuum_collects_orphaned_bloom_sidecars(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, n_chunks=1)
+    # simulate a vacuum crash between the two removes: a .bloom whose
+    # parquet is gone
+    m = t.manifest()
+    f = m.files[0]
+    abs_p = os.path.join(t.table_dir, f.path)
+    orphan_sc = abs_p.replace(".parquet", "_gone.parquet") + ".bloom"
+    with open(orphan_sc, "wb") as fh:
+        fh.write(b"DXBLOOM1" + b"\0" * 136)
+    os.utime(orphan_sc, (1, 1))  # well past any grace period
+    info = t.vacuum_orphans(older_than_seconds=60)
+    assert not os.path.exists(orphan_sc)
+    assert any(p.endswith(".bloom") for p in info["removed"])
