@@ -90,6 +90,15 @@ def sidecar_path(data_file_abs: str) -> str:
     return data_file_abs + SUFFIX
 
 
+def data_path(sidecar_abs: str) -> str:
+    """Inverse of ``sidecar_path`` — keep the naming scheme in ONE
+    place so a future change cannot desynchronize producers from the
+    GC sweep that pairs sidecars back to their data files."""
+    if not sidecar_abs.endswith(SUFFIX):
+        raise ValueError(f"not a sidecar path: {sidecar_abs!r}")
+    return sidecar_abs[: -len(SUFFIX)]
+
+
 def write_for_file(data_file_abs: str, key_col: str) -> bool:
     """Build + write the sidecar for one freshly-written parquet file.
     Reads ONLY the key column (columnar, local, O(file rows) but a

@@ -145,7 +145,14 @@ def _canon_value(v: Any, t: DataType) -> Any:
             try:
                 return int(v)
             except ValueError:
-                return v
+                # decimal-formatted integers ("1000.0") must unify too:
+                # Spark's residual promotes both sides to double and
+                # matches, so the metadata layer has to agree
+                try:
+                    f = float(v)
+                    return int(f) if f.is_integer() else f
+                except ValueError:
+                    return v
         return v
     if isinstance(t, (FloatType, DoubleType)):
         if isinstance(v, int):

@@ -87,6 +87,17 @@ class CommitConflict(Exception):
 MAX_COMMIT_RETRIES = 8
 
 
+def _drop_stale_partitions(summary: dict[str, Any] | None) -> dict[str, Any] | None:
+    """Strip per-bucket lineage whose bucket ids were computed under a
+    layout a concurrent rebucket() replaced — a lineage row tagged with
+    the wrong layout's bucket id is worse than an absent one."""
+    if not summary or "partitions" not in summary:
+        return summary
+    out = {k: v for k, v in summary.items() if k != "partitions"}
+    out["partitions_dropped"] = "layout_drift"
+    return out
+
+
 def _conflict_backoff(attempt: int) -> None:
     """Jittered exponential backoff between recompute attempts — breaks
     the lockstep where two writers with similar compute windows keep
@@ -218,9 +229,14 @@ class LakeTable:
             for f in self.schema(m.version).fields
             if f.name == m.bucket_key
         )
-        if any(v != vals[0] for v in vals[1:]):
+        def _same(a: Any, b: Any) -> bool:
             # values are canonicalized to the column's type upstream,
-            # so direct inequality is sound (5 vs 5.0 already unified)
+            # so direct equality is sound (5 vs 5.0 already unified) —
+            # except NaN, which Spark SQL defines as EQUAL to itself
+            # in predicates while Python does not
+            return a == b or (a != a and b != b)
+
+        if any(not _same(v, vals[0]) for v in vals[1:]):
             return set()  # x = 'a' AND x = 'b'
         row = (
             self.spark.range(1)
@@ -723,8 +739,14 @@ class LakeTable:
                 # bucket ids from the OLD layout — committing them under
                 # the new one would silently break bucket pruning and
                 # future merges. Rewrite under the winner's layout (the
-                # old files become orphans; vacuum_orphans GC).
-                new_files = self._write_data(_align(df, self.schema()), base)
+                # old files become orphans; vacuum_orphans GC). Align to
+                # BASE's schema — _write_data tags the files with
+                # base.current_schema_id, and a concurrent evolve_schema
+                # racing this retry must not widen the physical columns
+                # past the tagged writer schema.
+                new_files = self._write_data(
+                    _align(df, self.schema(base.version)), base
+                )
                 m = base
             try:
                 # overwrite does not depend on prior content — clobber
@@ -734,6 +756,7 @@ class LakeTable:
             except CommitConflict:
                 if attempt == MAX_COMMIT_RETRIES:
                     raise
+                _conflict_backoff(attempt)
                 base = self.manifest()
 
     # ----------------------------------------------------------------- merge
@@ -800,6 +823,10 @@ class LakeTable:
             and bucket_stats_layout != m0.num_buckets
         ):
             bucket_stats = None
+            # the caller's per-bucket lineage carries old-layout ids —
+            # committing it verbatim would mix two layouts in the
+            # metrics table
+            summary = _drop_stale_partitions(summary)
         own_persist = bucket_stats is None
         # bucket_key is immutable table identity; num_buckets can move
         # under us via rebucket() — the retry loop below re-derives the
@@ -835,6 +862,7 @@ class LakeTable:
                     }
                     affected = set(bucket_stats)
                     cur_layout = m.num_buckets
+                    summary = _drop_stale_partitions(summary)
                 if attempt and batch_id is not None and (
                     batch_id in self.committed_batch_ids()
                 ):
@@ -1423,13 +1451,18 @@ class LakeTable:
         data_root = os.path.join(self.table_dir, mf.DATA_DIR)
         cutoff = _time.time() - older_than_seconds
         removed: list[str] = []
+        removed_sidecars: list[str] = []
+        sidecars: list[str] = []  # seen during the ONE walk; paired below
         scanned = 0
         for dirpath, _dirs, names in os.walk(data_root):
             for name in names:
-                if not name.endswith(".parquet"):
-                    continue  # sidecars ride with their data file below
-                scanned += 1
                 abs_p = os.path.join(dirpath, name)
+                if name.endswith(lake_bloom.SUFFIX):
+                    sidecars.append(abs_p)
+                    continue  # paired with its data file below
+                if not name.endswith(".parquet"):
+                    continue
+                scanned += 1
                 rel_p = os.path.relpath(abs_p, self.table_dir)
                 if rel_p in referenced:
                     continue
@@ -1443,24 +1476,22 @@ class LakeTable:
                 sc = lake_bloom.sidecar_path(abs_p)
                 if os.path.exists(sc):
                     os.remove(sc)
-        # sidecars whose data file is already gone (a vacuum crash
-        # between the two removes above, or any external delete of the
-        # parquet alone) would otherwise leak forever — the walk above
-        # only considers *.parquet names
-        for dirpath, _dirs, names in os.walk(data_root):
-            for name in names:
-                if not name.endswith(lake_bloom.SUFFIX):
-                    continue
-                abs_sc = os.path.join(dirpath, name)
-                if not os.path.exists(abs_sc[: -len(lake_bloom.SUFFIX)]):
-                    try:
-                        if os.path.getmtime(abs_sc) <= cutoff:
-                            os.remove(abs_sc)
-                            removed.append(
-                                os.path.relpath(abs_sc, self.table_dir)
-                            )
-                    except OSError:
-                        pass
+                    removed_sidecars.append(
+                        os.path.relpath(sc, self.table_dir)
+                    )
+        # sidecars whose data file is gone (a vacuum crash between the
+        # paired removes above, or an external delete of the parquet
+        # alone) would otherwise leak forever
+        for abs_sc in sidecars:
+            if not os.path.exists(lake_bloom.data_path(abs_sc)):
+                try:
+                    if os.path.getmtime(abs_sc) <= cutoff:
+                        os.remove(abs_sc)
+                        removed_sidecars.append(
+                            os.path.relpath(abs_sc, self.table_dir)
+                        )
+                except OSError:
+                    pass
         # empty commit-token directories left behind by removed orphans
         for dirpath, dirs, names in list(os.walk(data_root, topdown=False)):
             if dirpath != data_root and not dirs and not names:
@@ -1473,6 +1504,7 @@ class LakeTable:
             "scanned_files": scanned,
             "removed_files": len(removed),
             "removed": sorted(removed),
+            "removed_sidecars": sorted(removed_sidecars),
         }
 
     # ------------------------------------------------------- schema evolution

@@ -174,7 +174,7 @@ def test_filter_values_canonicalized_to_key_type(spark, tmp_table_dir):
     t.append(
         spark.createDataFrame([(1000, "a"), (7, "b")], uid_schema)
     )
-    for val in (1000, 1000.0, "1000"):
+    for val in (1000, 1000.0, "1000", "1000.0"):
         got = t.read(filters=[("uid", "=", val)]).collect()
         assert [(r.uid, r.v) for r in got] == [(1000, "a")], val
     # redundant equal-valued conjuncts are NOT unsatisfiable
@@ -199,4 +199,5 @@ def test_vacuum_collects_orphaned_bloom_sidecars(spark, tmp_table_dir):
     os.utime(orphan_sc, (1, 1))  # well past any grace period
     info = t.vacuum_orphans(older_than_seconds=60)
     assert not os.path.exists(orphan_sc)
-    assert any(p.endswith(".bloom") for p in info["removed"])
+    assert any(p.endswith(".bloom") for p in info["removed_sidecars"])
+    assert not any(p.endswith(".bloom") for p in info["removed"])
