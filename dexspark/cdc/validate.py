@@ -122,13 +122,29 @@ def flag_events(events: DataFrame, cfg: ValidationConfig | None = None) -> DataF
         # max over the (small) distinct-turn set; (3) join the per-turn
         # prev-max back — AQE broadcasts it, so the event stream itself
         # is never shuffled for this check.
+        #
+        # The watermark is fed ONLY by rows that pass every earlier
+        # check and are not deletes: a row already being quarantined
+        # (e.g. bad_role with a broken producer clock) must not poison
+        # the running max and cascade-reject the valid tail of its
+        # conversation; deletes are exempt from the flag, so their ts
+        # must be symmetric and not raise the bar either.
+        if len(cfg.key_cols) < 2:
+            raise ValueError(
+                "check_ts_monotonic needs composite key_cols (entity, "
+                "sequence): the running max is per key_cols[:-1], "
+                "ordered by key_cols[-1]"
+            )
         prev_col = "_prev_max_ts"
-        turn_max = events.groupBy(*cfg.key_cols).agg(
+        clean = events.withColumn("_pre_reason", reason).filter(
+            F.col("_pre_reason").isNull() & ~is_delete
+        )
+        turn_max = clean.groupBy(*cfg.key_cols).agg(
             F.max(F.col(cfg.ts_col)).alias("_turn_ts")
         )
         w = (
-            Window.partitionBy(*cfg.key_cols[:1])
-            .orderBy(F.col(cfg.key_cols[1]))
+            Window.partitionBy(*cfg.key_cols[:-1])
+            .orderBy(F.col(cfg.key_cols[-1]))
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         prev = turn_max.select(

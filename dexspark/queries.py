@@ -990,8 +990,23 @@ j AS (
     ts + INTERVAL (CASE WHEN lsn % 23 = 0 THEN -7200 ELSE 0 END) SECOND AS ts
   ) FROM log
 ),
+pre AS (
+  SELECT j.*,
+    CASE WHEN op = 'D' THEN NULL
+         WHEN role NOT IN ('user', 'assistant', 'system', 'tool')
+           THEN 'bad_role'
+         WHEN role = 'tool' AND (tool IS NULL OR trim(tool) = '')
+           THEN 'missing_tool'
+         WHEN text IS NULL OR trim(text) = '' THEN 'malformed_text'
+         END AS pre_reason
+  FROM j
+),
+-- the watermark is fed only by rows passing every earlier check and
+-- not deletes (mirrors dexspark/cdc/validate.py: a quarantined row's
+-- broken clock must not cascade-reject the valid conversation tail)
 tm AS (
-  SELECT conv_id, turn_idx, MAX(ts) AS turn_ts FROM j GROUP BY 1, 2
+  SELECT conv_id, turn_idx, MAX(ts) AS turn_ts FROM pre
+  WHERE pre_reason IS NULL AND op <> 'D' GROUP BY 1, 2
 ),
 pm AS (
   SELECT conv_id, turn_idx, MAX(turn_ts) OVER (
@@ -1000,17 +1015,13 @@ pm AS (
   FROM tm
 ),
 f AS (
-  SELECT j.*, pm.prev_max,
-    CASE WHEN op = 'D' THEN NULL
-         WHEN role NOT IN ('user', 'assistant', 'system', 'tool')
-           THEN 'bad_role'
-         WHEN role = 'tool' AND (tool IS NULL OR trim(tool) = '')
-           THEN 'missing_tool'
-         WHEN text IS NULL OR trim(text) = '' THEN 'malformed_text'
+  SELECT pre.*, pm.prev_max,
+    CASE WHEN pre_reason IS NOT NULL THEN pre_reason
+         WHEN op = 'D' THEN NULL
          WHEN prev_max IS NOT NULL AND ts < prev_max
            THEN 'ts_not_monotonic'
          END AS reject_reason
-  FROM j LEFT JOIN pm USING (conv_id, turn_idx)
+  FROM pre LEFT JOIN pm USING (conv_id, turn_idx)
 )
 SELECT lsn, conv_id, turn_idx, reject_reason
 FROM f WHERE reject_reason IS NOT NULL

@@ -147,10 +147,16 @@ def main():
         for lo, hi in pairs
     )
     os.makedirs("BENCH", exist_ok=True)
+    # append-only: BENCH/BASELINE.md accumulates per-round disclosure
+    # blocks curated by hand — a "w" rewrite here once destroyed that
+    # history, so the tool now only ever adds its own block
     out_md = "BENCH/BASELINE.md" if STRATEGY == "cow" else f"BENCH/BASELINE_{STRATEGY}.md"
-    with open(out_md, "w") as fh:
+    with open(out_md, "a") as fh:
         fh.write(
-            f"""# BENCH baseline — two-parallelism scaling evidence
+            f"""
+
+---
+# bench_scaling.py run — two-parallelism scaling evidence
 
 North rule: throughput scaling efficiency >= 0.8 from N to 4N
 executors, evidenced in-sandbox by the identical job at two
