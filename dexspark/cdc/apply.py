@@ -29,8 +29,14 @@ def payload_schema(events: DataFrame) -> StructType:
 
 def maybe_evolve_schema(table: LakeTable, events: DataFrame) -> bool:
     """North-rule schema evolution: if the incoming batch carries new
-    payload columns or widened types, evolve the table DDL before the
-    merge (additive / widening only — LakeTable validates)."""
+    payload columns or WIDER types, evolve the table DDL before the
+    merge. A NARROWER incoming type (a producer still emitting int
+    where the table already widened to long) is NOT an evolution —
+    merge's schema alignment casts it up harmlessly; proposing it
+    would make evolve_schema raise on every replay of the same batch,
+    a deterministic poison pill for a streaming ingest."""
+    from dexspark.lake.table import _WIDENINGS
+
     incoming = payload_schema(events)
     current = table.schema()
     cur = {f.name: f.dataType for f in current.fields}
@@ -41,6 +47,10 @@ def maybe_evolve_schema(table: LakeTable, events: DataFrame) -> bool:
             fields.append(f)
             changed = True
         elif cur[f.name] != f.dataType:
+            if (f.dataType, cur[f.name]) in _WIDENINGS:
+                continue  # narrower producer: align casts it up
+            # wider (legal evolution) or incompatible — propose it and
+            # let evolve_schema's validation reject the latter loudly
             fields = [
                 type(x)(x.name, f.dataType, True) if x.name == f.name else x
                 for x in fields
@@ -88,6 +98,7 @@ def apply_changes(
         )
         .persist()
     )
+    deduped = None
     try:
         rejects = flagged.filter(F.col(REASON_COL).isNotNull())
         valid = flagged.filter(F.col(REASON_COL).isNull()).drop(REASON_COL)
@@ -145,6 +156,19 @@ def apply_changes(
             for r in lineage_rows
         ]
 
+        # dead letters commit BEFORE the table merge: a crash between
+        # the two is then recovered by the checkpoint replay (the merge
+        # is still pending, this append skips via the quarantine's own
+        # ledger). The old order lost the batch's rejects forever when
+        # the crash landed after the merge — the replay would hit the
+        # table ledger and return before ever writing the quarantine.
+        if quarantine is not None and n_rejected:
+            if batch_id not in quarantine.committed_batch_ids():
+                quarantine.append(
+                    rejects.withColumn("batch_id", F.lit(batch_id)),
+                    summary={"batch_id": batch_id},
+                )
+
         changes = deduped.drop("batch_seq")
         info = table.merge(
             changes,
@@ -161,13 +185,6 @@ def apply_changes(
                 "rejected_by_reason": rejected_by_reason,
             },
         )
-
-        if quarantine is not None and n_rejected:
-            quarantine.append(
-                rejects.withColumn("batch_id", F.lit(batch_id)),
-                summary={"batch_id": batch_id},
-            )
-        deduped.unpersist()
         return {
             "batch_id": batch_id,
             "skipped": False,
@@ -177,6 +194,10 @@ def apply_changes(
             "merge": json.loads(json.dumps(info, default=str)),
         }
     finally:
+        # a merge that exhausts its conflict retries must not leak the
+        # cached dedup output into a long-running daemon's storage pool
+        if deduped is not None:
+            deduped.unpersist()
         flagged.unpersist()
 
 
@@ -240,8 +261,12 @@ def reprocess_quarantine(
     events = quarantine.read().drop("reject_reason", "batch_id")
     fixed = fix(events)
     res = apply_changes(table, fixed, batch_id=batch_id, cfg=cfg)
-    if res.get("skipped"):
-        return res
+    # a skipped apply (crash landed between the apply commit and the
+    # quarantine rewrite, then this batch_id was retried) must STILL
+    # rewrite the quarantine — returning early would leave the already
+    # -fixed rows as dead letters forever. The rewrite is idempotent:
+    # still-bad is a pure function of the current quarantine contents.
+    #
     # second validation pass over `fixed` only — the dead-letter tail
     # is small by construction, so the extra count job is trivial
     # (Observation can't report here: a fully-fixed tail writes zero
@@ -250,7 +275,16 @@ def reprocess_quarantine(
         flag_events(fixed, cfg)
         .filter(F.col(REASON_COL).isNotNull())
         .withColumn("batch_id", F.lit(batch_id))
+        .persist()
     )
-    quarantine.overwrite(still_bad, summary={"batch_id": batch_id})
-    res["still_quarantined"] = int(still_bad.count())
+    try:
+        # count BEFORE the overwrite: after it, still_bad's lineage
+        # roots at the replaced (now orphaned) quarantine files — a
+        # recompute there is wasted work and breaks outright if a GC
+        # removes the orphans in between
+        n_still = int(still_bad.count())
+        quarantine.overwrite(still_bad, summary={"batch_id": batch_id})
+    finally:
+        still_bad.unpersist()
+    res["still_quarantined"] = n_still
     return res

@@ -79,9 +79,20 @@ def _dedupe_narrow(
 
     At 10^10-event scale the micro-batch key set is bounded by trigger
     sizing; if it outgrows the broadcast budget, use strategy="agg".
+
+    The semi join matches null-safely: groupBy keeps a NULL key (or a
+    NULL-lsn winner) as a group, and a plain equality join would then
+    silently drop those rows — making the two strategies disagree on
+    the same input (strategy flags must never change results).
     """
     winners = events.groupBy(*key_cols).agg(F.max(lsn_col).alias(lsn_col))
-    kept = events.join(F.broadcast(winners), on=[*key_cols, lsn_col], how="leftsemi")
+    w = F.broadcast(winners).alias("w")
+    e = events.alias("e")
+    cond = None
+    for c in [*key_cols, lsn_col]:
+        term = F.col(f"e.{c}").eqNullSafe(F.col(f"w.{c}"))
+        cond = term if cond is None else cond & term
+    kept = e.join(w, cond, how="leftsemi")
     return kept.dropDuplicates(key_cols).select(*events.columns)
 
 

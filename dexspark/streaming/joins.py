@@ -43,9 +43,11 @@ def interval_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join two streams on ``key`` where the right event time falls in
-    ``[left_ts, left_ts + max_delta]``. Column names on the two inputs
-    must be disjoint apart from ``key`` (rename upstream); the output
-    carries every column of both sides minus the duplicate key.
+    ``[left_ts, left_ts + max_delta]``. The output carries every column
+    of both sides minus the duplicate key; a right-side column whose
+    name collides with a left-side one (e.g. the default ``ts`` on
+    both) is suffixed ``_r`` so the result never holds two columns of
+    one name.
 
     ``how="inner"`` emits matches eagerly. ``how="left_outer"`` also
     emits every unmatched left row (right columns null) — but only
@@ -69,7 +71,14 @@ def interval_join(
         & (rt <= lt + F.expr(f"INTERVAL {max_delta}"))
     )
     joined = l_stream.join(r_stream, cond, how)
+    # with the default left_ts == right_ts == 'ts' both sides carry a
+    # 'ts' column; emitting two columns of one name breaks every
+    # downstream select/withWatermark — suffix the colliding right-side
+    # columns instead of demanding callers rename upstream
+    left_names = set(left.columns)
     keep = [F.col(f"l.{c}") for c in left.columns] + [
-        F.col(f"r.{c}") for c in right.columns if c != key
+        F.col(f"r.{c}").alias(f"{c}_r") if c in left_names else F.col(f"r.{c}")
+        for c in right.columns
+        if c != key
     ]
     return joined.select(*keep)

@@ -61,6 +61,15 @@ class CdcStreamReplay:
         self.table = table
         self.log_dir = log_dir
         self.checkpoint_dir = checkpoint_dir
+        # ledger ids are {prefix}-{checkpoint identity}-{epoch}: epoch
+        # ids restart at 0 whenever the checkpoint is wiped or a second
+        # replay (different log!) shares the table, and bare epoch ids
+        # would then collide with committed batches and silently DROP
+        # new data as "already_committed". The identity file rides in
+        # the checkpoint dir, so a resume keeps it (exactly-once
+        # replay still no-ops) while a wipe/new checkpoint mints a new
+        # one (fresh epochs land instead of vanishing).
+        self.checkpoint_identity = self._checkpoint_identity(checkpoint_dir)
         self.log_schema = log_schema
         self.cfg = cfg
         # ≙ FnCacheUpdater.kt:22-46 (live config cache): when given,
@@ -99,6 +108,24 @@ class CdcStreamReplay:
         self._applied_since_compact = 0
         self.results: list[dict[str, Any]] = []
 
+    @staticmethod
+    def _checkpoint_identity(checkpoint_dir: str) -> str:
+        import os
+        import uuid
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        p = os.path.join(checkpoint_dir, "dexspark_identity")
+        try:
+            # O_EXCL: exactly one identity per checkpoint lifetime,
+            # even with two replay instances starting concurrently
+            fd = os.open(p, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            with os.fdopen(fd, "w") as fh:
+                fh.write(uuid.uuid4().hex[:12])
+        except FileExistsError:
+            pass
+        with open(p) as fh:
+            return fh.read().strip()
+
     def _delta_depth(self) -> int:
         """Max outstanding delta files in any one bucket — the
         read-time resolve depth. Manifest-only, no data I/O."""
@@ -116,7 +143,7 @@ class CdcStreamReplay:
         res = apply_changes(
             self.table,
             batch_df,
-            batch_id=f"{self.batch_id_prefix}-{epoch_id}",
+            batch_id=f"{self.batch_id_prefix}-{self.checkpoint_identity}-{epoch_id}",
             cfg=cfg,
             quarantine=self.quarantine,
             salt_buckets=self.salt_buckets,

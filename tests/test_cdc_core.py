@@ -298,3 +298,55 @@ def test_replay_mor_equals_cow(spark, tmp_table_dir):
     assert mor.exceptAll(cow).count() == 0
     # the MOR table really did defer work: deltas present after replay
     assert any(f.kind == "delta" for f in tables["mor"].manifest().files)
+
+
+def test_quarantine_commits_before_merge_and_is_replay_safe(spark, tmp_table_dir):
+    """Crash-window safety around the two commits of one batch: the
+    quarantine append is ledger-gated and ordered BEFORE the merge, so
+    every interleaving of a crash + checkpoint replay converges with
+    the dead letters written exactly once."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    log = gen_change_log(spark, 2000, bad_role_pct=10, n_batches=1)
+    qschema = _parse_datatype_string(
+        "lsn long, op string, batch_seq long, " + PAYLOAD_SCHEMA
+        + f", {REASON_COL} string, batch_id string"
+    )
+
+    # interleaving A: crash AFTER quarantine, BEFORE merge (simulated
+    # by pre-committing the quarantine under the batch id) — the retry
+    # must apply the table WITHOUT duplicating the dead letters
+    table = _mk_table(spark, tmp_table_dir + "/a")
+    q = LakeTable.create(spark, tmp_table_dir + "/aq", qschema, "conv_id", 4)
+    from dexspark.cdc.validate import flag_events
+
+    rejects = flag_events(log).filter(F.col(REASON_COL).isNotNull())
+    q.append(
+        rejects.withColumn("batch_id", F.lit("b0")), summary={"batch_id": "b0"}
+    )
+    n_q = q.read().count()
+    res = apply_changes(table, log, batch_id="b0", quarantine=q)
+    assert not res.get("skipped") and res["applied"] > 0
+    assert q.read().count() == n_q  # not duplicated
+
+    # interleaving B: crash AFTER merge (simulated by a checkpoint
+    # replay of a fully committed batch) — early skip, quarantine
+    # already present from the pre-merge append
+    res2 = apply_changes(table, log, batch_id="b0", quarantine=q)
+    assert res2["skipped"]
+    assert q.read().count() == n_q
+
+
+def test_evolve_skips_narrower_incoming_type(spark, tmp_table_dir):
+    """A producer still emitting int where the table already widened to
+    long must not crash the ingest — alignment casts it up."""
+    table = _mk_table(spark, tmp_table_dir)
+    log = gen_change_log(spark, 1000, n_batches=2)
+    wide = log.filter(F.col("batch_seq") == 0).withColumn(
+        "turn_idx", F.col("turn_idx").cast("long")
+    )
+    apply_changes(table, wide, batch_id="w0")  # widens int -> long
+    narrow = log.filter(F.col("batch_seq") == 1)  # still int
+    res = apply_changes(table, narrow, batch_id="w1")  # must not raise
+    assert res["applied"] > 0
+    assert dict(table.read().dtypes)["turn_idx"] == "bigint"

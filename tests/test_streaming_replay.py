@@ -55,23 +55,37 @@ def test_stream_replay_and_resume(spark, tmp_table_dir):
 
 
 def test_stream_replay_committed_batch_is_skipped(spark, tmp_table_dir):
-    """Crash-after-merge-before-checkpoint: Spark redelivers epoch 0;
-    the ledger makes it a no-op."""
+    """Crash-after-merge-before-checkpoint: Spark redelivers epoch 0
+    under the SAME checkpoint (same identity, same batch id); the
+    ledger makes it a no-op. A LOST checkpoint is different: epoch ids
+    can regroup different files, so the ledger must NOT absorb them —
+    the replay re-applies under a fresh identity and the LSN-gated
+    merge keeps the state exact (see
+    test_checkpoint_wipe_does_not_silently_drop_new_data)."""
     log = gen_change_log(spark, 1000, n_batches=1)
     table, log_dir, replay = _setup(spark, tmp_table_dir)
     log.coalesce(1).write.parquet(log_dir, mode="append")
 
     replay.run_available()
     assert replay.results and not replay.results[0]["skipped"]
-    v = table.current_version()
+    state_v = table.read()
 
-    # simulate the lost checkpoint: fresh checkpoint dir, same ledger
+    # same checkpoint, directly redelivered batch id → ledger no-op
+    from dexspark.cdc.apply import apply_changes
+
+    batch_id = replay.results[0]["batch_id"]
+    res = apply_changes(table, spark.read.parquet(log_dir), batch_id=batch_id)
+    assert res["skipped"] and res["reason"] == "already_committed"
+
+    # lost checkpoint: new identity, fresh ids — re-applies, state exact
     replay_lost = CdcStreamReplay(
         spark, table, log_dir, replay.checkpoint_dir + "_lost", replay.log_schema
     )
     replay_lost.run_available()
-    assert replay_lost.results[0]["skipped"]
-    assert table.current_version() == v  # no new snapshot, no dupes
+    assert replay_lost.results and not replay_lost.results[0]["skipped"]
+    got = table.read()
+    assert got.exceptAll(state_v).count() == 0
+    assert state_v.exceptAll(got).count() == 0
 
 
 def test_stream_replay_auto_compaction(spark, tmp_table_dir):
@@ -263,3 +277,34 @@ def test_stream_replay_with_agg_view_subscription(spark, tmp_table_dir):
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
     # refreshes were recorded in the run results
     assert any(r.get("trigger") == "view_refresh" for r in r2.results)
+
+
+def test_checkpoint_wipe_does_not_silently_drop_new_data(spark, tmp_table_dir):
+    """batch ids are {prefix}-{checkpoint identity}-{epoch}: wiping the
+    checkpoint restarts epoch ids at 0, and WITHOUT the identity those
+    fresh epochs would collide with committed ids and be skipped —
+    losing whatever new files they grouped. With it, the re-delivered
+    data re-applies (LSN-gated merge keeps the state exact)."""
+    import shutil
+
+    log = gen_change_log(spark, 2000, n_convs=40, n_batches=2)
+    table, log_dir, replay = _setup(spark, tmp_table_dir)
+    log.filter(F.col("batch_seq") == 0).coalesce(1).write.parquet(
+        log_dir, mode="append"
+    )
+    replay.run_available()
+
+    shutil.rmtree(replay.checkpoint_dir)  # operator wipes the checkpoint
+    log.filter(F.col("batch_seq") == 1).coalesce(1).write.parquet(
+        log_dir, mode="append"
+    )
+    r2 = CdcStreamReplay(
+        spark, table, log_dir, replay.checkpoint_dir, replay.log_schema
+    )
+    assert r2.checkpoint_identity != replay.checkpoint_identity
+    r2.run_available()  # reprocesses everything under fresh epoch ids
+    assert any(not r.get("skipped") for r in r2.results)
+    expected = expected_final_state(log)
+    got = table.read()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
