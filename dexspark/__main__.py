@@ -120,6 +120,12 @@ def cmd_rebucket(args) -> int:
     return 0
 
 
+def cmd_rollback(args) -> int:
+    spark = _spark(args)
+    print(json.dumps(LakeTable(spark, args.table).rollback(args.to_version)))
+    return 0
+
+
 def cmd_vacuum_orphans(args) -> int:
     spark = _spark(args)
     print(
@@ -310,6 +316,16 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("--table", required=True)
     rb.add_argument("--buckets", type=int, required=True)
     rb.set_defaults(fn=cmd_rebucket)
+
+    ro = sub.add_parser(
+        "rollback",
+        help="restore the table to a previous snapshot (bad-batch "
+             "remediation); O(1) metadata-only, history preserved, "
+             "exactly-once ledger rewound so corrected batches re-apply",
+    )
+    ro.add_argument("--table", required=True)
+    ro.add_argument("--to-version", type=int, required=True)
+    ro.set_defaults(fn=cmd_rollback)
 
     vo = sub.add_parser(
         "vacuum-orphans",

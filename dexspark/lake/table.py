@@ -165,11 +165,35 @@ class LakeTable:
         return [self.manifest(v) for v in mf.available_versions(self.table_dir)]
 
     def committed_batch_ids(self) -> set[Any]:
-        return {
-            m.summary["batch_id"]
-            for m in self.history()
-            if "batch_id" in m.summary
-        }
+        """Batch ids on the LIVE lineage — the exactly-once ledger.
+
+        Walks parent pointers from head; a ``rollback`` commit jumps to
+        its ``restored_version``, so batches whose effects were rolled
+        back LEAVE the ledger and a corrected replay of the same batch
+        id re-applies instead of no-opping (the point of a rollback in
+        a CDC store). Without rollbacks the chain is exactly the
+        retained history, preserving prior semantics. The walk stops at
+        an expired manifest: ids past the retention horizon age out —
+        size ``expire_snapshots(keep_last=)`` beyond the replay horizon
+        (same caveat as before the chain walk)."""
+        ids: set[Any] = set()
+        try:
+            m = self.manifest()
+        except FileNotFoundError:
+            return ids
+        while True:
+            if "batch_id" in m.summary:
+                ids.add(m.summary["batch_id"])
+            if m.summary.get("operation") == "rollback":
+                nxt = m.summary.get("restored_version")
+            else:
+                nxt = m.parent
+            if nxt is None:
+                return ids
+            try:
+                m = self.manifest(nxt)
+            except FileNotFoundError:
+                return ids
 
     def lineage_df(self) -> DataFrame:
         """Per-commit, per-bucket lineage as a DataFrame (the metrics table).
@@ -687,6 +711,16 @@ class LakeTable:
                     # pruning and merge targeting. Recompute from head.
                     raise CommitConflict(
                         "bucket layout changed by a concurrent rebucket "
+                        "— recompute from the new head"
+                    ) from None
+                if any(f.schema_id not in head.schemas for f in added):
+                    # schema ids are normally append-only, but a
+                    # concurrent rollback() can restore a NARROWER
+                    # schemas map — rebasing files tagged with an id
+                    # the head no longer defines would corrupt the
+                    # manifest (reads KeyError on schemas[id]).
+                    raise CommitConflict(
+                        "schema lineage rewound by a concurrent rollback "
                         "— recompute from the new head"
                     ) from None
                 if surgical:
@@ -1371,6 +1405,79 @@ class LakeTable:
             except CommitConflict:
                 if attempt == MAX_COMMIT_RETRIES:
                     raise
+                _conflict_backoff(attempt)
+        raise AssertionError("unreachable")
+
+    def rollback(
+        self, to_version: int, summary: dict[str, Any] | None = None
+    ) -> dict[str, Any]:
+        """Restore the table to snapshot ``to_version`` — bad-batch
+        remediation (a poisoned upstream batch merged, a misconfigured
+        backfill overwrote good data). Metadata-only and O(1): one new
+        commit whose files/schema/layout/properties are the target
+        manifest's, no data I/O (≙ Iceberg ``rollback_to_snapshot`` /
+        Delta RESTORE; the reference's replay-from-checkpoint recovery,
+        FnOrchestrator.kt:182-192, realized as a snapshot operation).
+
+        Semantics:
+
+        - ``read()`` afterwards equals ``read(version=to_version)``
+          exactly, including MOR deltas, tombstones, schema, and bucket
+          layout (a rollback across a ``rebucket`` restores the old
+          layout — files carry their manifest's bucket ids).
+        - History is preserved: the rolled-back versions stay time-
+          travelable until ``expire_snapshots``; ``lineage_df`` keeps
+          the full physical audit trail.
+        - The exactly-once ledger REWINDS: ``committed_batch_ids``
+          follows the rollback edge, so batches applied after
+          ``to_version`` can be re-applied (corrected) under their
+          original batch ids — replaying the fixed log lands on the
+          state the good log would have produced.
+        - Concurrency: an explicit admin operation — on a commit race
+          it retries against the new head (last writer wins, like any
+          admin restore); a concurrent writer that lands AFTER the
+          rollback wins over it.
+        """
+        if to_version > self.current_version():
+            raise ValueError(
+                f"cannot roll back to v{to_version}: head is "
+                f"v{self.current_version()}"
+            )
+        target = self.manifest(to_version)  # raises if expired/unknown
+        for attempt in range(MAX_COMMIT_RETRIES + 1):
+            head = self.manifest()
+            if to_version == head.version:
+                return {
+                    "operation": "rollback",
+                    "restored_version": to_version,
+                    "skipped": True,
+                }
+            info: dict[str, Any] = {
+                "operation": "rollback",
+                "restored_version": to_version,
+                "rolled_back_from": head.version,
+                **(summary or {}),
+            }
+            nxt = mf.Manifest(
+                version=head.version + 1,
+                current_schema_id=target.current_schema_id,
+                schemas=target.schemas,
+                bucket_key=target.bucket_key,
+                num_buckets=target.num_buckets,
+                files=list(target.files),
+                summary=info,
+                parent=head.version,
+                properties=target.properties,
+            )
+            try:
+                mf.commit_manifest(self.table_dir, nxt)
+                return info
+            except FileExistsError:
+                if attempt == MAX_COMMIT_RETRIES:
+                    raise CommitConflict(
+                        f"rollback lost the commit race {attempt + 1} "
+                        f"times at {self.table_dir}"
+                    ) from None
                 _conflict_backoff(attempt)
         raise AssertionError("unreachable")
 

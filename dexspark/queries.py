@@ -259,6 +259,39 @@ def cdc_stream_replay_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+def cdc_rollback_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-batch remediation under the hard oracle: snapshot ROLLBACK
+    (≙ Iceberg ``rollback_to_snapshot`` / Delta RESTORE; the
+    reference's replay-from-checkpoint recovery, FnOrchestrator.kt:
+    182-192, as an O(1) metadata operation). Replay the first half of
+    the log, merge a POISONED copy of the next batch (payload mangled
+    upstream), ``rollback()`` to the last good snapshot, and resume
+    the corrected replay. The corrected batch re-applies under its
+    ORIGINAL batch id — the rollback rewound the exactly-once ledger —
+    so the final state must be byte-equal to the clean full-replay
+    oracle: poisoned residue OR a ledger that still no-ops the re-apply
+    both hash-mismatch."""
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    batches = batch_range(log)
+    mid = (batches.start + batches.stop) // 2
+    for b in range(batches.start, mid):
+        apply_changes(table, log.filter(F.col("batch_seq") == b), batch_id=f"rb{b}")
+    good = table.current_version()
+    poison = log.filter(F.col("batch_seq") == mid).withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.lit("CORRUPT"))
+    )
+    apply_changes(table, poison, batch_id=f"rb{mid}")
+    table.rollback(good)
+    for b in range(mid, batches.stop):
+        apply_changes(table, log.filter(F.col("batch_seq") == b), batch_id=f"rb{b}")
+    return table.read()
+
+
 def cdc_replay_gzip_log_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-segment ingestion (≙ FnDecompressor.kt:38-139 for the
     transport case): the change log lands as gzip'd JSON-lines segments
@@ -3921,6 +3954,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_schema_evolution_replay": (cdc_schema_evolution_replay, ORACLE_EVOLUTION),
     "cdc_replay_gzip_log": (cdc_replay_gzip_log_q, ORACLE_REPLAY),
     "cdc_replay_compacted": (cdc_replay_compacted_q, ORACLE_REPLAY),
+    "cdc_rollback_replay": (cdc_rollback_replay_q, ORACLE_REPLAY),
     "cdc_replay_mor": (cdc_replay_mor_q, ORACLE_REPLAY),
     "cdc_replay_concurrent_maintenance": (
         cdc_replay_concurrent_maintenance_q,

@@ -275,3 +275,24 @@ def test_cli_view_refresh(spark, tmp_table_dir, capsys):
     assert main(args) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"skipped": "current"}
+
+
+def test_cli_rollback(spark, tmp_table_dir, capsys):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    table_dir = os.path.join(tmp_table_dir, "tbl")
+    schema = StructType(
+        [StructField("k", StringType()), StructField("v", StringType())]
+    )
+    t = LakeTable.create(spark, table_dir, schema, "k", num_buckets=4)
+    t.append(spark.createDataFrame([("a", "good")], schema))
+    good = t.current_version()
+    t.append(spark.createDataFrame([("b", "BAD")], schema))
+
+    assert main(
+        ["rollback", "--table", table_dir, "--to-version", str(good)]
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["operation"] == "rollback"
+    assert out["restored_version"] == good
+    assert {(r.k, r.v) for r in t.read().collect()} == {("a", "good")}
