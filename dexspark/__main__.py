@@ -60,6 +60,13 @@ def cmd_replay(args) -> int:
             bucket_key=args.bucket_key,
             num_buckets=args.buckets,
         )
+    if args.branch:
+        # WAP ingest: stage the replay on a branch; audit, then
+        # `dexspark branch publish` (or drop) from the main ref
+        try:
+            table = table.branch_table(args.branch)
+        except FileNotFoundError:
+            table = table.create_branch(args.branch)
     quarantine = None
     if args.quarantine:
         qschema = _parse_datatype_string(
@@ -123,6 +130,22 @@ def cmd_rebucket(args) -> int:
 def cmd_rollback(args) -> int:
     spark = _spark(args)
     print(json.dumps(LakeTable(spark, args.table).rollback(args.to_version)))
+    return 0
+
+
+def cmd_branch(args) -> int:
+    spark = _spark(args)
+    t = LakeTable(spark, args.table)
+    if args.action == "create":
+        t.create_branch(args.name)
+        out: dict = {"operation": "create_branch", "branch": args.name}
+    elif args.action == "publish":
+        out = t.publish_branch(args.name)
+    elif args.action == "drop":
+        out = t.drop_branch(args.name)
+    else:  # list
+        out = {"operation": "list_branches", "branches": t.list_branches()}
+    print(json.dumps(out))
     return 0
 
 
@@ -269,6 +292,12 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--bucket-key", default="conv_id")
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--salt", type=int, default=0)
+    r.add_argument(
+        "--branch",
+        default=None,
+        help="stage the replay on this branch (created if absent) "
+             "instead of committing to main — write-audit-publish",
+    )
     r.add_argument("--max-files-per-trigger", type=int, default=0)
     r.add_argument("--log-format", choices=["parquet", "json"], default="parquet")
     r.add_argument("--payload-schema", default=PAYLOAD_DDL)
@@ -326,6 +355,17 @@ def main(argv: list[str] | None = None) -> int:
     ro.add_argument("--table", required=True)
     ro.add_argument("--to-version", type=int, required=True)
     ro.set_defaults(fn=cmd_rollback)
+
+    bp = sub.add_parser(
+        "branch",
+        help="write-audit-publish refs: stage commits on a branch "
+             "(replay --branch), audit, then atomically publish to "
+             "main or drop",
+    )
+    bp.add_argument("action", choices=["create", "publish", "drop", "list"])
+    bp.add_argument("--table", required=True)
+    bp.add_argument("--name", help="branch name (all but 'list')")
+    bp.set_defaults(fn=cmd_branch)
 
     vo = sub.add_parser(
         "vacuum-orphans",

@@ -271,7 +271,7 @@ def mirror_table(
     from dexspark.lake import manifest as mf
 
     key_cols = _default_keys(src, key_cols)
-    versions = mf.available_versions(src.table_dir)
+    versions = mf.available_versions(src.meta_dir)
     if not versions:
         return []
     head = versions[-1]

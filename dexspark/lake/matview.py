@@ -406,7 +406,7 @@ def refresh_agg_view(
     refresh) + one view merge touching only affected buckets — never
     O(source table), except in the documented rebuild fallback."""
     _check_spec(view, group_cols, sum_exprs, min_exprs, max_exprs)
-    versions = mf.available_versions(src.table_dir)
+    versions = mf.available_versions(src.meta_dir)
     if not versions:
         return None
     head = versions[-1]

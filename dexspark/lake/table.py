@@ -44,6 +44,15 @@ from dexspark.lake import manifest as mf
 from dexspark.lake import stats as lake_stats
 
 BUCKET_COL = "_bucket"
+# branch (write-audit-publish) layout: each branch is a manifest
+# namespace under <table>/_refs/<name>/_manifests sharing the table's
+# data directory — branch commits write real data files but a branch
+# manifest is invisible to main-ref readers until publish_branch()
+# lands ONE atomic main commit (≙ Iceberg branches / the WAP pattern,
+# Delta's shallow clone + swap). The branch dir also holds _branch.json
+# recording the main version the branch forked from.
+REFS_DIR = "_refs"
+BRANCH_META = "_branch.json"
 # system columns (physical, never in the logical schema):
 # - SYS_LSN: highest change-LSN applied to the row; -1 for rows written
 #   outside the CDC path (plain appends). Makes MERGE conditional
@@ -109,10 +118,41 @@ def _conflict_backoff(attempt: int) -> None:
     time.sleep(min(2.0, 0.05 * (2 ** attempt)) * (0.5 + random.random()))
 
 
+def _validate_branch_name(name: str) -> None:
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,127}", name):
+        raise ValueError(
+            f"invalid branch name {name!r}: use letters, digits, "
+            "'.', '_', '-' (must not start with a separator)"
+        )
+
+
 class LakeTable:
-    def __init__(self, spark: SparkSession, table_dir: str):
+    def __init__(
+        self, spark: SparkSession, table_dir: str, branch: str | None = None
+    ):
         self.spark = spark
         self.table_dir = os.path.abspath(table_dir)
+        if branch is not None:
+            _validate_branch_name(branch)
+        self.branch = branch
+        # manifests are read from / committed to the ref's namespace;
+        # data files always live under (and are addressed relative to)
+        # the table root, so branch and main share storage
+        self.meta_dir = (
+            self.table_dir
+            if branch is None
+            else os.path.join(self.table_dir, REFS_DIR, branch)
+        )
+
+    def _branch_base(self) -> int:
+        """Main version this branch forked from (branch tables only)."""
+        import json as _json
+
+        assert self.branch is not None
+        with open(os.path.join(self.meta_dir, BRANCH_META)) as fh:
+            return int(_json.load(fh)["base"])
 
     # ---------------------------------------------------------------- create
     @staticmethod
@@ -147,13 +187,26 @@ class LakeTable:
 
     # ------------------------------------------------------------- manifests
     def current_version(self) -> int:
-        v = mf.latest_version(self.table_dir)
+        v = mf.latest_version(self.meta_dir)
         if v is None:
-            raise FileNotFoundError(f"no manifests under {self.table_dir}")
+            raise FileNotFoundError(f"no manifests under {self.meta_dir}")
         return v
 
     def manifest(self, version: int | None = None) -> mf.Manifest:
-        return mf.read_manifest(self.table_dir, version or self.current_version())
+        v = version or self.current_version()
+        try:
+            return mf.read_manifest(self.meta_dir, v)
+        except FileNotFoundError:
+            # a branch holds only its fork-point manifest (hard-linked
+            # at create_branch) plus its own commits; versions BELOW
+            # the fork point resolve against main — time travel and
+            # parent-chain walks cross the branch point transparently.
+            # Versions above the base that are missing locally must NOT
+            # fall back: main may have advanced independently and its
+            # same-numbered manifests are a different lineage.
+            if self.branch is not None and v < self._branch_base():
+                return mf.read_manifest(self.table_dir, v)
+            raise
 
     def schema(self, version: int | None = None) -> StructType:
         m = self.manifest(version)
@@ -162,7 +215,7 @@ class LakeTable:
         )
 
     def history(self) -> list[mf.Manifest]:
-        return [self.manifest(v) for v in mf.available_versions(self.table_dir)]
+        return [self.manifest(v) for v in mf.available_versions(self.meta_dir)]
 
     def committed_batch_ids(self) -> set[Any]:
         """Batch ids on the LIVE lineage — the exactly-once ledger.
@@ -184,6 +237,10 @@ class LakeTable:
         while True:
             if "batch_id" in m.summary:
                 ids.add(m.summary["batch_id"])
+            # a publish_branch commit carries the batch ids of every
+            # branch-local commit it folded in — they join the ledger
+            # exactly as if applied to main directly
+            ids.update(m.summary.get("published_batch_ids", []))
             if m.summary.get("operation") == "rollback":
                 nxt = m.summary.get("restored_version")
             else:
@@ -571,10 +628,10 @@ class LakeTable:
             properties=properties if properties is not None else base.properties,
         )
         try:
-            mf.commit_manifest(self.table_dir, nxt)
+            mf.commit_manifest(self.meta_dir, nxt)
         except FileExistsError as e:  # lost the race
             raise CommitConflict(
-                f"version {nxt.version} already committed at {self.table_dir}"
+                f"version {nxt.version} already committed at {self.meta_dir}"
             ) from e
         return nxt
 
@@ -1299,7 +1356,7 @@ class LakeTable:
                 properties=m.properties,
             )
             try:
-                mf.commit_manifest(self.table_dir, nxt)
+                mf.commit_manifest(self.meta_dir, nxt)
                 return info
             except FileExistsError:
                 # lost to a concurrent data commit — the rewrite is
@@ -1308,7 +1365,7 @@ class LakeTable:
                 if attempt == MAX_COMMIT_RETRIES:
                     raise CommitConflict(
                         f"rebucket lost the commit race {attempt + 1} times "
-                        f"at {self.table_dir}"
+                        f"at {self.meta_dir}"
                     ) from None
                 _conflict_backoff(attempt)
         raise AssertionError("unreachable")
@@ -1443,6 +1500,16 @@ class LakeTable:
                 f"cannot roll back to v{to_version}: head is "
                 f"v{self.current_version()}"
             )
+        if self.branch is not None and to_version < self._branch_base():
+            # rolling a BRANCH below its fork point would make its net
+            # effect rewrite main history it never owned — publish
+            # would then fold a partial rollback of main into the
+            # ledger. Roll back main itself, or re-branch earlier.
+            raise ValueError(
+                f"branch {self.branch!r} forked at "
+                f"v{self._branch_base()}: cannot roll back below the "
+                "fork point from a branch"
+            )
         target = self.manifest(to_version)  # raises if expired/unknown
         for attempt in range(MAX_COMMIT_RETRIES + 1):
             head = self.manifest()
@@ -1470,16 +1537,184 @@ class LakeTable:
                 properties=target.properties,
             )
             try:
-                mf.commit_manifest(self.table_dir, nxt)
+                mf.commit_manifest(self.meta_dir, nxt)
                 return info
             except FileExistsError:
                 if attempt == MAX_COMMIT_RETRIES:
                     raise CommitConflict(
                         f"rollback lost the commit race {attempt + 1} "
-                        f"times at {self.table_dir}"
+                        f"times at {self.meta_dir}"
                     ) from None
                 _conflict_backoff(attempt)
         raise AssertionError("unreachable")
+
+    # ------------------------------------------------- branches (WAP)
+    def create_branch(self, name: str) -> "LakeTable":
+        """Fork a writable branch at the current head — the staging leg
+        of write-audit-publish (≙ Iceberg branch refs / Delta's
+        recommended WAP flow; the reference's staged destination before
+        Event Grid fan-out, RouteIngestedFile.kt:57-75, generalized to
+        a whole-table staging area).
+
+        O(1): the branch starts as a hard link of the head manifest in
+        its own ``_refs/<name>/_manifests`` namespace. Branch commits
+        (merge / append / compact / schema evolution / rollback) write
+        real data files into the SHARED data directory but publish
+        manifests only to the branch, so main readers never see them.
+        Audit the branch with any read path, then ``publish_branch``
+        (atomic) or ``drop_branch`` (the staged files become orphans
+        for ``vacuum_orphans``)."""
+        import json as _json
+
+        if self.branch is not None:
+            raise ValueError("branches fork from the main ref only")
+        _validate_branch_name(name)
+        head = self.current_version()
+        bdir = os.path.join(self.table_dir, REFS_DIR, name)
+        os.makedirs(os.path.join(bdir, mf.MANIFEST_DIR), exist_ok=True)
+        import uuid as _uuid
+
+        tmp = os.path.join(bdir, f".tmp-{_uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            fh.write(_json.dumps({"base": head}))
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, os.path.join(bdir, BRANCH_META))
+        except FileExistsError:
+            raise ValueError(f"branch {name!r} already exists") from None
+        finally:
+            os.unlink(tmp)
+        os.link(
+            mf.manifest_path(self.table_dir, head),
+            mf.manifest_path(bdir, head),
+        )
+        return LakeTable(self.spark, self.table_dir, branch=name)
+
+    def branch_table(self, name: str) -> "LakeTable":
+        """Open an existing branch as a writable LakeTable."""
+        _validate_branch_name(name)
+        bdir = os.path.join(self.table_dir, REFS_DIR, name)
+        if not os.path.exists(os.path.join(bdir, BRANCH_META)):
+            raise FileNotFoundError(
+                f"no branch {name!r} at {self.table_dir}"
+            )
+        return LakeTable(self.spark, self.table_dir, branch=name)
+
+    def list_branches(self) -> list[str]:
+        rdir = os.path.join(self.table_dir, REFS_DIR)
+        if not os.path.isdir(rdir):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(rdir)
+            if os.path.exists(os.path.join(rdir, n, BRANCH_META))
+        )
+
+    def drop_branch(self, name: str) -> dict[str, Any]:
+        """Delete a branch ref. Metadata-only: data files referenced
+        ONLY by the dropped branch stay on disk as orphans and are
+        reclaimed by ``vacuum_orphans`` after its grace period — so an
+        in-flight reader of the branch keeps working until GC, the
+        same isolation expire_snapshots gives main."""
+        import shutil
+
+        self.branch_table(name)  # raises if absent
+        shutil.rmtree(os.path.join(self.table_dir, REFS_DIR, name))
+        return {"operation": "drop_branch", "branch": name}
+
+    def _branch_local_chain(self, bt: "LakeTable") -> list[mf.Manifest]:
+        """Branch commits on the LIVE branch lineage, oldest first
+        (follows rollback edges, stops at the fork point)."""
+        base = bt._branch_base()
+        chain: list[mf.Manifest] = []
+        m = bt.manifest()
+        while m.version > base:
+            chain.append(m)
+            nxt = (
+                m.summary.get("restored_version")
+                if m.summary.get("operation") == "rollback"
+                else m.parent
+            )
+            if nxt is None:
+                break
+            m = bt.manifest(nxt)
+        chain.reverse()
+        return chain
+
+    def publish_branch(
+        self, name: str, summary: dict[str, Any] | None = None
+    ) -> dict[str, Any]:
+        """Atomically fold a branch into main — the publish leg of
+        write-audit-publish. ONE main commit adopts the branch head's
+        files, schema lineage, bucket layout, and properties; its
+        summary records every branch-local batch id, and
+        ``committed_batch_ids`` folds those into the exactly-once
+        ledger, so a batch staged-and-published can never double-apply
+        on main (and a ``rollback`` past the publish commit releases
+        them all together).
+
+        Fast-forward only: publishing requires main's head to still be
+        the branch's fork point. If main advanced (a concurrent ingest
+        or maintenance commit), the publish raises ``CommitConflict``
+        and main is untouched — re-branch from the new head and
+        re-stage, exactly like Iceberg's ``fast_forward``. This keeps
+        publish trivially atomic: there is no window where main shows a
+        prefix of the branch."""
+        if self.branch is not None:
+            raise ValueError("publish from the main ref only")
+        bt = self.branch_table(name)
+        base = bt._branch_base()
+        chain = self._branch_local_chain(bt)
+        if not chain:
+            return {"operation": "publish", "branch": name, "skipped": True}
+        bhead = chain[-1]
+        head = self.manifest()
+        info: dict[str, Any] = {
+            "operation": "publish",
+            "branch": name,
+            "published_versions": [m.version for m in chain],
+            "published_batch_ids": [
+                m.summary["batch_id"]
+                for m in chain
+                if "batch_id" in m.summary
+            ],
+            **(summary or {}),
+        }
+        if head.version != base:
+            raise CommitConflict(
+                f"cannot fast-forward branch {name!r}: forked at "
+                f"v{base} but main head is v{head.version} — re-branch "
+                "from the new head and re-stage"
+            )
+        nxt = mf.Manifest(
+            version=head.version + 1,
+            current_schema_id=bhead.current_schema_id,
+            schemas=bhead.schemas,
+            bucket_key=bhead.bucket_key,
+            num_buckets=bhead.num_buckets,
+            files=list(bhead.files),
+            summary=info,
+            parent=head.version,
+            properties=bhead.properties,
+        )
+        try:
+            mf.commit_manifest(self.table_dir, nxt)
+        except FileExistsError:
+            raise CommitConflict(
+                f"cannot fast-forward branch {name!r}: main advanced "
+                "past the fork point during publish — re-branch from "
+                "the new head and re-stage"
+            ) from None
+        return info
+
+    def _ref_manifest_sets(self) -> Iterable[tuple[str, list[int]]]:
+        """(meta_dir, versions) for main and every live branch — the
+        universe GC must treat as referencing data files."""
+        yield self.table_dir, mf.available_versions(self.table_dir)
+        for name in self.list_branches():
+            bdir = os.path.join(self.table_dir, REFS_DIR, name)
+            yield bdir, mf.available_versions(bdir)
 
     def expire_snapshots(self, keep_last: int = 1) -> dict[str, Any]:
         """Vacuum: delete manifests older than the last ``keep_last``
@@ -1491,6 +1726,11 @@ class LakeTable:
         never touched."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        if self.branch is not None:
+            raise ValueError(
+                "maintenance runs on the main ref: a branch-scoped "
+                "expiry cannot see main's references to shared files"
+            )
         head = self.current_version()
         cutoff = head - keep_last + 1
         avail = mf.available_versions(self.table_dir)
@@ -1501,6 +1741,15 @@ class LakeTable:
         for v in avail:
             if v >= cutoff:
                 for f in self.manifest(v).files:
+                    keep_paths.add(f.path)
+        # files referenced by any live branch stay: the branch may not
+        # have been published yet (its fork-point manifest itself
+        # survives main expiry — it is a hard link, not a reference)
+        for bdir, versions in self._ref_manifest_sets():
+            if bdir == self.table_dir:
+                continue
+            for v in versions:
+                for f in mf.read_manifest(bdir, v).files:
                     keep_paths.add(f.path)
         removed_files = 0
         seen: set[str] = set()
@@ -1551,10 +1800,16 @@ class LakeTable:
         """
         import time as _time
 
+        if self.branch is not None:
+            raise ValueError(
+                "maintenance runs on the main ref: a branch-scoped GC "
+                "cannot see main's references to shared files"
+            )
         referenced: set[str] = set()
-        for v in mf.available_versions(self.table_dir):
-            for f in self.manifest(v).files:
-                referenced.add(f.path)
+        for bdir, versions in self._ref_manifest_sets():
+            for v in versions:
+                for f in mf.read_manifest(bdir, v).files:
+                    referenced.add(f.path)
         data_root = os.path.join(self.table_dir, mf.DATA_DIR)
         cutoff = _time.time() - older_than_seconds
         removed: list[str] = []

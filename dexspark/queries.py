@@ -292,6 +292,47 @@ def cdc_rollback_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+def cdc_wap_publish_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish under the hard oracle (≙ Iceberg branch
+    refs / the reference's staged destination, RouteIngestedFile.kt:
+    57-75: data lands in staging and fans out only after it is
+    durable). Every batch after the first half is STAGED on a branch,
+    audited, and only then atomically published to main; one batch
+    arrives poisoned, fails its audit, is dropped branch-and-all (main
+    never sees it), and the corrected batch re-stages under the
+    ORIGINAL batch id — legal because the dropped branch's ledger died
+    with it, while published ids fold into main's exactly-once ledger
+    (a re-publish or direct re-apply no-ops). Final state must be
+    byte-equal to the clean full-replay oracle."""
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    batches = batch_range(log)
+    mid = (batches.start + batches.stop) // 2
+    for b in range(batches.start, mid):
+        apply_changes(table, log.filter(F.col("batch_seq") == b), batch_id=f"wp{b}")
+    for b in range(mid, batches.stop):
+        batch = log.filter(F.col("batch_seq") == b)
+        if b == mid:  # the poisoned delivery: stage, audit-fail, drop
+            br = table.create_branch(f"stage-{b}-bad")
+            poison = batch.withColumn(
+                "text", F.concat_ws(" ", F.col("text"), F.lit("CORRUPT"))
+            )
+            apply_changes(br, poison, batch_id=f"wp{b}")
+            audit_ok = br.read().filter(
+                F.col("text").endswith("CORRUPT")
+            ).isEmpty()
+            assert not audit_ok
+            table.drop_branch(f"stage-{b}-bad")
+        br = table.create_branch(f"stage-{b}")
+        apply_changes(br, batch, batch_id=f"wp{b}")
+        table.publish_branch(f"stage-{b}")
+    return table.read()
+
+
 def cdc_replay_gzip_log_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-segment ingestion (≙ FnDecompressor.kt:38-139 for the
     transport case): the change log lands as gzip'd JSON-lines segments
@@ -3955,6 +3996,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_replay_gzip_log": (cdc_replay_gzip_log_q, ORACLE_REPLAY),
     "cdc_replay_compacted": (cdc_replay_compacted_q, ORACLE_REPLAY),
     "cdc_rollback_replay": (cdc_rollback_replay_q, ORACLE_REPLAY),
+    "cdc_wap_publish": (cdc_wap_publish_q, ORACLE_REPLAY),
     "cdc_replay_mor": (cdc_replay_mor_q, ORACLE_REPLAY),
     "cdc_replay_concurrent_maintenance": (
         cdc_replay_concurrent_maintenance_q,

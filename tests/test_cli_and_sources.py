@@ -296,3 +296,61 @@ def test_cli_rollback(spark, tmp_table_dir, capsys):
     assert out["operation"] == "rollback"
     assert out["restored_version"] == good
     assert {(r.k, r.v) for r in t.read().collect()} == {("a", "good")}
+
+
+def test_cli_branch_wap(spark, tmp_table_dir, capsys):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    table_dir = os.path.join(tmp_table_dir, "tbl")
+    schema = StructType(
+        [StructField("k", StringType()), StructField("v", StringType())]
+    )
+    t = LakeTable.create(spark, table_dir, schema, "k", num_buckets=4)
+    t.append(spark.createDataFrame([("a", "main")], schema))
+
+    assert main(["branch", "create", "--table", table_dir, "--name", "st"]) == 0
+    t.branch_table("st").append(spark.createDataFrame([("b", "staged")], schema))
+    assert {r.k for r in t.read().collect()} == {"a"}  # staged invisible
+
+    assert main(["branch", "list", "--table", table_dir]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["branches"] == ["st"]
+
+    assert main(["branch", "publish", "--table", table_dir, "--name", "st"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["operation"] == "publish"
+    assert {r.k for r in t.read().collect()} == {"a", "b"}
+
+    assert main(["branch", "drop", "--table", table_dir, "--name", "st"]) == 0
+    assert t.list_branches() == []
+
+
+def test_cli_replay_to_branch_then_publish(spark, tmp_table_dir):
+    """WAP ingest from the CLI: the whole replay stages on a branch,
+    main stays empty until `branch publish`."""
+    log = gen_change_log(spark, 2000, n_convs=40, n_batches=2)
+    log_dir = os.path.join(tmp_table_dir, "log")
+    log.coalesce(2).write.parquet(log_dir)
+    table_dir = os.path.join(tmp_table_dir, "tbl")
+    cp = os.path.join(tmp_table_dir, "cp")
+
+    rc = main(
+        [
+            "replay",
+            "--log", log_dir,
+            "--table", table_dir,
+            "--checkpoint", cp,
+            "--buckets", "8",
+            "--branch", "staged",
+        ]
+    )
+    assert rc == 0
+    t = LakeTable(spark, table_dir)
+    expected = expected_final_state(log)
+    assert t.read().count() == 0  # nothing on main yet
+    assert t.branch_table("staged").read().count() == expected.count()
+
+    assert main(["branch", "publish", "--table", table_dir, "--name", "staged"]) == 0
+    got = t.read()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
