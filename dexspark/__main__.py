@@ -149,6 +149,19 @@ def cmd_branch(args) -> int:
     return 0
 
 
+def cmd_tag(args) -> int:
+    spark = _spark(args)
+    t = LakeTable(spark, args.table)
+    if args.action == "create":
+        out = t.tag(args.name, version=args.at_version)
+    elif args.action == "drop":
+        out = t.drop_tag(args.name)
+    else:  # list
+        out = {"operation": "list_tags", "tags": t.list_tags()}
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_vacuum_orphans(args) -> int:
     spark = _spark(args)
     print(
@@ -366,6 +379,17 @@ def main(argv: list[str] | None = None) -> int:
     bp.add_argument("--table", required=True)
     bp.add_argument("--name", help="branch name (all but 'list')")
     bp.set_defaults(fn=cmd_branch)
+
+    tg = sub.add_parser(
+        "tag",
+        help="immutable named snapshots (reproducibility pins): a "
+             "tagged snapshot survives expire until dropped",
+    )
+    tg.add_argument("action", choices=["create", "drop", "list"])
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name", help="tag name (all but 'list')")
+    tg.add_argument("--at-version", type=int, default=None)
+    tg.set_defaults(fn=cmd_tag)
 
     vo = sub.add_parser(
         "vacuum-orphans",

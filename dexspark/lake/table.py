@@ -53,6 +53,9 @@ BUCKET_COL = "_bucket"
 # recording the main version the branch forked from.
 REFS_DIR = "_refs"
 BRANCH_META = "_branch.json"
+# immutable named snapshots: <table>/_tags/<name>.json -> {version};
+# a tagged snapshot (manifest + data files) survives expire_snapshots
+TAGS_DIR = "_tags"
 # system columns (physical, never in the logical schema):
 # - SYS_LSN: highest change-LSN applied to the row; -1 for rows written
 #   outside the CDC path (plain appends). Makes MERGE conditional
@@ -349,6 +352,7 @@ class LakeTable:
         include_system: bool = False,
         filters: list[tuple[str, str, Any]] | None = None,
         columns: list[str] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Current (or time-travel) state of the table.
 
@@ -376,7 +380,14 @@ class LakeTable:
         resolution must see every version of a key (a filtered-out
         file could hold the winning row), so those buckets resolve
         first and filter after — compaction restores their prunability.
+
+        ``tag`` — read the snapshot a named tag pins (see ``tag()``);
+        mutually exclusive with ``version``.
         """
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version= or tag=, not both")
+            version = self.resolve_tag(tag)
         m = self.manifest(version)
         current = StructType.fromJson(
             __import__("json").loads(m.schemas[m.current_schema_id])
@@ -1708,6 +1719,67 @@ class LakeTable:
             ) from None
         return info
 
+    # ----------------------------------------------------------- tags
+    def tag(self, name: str, version: int | None = None) -> dict[str, Any]:
+        """Pin snapshot ``version`` (default: head) under an immutable
+        name (≙ Iceberg tags / Delta's recommended version-pinning for
+        reproducibility). The pinned snapshot — manifest AND data files
+        — survives ``expire_snapshots`` until ``drop_tag``, so a
+        training run that records its tag can re-read the exact table
+        state it consumed long after untagged history aged out.
+        Create-once: re-tagging an existing name raises (drop first) —
+        a tag that can move silently is a version pin in name only."""
+        import json as _json
+        import uuid as _uuid
+
+        if self.branch is not None:
+            raise ValueError("tags pin main-ref snapshots: tag from main")
+        _validate_branch_name(name)
+        v = version if version is not None else self.current_version()
+        self.manifest(v)  # raises if expired/unknown
+        tdir = os.path.join(self.table_dir, TAGS_DIR)
+        os.makedirs(tdir, exist_ok=True)
+        tmp = os.path.join(tdir, f".tmp-{_uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            fh.write(_json.dumps({"version": v}))
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, os.path.join(tdir, f"{name}.json"))
+        except FileExistsError:
+            raise ValueError(f"tag {name!r} already exists") from None
+        finally:
+            os.unlink(tmp)
+        return {"operation": "tag", "tag": name, "version": v}
+
+    def resolve_tag(self, name: str) -> int:
+        import json as _json
+
+        _validate_branch_name(name)
+        p = os.path.join(self.table_dir, TAGS_DIR, f"{name}.json")
+        try:
+            with open(p) as fh:
+                return int(_json.load(fh)["version"])
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"no tag {name!r} at {self.table_dir}"
+            ) from None
+
+    def list_tags(self) -> dict[str, int]:
+        tdir = os.path.join(self.table_dir, TAGS_DIR)
+        if not os.path.isdir(tdir):
+            return {}
+        return {
+            n[:-5]: self.resolve_tag(n[:-5])
+            for n in sorted(os.listdir(tdir))
+            if n.endswith(".json") and not n.startswith(".")
+        }
+
+    def drop_tag(self, name: str) -> dict[str, Any]:
+        v = self.resolve_tag(name)  # raises if absent
+        os.remove(os.path.join(self.table_dir, TAGS_DIR, f"{name}.json"))
+        return {"operation": "drop_tag", "tag": name, "version": v}
+
     def _ref_manifest_sets(self) -> Iterable[tuple[str, list[int]]]:
         """(meta_dir, versions) for main and every live branch — the
         universe GC must treat as referencing data files."""
@@ -1734,12 +1806,13 @@ class LakeTable:
         head = self.current_version()
         cutoff = head - keep_last + 1
         avail = mf.available_versions(self.table_dir)
-        expired = [v for v in avail if v < cutoff]
+        tagged = set(self.list_tags().values())
+        expired = [v for v in avail if v < cutoff and v not in tagged]
         if not expired:
             return {"operation": "expire_snapshots", "expired_versions": []}
         keep_paths: set[str] = set()
         for v in avail:
-            if v >= cutoff:
+            if v >= cutoff or v in tagged:
                 for f in self.manifest(v).files:
                     keep_paths.add(f.path)
         # files referenced by any live branch stay: the branch may not

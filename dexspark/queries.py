@@ -721,6 +721,23 @@ def cdc_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(version=v_mid)
 
 
+def cdc_tag_pinned_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducibility pin under the hard oracle (≙ Iceberg tags): the
+    mid-replay snapshot is TAGGED (the state a training run consumed),
+    the replay finishes, the table is compacted, and snapshot retention
+    expires everything but the head — yet ``read(tag=)`` must still
+    reproduce the pinned state byte-exactly, because a tagged
+    snapshot's manifest and data files are exempt from expiry until
+    ``drop_tag``. Same oracle as time travel; what's under test is the
+    retention exemption (without the tag, this read would fail — the
+    version is past the keep_last horizon)."""
+    table, v_mid = _replay_with_midpoint(spark, sf_dir)
+    table.tag("train-v1", version=v_mid)
+    table.compact(min_files_per_bucket=1)
+    table.expire_snapshots(keep_last=1)
+    return table.read(tag="train-v1")
+
+
 # state after batches < thr only, where thr = (max_batch + 2) // 2
 _MID_LATEST = """
 latest AS (
@@ -4007,6 +4024,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_stream_agg_view": (cdc_stream_agg_view_q, ORACLE_AGG_VIEW),
     "cdc_stream_replay_mor": (cdc_stream_replay_mor_q, ORACLE_REPLAY),
     "cdc_time_travel": (cdc_time_travel_q, ORACLE_TIME_TRAVEL),
+    "cdc_tag_pinned_read": (cdc_tag_pinned_read_q, ORACLE_TIME_TRAVEL),
     "lake_stats_pruned_scan": (lake_stats_pruned_scan_q, ORACLE_STATS_PRUNED),
     "cdc_retention_delete": (cdc_retention_delete_q, ORACLE_RETENTION_DELETE),
     "cdc_rtbf_delete": (cdc_rtbf_delete_q, ORACLE_RTBF_DELETE),
