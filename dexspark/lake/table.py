@@ -1671,7 +1671,12 @@ class LakeTable:
         and main is untouched — re-branch from the new head and
         re-stage, exactly like Iceberg's ``fast_forward``. This keeps
         publish trivially atomic: there is no window where main shows a
-        prefix of the branch."""
+        prefix of the branch.
+
+        Quiesce branch writers before publishing: a branch commit that
+        lands after the publish reads the branch head is NOT folded in
+        (it stays safely staged on the branch) but cannot be published
+        later either — main has moved past the fork point."""
         if self.branch is not None:
             raise ValueError("publish from the main ref only")
         bt = self.branch_table(name)

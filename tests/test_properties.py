@@ -234,3 +234,66 @@ def test_agg_view_refresh_matches_recompute(spark, tmp_path_factory, evs, n_refr
     got = view.read().select(*cols)
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events_strategy,
+    st.integers(min_value=2, max_value=4),
+    st.lists(st.sampled_from(["direct", "wap", "wap_retry"]), min_size=4, max_size=4),
+)
+def test_wap_any_staging_pattern_matches_direct(
+    spark, tmp_path_factory, evs, n_batches, modes
+):
+    """Every batch applied either directly, staged-and-published, or
+    staged-poisoned-dropped-restaged-published yields the same final
+    state as a plain direct replay — branch staging is an execution
+    detail, never semantics (exactly-once holds across the ledger
+    fold-in and the drop-branch id release)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from dexspark.cdc.apply import apply_changes
+    from dexspark.lake.table import LakeTable
+
+    uniq = {}
+    for conv, turn, lsn, op in evs:
+        uniq.setdefault((conv, turn, lsn), (conv, turn, lsn, op))
+    ordered = sorted(uniq.values(), key=lambda e: e[2])
+
+    payload = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    d = tmp_path_factory.mktemp("prop_wap")
+    table = LakeTable.create(
+        spark, str(d / "t"), _parse_datatype_string(payload), "conv_id", 4
+    )
+    size = max(1, len(ordered) // n_batches)
+    chunks = [ordered[s : s + size] for s in range(0, len(ordered), size)]
+    for b, chunk in enumerate(chunks):
+        df = spark.createDataFrame(_rows(chunk), SCHEMA)
+        mode = modes[b % len(modes)]
+        if mode == "direct":
+            apply_changes(table, df, batch_id=f"w{b}")
+        else:
+            if mode == "wap_retry":
+                br = table.create_branch(f"s{b}-bad")
+                poison = df.withColumn("text", F.lit("CORRUPT"))
+                apply_changes(br, poison, batch_id=f"w{b}")
+                table.drop_branch(f"s{b}-bad")
+            br = table.create_branch(f"s{b}")
+            apply_changes(br, df, batch_id=f"w{b}")
+            table.publish_branch(f"s{b}")
+        # redelivery of an already-committed batch must no-op in
+        # every mode (ledger covers direct AND published ids)
+        assert apply_changes(table, df, batch_id=f"w{b}")["skipped"] is True
+
+    model = {}
+    for conv, turn, lsn, op in ordered:
+        k = (f"c{conv}", turn)
+        if k not in model or lsn >= model[k][0]:
+            model[k] = (lsn, op)
+    expected = {k for k, (lsn, op) in model.items() if op != "D"}
+    got = {(r.conv_id, r.turn_idx) for r in table.read().collect()}
+    assert got == expected
