@@ -109,6 +109,7 @@ def cmd_compact(args) -> int:
                 args.min_files,
                 cluster_by=cluster,
                 files_per_bucket=args.files_per_bucket,
+                zorder=args.zorder,
             )
         )
     )
@@ -343,6 +344,11 @@ def main(argv: list[str] | None = None) -> int:
              "after compaction (Delta OPTIMIZE ZORDER analogue)",
     )
     c.add_argument("--files-per-bucket", type=int, default=4)
+    c.add_argument(
+        "--zorder", action="store_true",
+        help="z-curve interleave the >=2 --cluster-by columns so file "
+             "stats prune box predicates on every clustered dimension",
+    )
     c.set_defaults(fn=cmd_compact)
 
     e = sub.add_parser("expire", help="expire snapshots + vacuum")

@@ -42,6 +42,7 @@ from pyspark.sql.types import (
 from dexspark.lake import bloom as lake_bloom
 from dexspark.lake import manifest as mf
 from dexspark.lake import stats as lake_stats
+from dexspark.lake import zorder as lake_zorder
 
 BUCKET_COL = "_bucket"
 # branch (write-audit-publish) layout: each branch is a manifest
@@ -534,6 +535,7 @@ class LakeTable:
         cluster_by: list[str] | None = None,
         files_per_bucket: int = 1,
         build_blooms: bool = True,
+        zorder: bool = False,
     ) -> list[mf.DataFile]:
         """Write df (table columns) bucketed; return new DataFile entries.
 
@@ -559,7 +561,25 @@ class LakeTable:
             df = df.withColumn(SYS_DELETED, F.lit(False))
         n_parts = max(1, n_buckets_hint or m.num_buckets)
         df = df.withColumn(BUCKET_COL, self._bucket_expr(m))
-        if cluster_by:
+        persisted = None
+        if cluster_by and zorder:
+            # the quantile sketch is an extra action over the input
+            # (which may be a MOR resolve) — cache so the write does
+            # not recompute it
+            persisted = df.persist()
+            df = lake_zorder.with_zvalue(
+                persisted, cluster_by, self.schema(m.version)
+            )
+            df = (
+                df.repartitionByRange(
+                    max(1, n_parts * files_per_bucket),
+                    F.col(BUCKET_COL),
+                    F.col(lake_zorder.Z_COL),
+                )
+                .sortWithinPartitions(BUCKET_COL, lake_zorder.Z_COL)
+                .drop(lake_zorder.Z_COL)
+            )
+        elif cluster_by:
             # a range task can straddle a bucket boundary — the
             # dynamic-partition writer still splits it per bucket dir,
             # so files-per-bucket stays ~files_per_bucket on average
@@ -616,6 +636,8 @@ class LakeTable:
                                 ),
                             )
                         )
+        if persisted is not None:
+            persisted.unpersist()
         return new_files
 
     def _commit_next(
@@ -1388,6 +1410,7 @@ class LakeTable:
         summary: dict[str, Any] | None = None,
         cluster_by: list[str] | None = None,
         files_per_bucket: int = 4,
+        zorder: bool = False,
     ) -> dict[str, Any]:
         """Bin-pack small files: rewrite every bucket holding at least
         ``min_files_per_bucket`` data files into one file, in one
@@ -1409,7 +1432,16 @@ class LakeTable:
         every bucket to rewrite (that is the point), so pair it with a
         filter-heavy read pattern, not a schedule that compacts hot
         append tables every minute.
+
+        ``zorder=True`` (with >= 2 ``cluster_by`` columns) replaces the
+        lexicographic sort with a z-curve interleave (lake/zorder.py)
+        so file min/max stats prune box predicates on EVERY clustered
+        column, not just the first — ``cluster_by=["ts","uid"],
+        zorder=True`` serves both the retention sweep and the per-user
+        RTBF scan from one layout.
         """
+        if zorder and not cluster_by:
+            raise ValueError("zorder=True requires cluster_by columns")
         for attempt in range(MAX_COMMIT_RETRIES + 1):
             m = self.manifest()
             per_bucket: dict[int, int] = {}
@@ -1427,6 +1459,10 @@ class LakeTable:
                 b for b, n in per_bucket.items() if n >= min_files_per_bucket
             } | stale | deltas
             if cluster_by:
+                if zorder:
+                    lake_zorder.validate_zorder_cols(
+                        cluster_by, self.schema(m.version)
+                    )
                 names = {f.name for f in self.schema(m.version).fields}
                 for c in cluster_by:
                     if c not in names:
@@ -1452,6 +1488,7 @@ class LakeTable:
                 n_buckets_hint=len(affected),
                 cluster_by=cluster_by,
                 files_per_bucket=files_per_bucket,
+                zorder=zorder,
             )
             info = {
                 "operation": "compact",
@@ -1459,6 +1496,7 @@ class LakeTable:
                 "files_before": sum(per_bucket[b] for b in affected),
                 "files_after": len(new_files),
                 **({"cluster_by": cluster_by} if cluster_by else {}),
+                **({"zorder": True} if zorder else {}),
                 **(summary or {}),
             }
             try:

@@ -839,6 +839,54 @@ def lake_clustered_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(filters=[("ts", ">=", lo), ("ts", "<", hi)])
 
 
+def lake_zorder_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered compaction under the hard oracle: the same
+    unclustered ingest as ``lake_clustered_scan``, but compacted with
+    ``zorder=True`` over (ts, uid) so the 2-D box read — one hour AND
+    one uid range, the retention-sweep-meets-RTBF shape — can prune
+    files on BOTH dimensions (lexicographic ts,uid layout prunes only
+    ts; pruning counts machine-asserted in tests/test_lake_zorder.py).
+    The oracle checks the layout is content-transparent: the box read
+    equals the plain row filter exactly."""
+    import datetime as _dt
+
+    ev = load(spark, sf_dir, "events")
+    lsn = F.col("event_id")
+    rows = ev.select(
+        lsn.alias("lsn"),
+        F.col("user_id").cast("long").alias("uid"),
+        F.col("event_type").alias("etype"),
+        F.timestamp_seconds(
+            F.lit(_WIN_BASE_EPOCH) + F.pmod(lsn, 480).cast("long") * 60
+        ).alias("ts"),
+    )
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "events_lake"),
+        _parse_datatype_string("lsn long, uid long, etype string, ts timestamp"),
+        "uid", num_buckets=4,
+    )
+    for s in range(4):
+        table.append(rows.filter(F.pmod(F.col("lsn"), 4) == s))
+    table.compact(cluster_by=["ts", "uid"], files_per_bucket=8, zorder=True)
+    base = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    lo = base + _dt.timedelta(hours=3)
+    hi = base + _dt.timedelta(hours=4)
+    return table.read(
+        filters=[("ts", ">=", lo), ("ts", "<", hi), ("uid", "<", 500)]
+    )
+
+
+ORACLE_ZORDER_SCAN = """
+SELECT event_id AS lsn, CAST(user_id AS BIGINT) AS uid,
+  event_type AS etype,
+  TIMESTAMP '2024-01-01 00:00:00'
+    + INTERVAL (event_id % 480) MINUTE AS ts
+FROM events
+WHERE event_id % 480 BETWEEN 180 AND 239 AND CAST(user_id AS BIGINT) < 500
+"""
+
+
 def cdc_retention_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate DELETE under the hard oracle — the retention /
     right-to-be-forgotten surface (``DELETE FROM t WHERE ts <
@@ -4030,6 +4078,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_rtbf_delete": (cdc_rtbf_delete_q, ORACLE_RTBF_DELETE),
     "cdc_replay_rebucketed": (cdc_replay_rebucketed_q, ORACLE_REPLAY),
     "lake_clustered_scan": (lake_clustered_scan_q, ORACLE_STATS_PRUNED),
+    "lake_zorder_scan": (lake_zorder_scan_q, ORACLE_ZORDER_SCAN),
     "cdc_change_feed": (cdc_change_feed_q, ORACLE_CHANGE_FEED),
     "conv_progress_stateful": (conv_progress_stateful_q, ORACLE_CONV_PROGRESS),
     # -- corpus curation / similarity / multimodal --
