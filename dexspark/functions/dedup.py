@@ -120,7 +120,24 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_n, seed
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    banded = sigs.select(
+    return lsh_pairs_from_signatures(sigs, id_col, num_hashes, bands)
+
+
+def band_buckets(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Explode stored signatures to (id, band, bucket) LSH keys.
+
+    Split out of ``minhash_lsh_pairs`` so a PRECOMPUTED signature
+    table (e.g. the incrementally-maintained index in
+    dexspark/lake/sigindex.py) can generate candidates without
+    re-shingling any text — banding is K/B xxhash64 calls per doc,
+    orders of magnitude cheaper than the signature computation."""
+    rows = num_hashes // bands
+    return sigs.select(
         id_col,
         F.explode(
             F.array(
@@ -142,6 +159,18 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_pairs_from_signatures(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate pairs from a signature table (id, minhash array):
+    band-explode + per-bucket self-join, identical to the tail of
+    ``minhash_lsh_pairs``."""
+    banded = band_buckets(sigs, id_col, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -32,3 +32,8 @@ from dexspark.lake.matview import (  # noqa: F401
     create_agg_view,
     refresh_agg_view,
 )
+from dexspark.lake.sigindex import (  # noqa: F401
+    create_signature_index,
+    near_dup_pairs_via_index,
+    refresh_signature_index,
+)

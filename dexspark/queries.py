@@ -3262,6 +3262,66 @@ WHERE len(list_intersect(a.s, b.s)) * 1000
 """
 
 
+def doc_near_dup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with candidates served from the incrementally-
+    maintained signature index (lake/sigindex.py): documents arrive as
+    three CDC batches — the first lands CORRUPTED text (reversed) that
+    the second must fix (signature REPLACE), the second also inserts
+    junk docs the third DELETES (index eviction) — and the index is
+    refreshed off the change feed after each batch, O(changed docs)
+    per refresh, never re-shingling the corpus. Because the index
+    stores exactly the signatures the batch path would compute, the
+    final pairs must equal the from-scratch ``doc_near_dup_pairs``
+    result — checked here against the same exact brute-force Jaccard
+    oracle over the final document state."""
+    from dexspark.lake.sigindex import (
+        create_signature_index,
+        near_dup_pairs_via_index,
+        refresh_signature_index,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    src = LakeTable.create(
+        spark, os.path.join(d, "docs_lake"),
+        _parse_datatype_string("doc_id bigint, text string"),
+        "doc_id", num_buckets=8,
+    )
+    idx = create_signature_index(spark, os.path.join(d, "docs_sigidx"), src)
+    third = F.pmod(F.col("doc_id"), 3)
+    junk = docs.filter(third == 1).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" junk")).alias("text"),
+    )
+    batches = [
+        # (rows, op, lsn): corrupt -> fix -> delete the junk
+        (docs.filter(third == 0).withColumn("text", F.reverse("text")), "I", 1),
+        (
+            docs.filter(third <= 1).unionByName(junk), "U", 2,
+        ),
+        (docs.filter(third == 2), "I", 3),
+        (junk, "D", 3),
+    ]
+    # batch 3 = inserts + deletes in ONE merge (distinct keys)
+    b3 = batches[2][0].withColumn("op", F.lit("I")).unionByName(
+        batches[3][0].withColumn("op", F.lit("D"))
+    ).withColumn("lsn", F.lit(3).cast("long"))
+    for i, (rows, op, lsn) in enumerate(batches[:2]):
+        src.merge(
+            rows.withColumn("op", F.lit(op)).withColumn(
+                "lsn", F.lit(lsn).cast("long")
+            ),
+            key_cols=["doc_id"],
+            summary={"batch_id": f"docs-b{i}"},
+        )
+        refresh_signature_index(src, idx)
+    src.merge(b3, key_cols=["doc_id"], summary={"batch_id": "docs-b2"})
+    refresh_signature_index(src, idx)
+    return near_dup_pairs_via_index(
+        idx, src.read(), num_hashes=64, bands=32
+    )
+
+
 def doc_simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups (exact for hamming ≤ 3 by 4x16-bit pigeonhole
     banding). The token hash is md5-derived (byte-identical in every
@@ -4085,6 +4145,7 @@ QUERIES: dict[str, tuple] = {
     "doc_quality_scores": (doc_quality_scores_q, ORACLE_QUALITY),
     "doc_lang_id": (doc_lang_id_q, ORACLE_LANG),
     "doc_near_dup_pairs": (doc_near_dup_pairs_q, ORACLE_NEAR_DUP),
+    "doc_near_dup_incremental": (doc_near_dup_incremental_q, ORACLE_NEAR_DUP),
     "doc_simhash_near_dups": (doc_simhash_near_dups_q, ORACLE_SIMHASH),
     "doc_fingerprint_groups": (doc_fingerprint_groups_q, ORACLE_FP_GROUPS),
     "emb_cosine_topk": (emb_cosine_topk_q, ORACLE_COSINE_TOPK),
