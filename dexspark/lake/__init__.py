@@ -34,6 +34,7 @@ from dexspark.lake.matview import (  # noqa: F401
 )
 from dexspark.lake.sigindex import (  # noqa: F401
     create_signature_index,
+    ingest_dedup_gate,
     near_dup_pairs_via_index,
     refresh_signature_index,
 )

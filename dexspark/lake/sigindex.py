@@ -202,3 +202,80 @@ def near_dup_pairs_via_index(
     return verified.filter(
         F.col("n_inter") * 1000 >= F.col("n_union") * F.lit(min_jaccard_x1000)
     ).select("id_a", "id_b", "n_inter", "n_union", "jaccard_x1000")
+
+
+def ingest_dedup_gate(
+    idx: LakeTable,
+    corpus_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    min_jaccard_x1000: int = 800,
+) -> DataFrame:
+    """Which INCOMING docs near-duplicate the EXISTING corpus? The
+    training-data ingestion gate: before a batch enters the lake, find
+    its near-dups against everything already there — without touching
+    corpus texts. Signatures are computed for the batch only
+    (O(batch)); the batch's band keys equi-join the INDEX's band keys
+    (the corpus side is K/B xxhash64 calls over stored arrays); exact
+    Jaccard then verifies candidates against corpus texts for the
+    candidate pairs alone.
+
+    ``new_docs`` ids must be disjoint from corpus ids (a re-ingest of
+    an existing id is an UPDATE — route it through the merge +
+    ``refresh_signature_index`` path instead). Returns
+    (id_corpus, id_new, n_inter, n_union, jaccard_x1000); the caller
+    drops or quarantines the flagged ``id_new`` rows.
+
+    Signature parameters must match the ones the index was built with
+    — a band join between differently-seeded signatures silently finds
+    nothing."""
+    from dexspark.functions.dedup import band_buckets
+
+    sigs_new = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_n, seed
+    )
+    bb_new = band_buckets(sigs_new, id_col, num_hashes, bands).alias("n")
+    bb_idx = band_buckets(
+        idx.read().withColumnRenamed(SIG_COL, "minhash"),
+        id_col,
+        num_hashes,
+        bands,
+    ).alias("c")
+    cand = (
+        bb_idx.join(
+            bb_new,
+            (F.col("c.band") == F.col("n.band"))
+            & (F.col("c.bucket") == F.col("n.bucket")),
+        )
+        .select(
+            F.col(f"c.{id_col}").alias("id_corpus"),
+            F.col(f"n.{id_col}").alias("id_new"),
+        )
+        .distinct()
+    )
+    texts = corpus_docs.select(id_col, text_col).unionByName(
+        new_docs.select(id_col, text_col)
+    )
+    verified = ngram_jaccard(
+        texts,
+        cand.withColumnRenamed("id_corpus", "id_a").withColumnRenamed(
+            "id_new", "id_b"
+        ),
+        text_col,
+        id_col,
+        shingle_n,
+    )
+    return verified.filter(
+        F.col("n_inter") * 1000 >= F.col("n_union") * F.lit(min_jaccard_x1000)
+    ).select(
+        F.col("id_a").alias("id_corpus"),
+        F.col("id_b").alias("id_new"),
+        "n_inter",
+        "n_union",
+        "jaccard_x1000",
+    )

@@ -3322,6 +3322,57 @@ def doc_near_dup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_ingest_dedup_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingestion dedup gate (lake/sigindex.py::ingest_dedup_gate):
+    docs with doc_id % 3 != 0 are the standing corpus (lake table +
+    signature index); docs with doc_id % 3 == 0 arrive as a NEW batch
+    that must be screened against the corpus BEFORE it lands. The
+    corpus side of the candidate join comes entirely from the stored
+    index arrays (no corpus re-shingling — O(batch) signature work);
+    the oracle brute-forces the exact corpus x batch Jaccard."""
+    from dexspark.lake.sigindex import (
+        create_signature_index,
+        ingest_dedup_gate,
+        refresh_signature_index,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    third = F.pmod(F.col("doc_id"), 3)
+    corpus = docs.filter(third != 0)
+    incoming = docs.filter(third == 0)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    src = LakeTable.create(
+        spark, os.path.join(d, "docs_lake"),
+        _parse_datatype_string("doc_id bigint, text string"),
+        "doc_id", num_buckets=8,
+    )
+    idx = create_signature_index(spark, os.path.join(d, "docs_sigidx"), src)
+    src.merge(
+        corpus.withColumn("op", F.lit("I")).withColumn(
+            "lsn", F.lit(1).cast("long")
+        ),
+        key_cols=["doc_id"],
+        summary={"batch_id": "corpus"},
+    )
+    refresh_signature_index(src, idx)
+    return ingest_dedup_gate(
+        idx, src.read(), incoming, num_hashes=64, bands=32
+    )
+
+
+ORACLE_INGEST_GATE = f"""
+WITH {_SHINGLES_CTE}
+SELECT a.doc_id AS id_corpus, b.doc_id AS id_new,
+       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+       CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS n_union,
+       CAST(floor(len(list_intersect(a.s, b.s)) * 1000.0
+            / len(list_distinct(list_concat(a.s, b.s)))) AS BIGINT) AS jaccard_x1000
+FROM sh a JOIN sh b ON a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+WHERE len(list_intersect(a.s, b.s)) * 1000
+      >= len(list_distinct(list_concat(a.s, b.s))) * 800
+"""
+
+
 def doc_simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups (exact for hamming ≤ 3 by 4x16-bit pigeonhole
     banding). The token hash is md5-derived (byte-identical in every
@@ -4146,6 +4197,7 @@ QUERIES: dict[str, tuple] = {
     "doc_lang_id": (doc_lang_id_q, ORACLE_LANG),
     "doc_near_dup_pairs": (doc_near_dup_pairs_q, ORACLE_NEAR_DUP),
     "doc_near_dup_incremental": (doc_near_dup_incremental_q, ORACLE_NEAR_DUP),
+    "doc_ingest_dedup_gate": (doc_ingest_dedup_gate_q, ORACLE_INGEST_GATE),
     "doc_simhash_near_dups": (doc_simhash_near_dups_q, ORACLE_SIMHASH),
     "doc_fingerprint_groups": (doc_fingerprint_groups_q, ORACLE_FP_GROUPS),
     "emb_cosine_topk": (emb_cosine_topk_q, ORACLE_COSINE_TOPK),

@@ -154,6 +154,22 @@ def test_retention_gap_falls_back_to_rebuild(spark, tmp_path_factory):
     assert _index_equals_batch(src, idx)
 
 
+def test_ingest_dedup_gate(spark, tmp_path_factory):
+    from dexspark.lake import ingest_dedup_gate
+
+    d = tmp_path_factory.mktemp("sigidx")
+    src, idx = _mk(spark, d)
+    _apply(src, _docs(spark, [(0, TEXTS[0]), (2, TEXTS[2])]), "I", 1, "b1")
+    refresh_signature_index(src, idx)
+    # incoming batch: one near-dup of corpus doc 0, one fresh doc
+    incoming = _docs(spark, [(10, TEXTS[1]), (11, TEXTS[3])])
+    hits = ingest_dedup_gate(
+        idx, src.read(), incoming, num_hashes=64, bands=32
+    ).collect()
+    assert [(r.id_corpus, r.id_new) for r in hits] == [(0, 10)]
+    assert all(r.jaccard_x1000 >= 800 for r in hits)
+
+
 def test_create_validates_id_col(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("sigidx")
     src = LakeTable.create(
