@@ -84,36 +84,63 @@ def flag_events(events: DataFrame, cfg: ValidationConfig | None = None) -> DataF
     = valid). Callers that need both sides should persist THIS frame
     and filter twice — one compute instead of two."""
     cfg = cfg or ValidationConfig()
+    cols = set(events.columns)
     is_delete = F.col(cfg.op_col) == F.lit(cfg.delete_op)
 
+    # keys/lsn/op are the CDC contract — mandatory for every payload
+    # shape, so a missing column here is deliberately an analysis
+    # error, never a skipped check
     required_null = F.lit(False)
     for k in (*cfg.key_cols, cfg.lsn_col, cfg.op_col):
         required_null = required_null | F.col(k).isNull()
 
-    reason = (
-        F.when(required_null, F.lit("missing_required_field"))
-        .when(~F.col(cfg.op_col).isin(*cfg.ops), F.lit("bad_op"))
-        .when(
-            ~is_delete & ~F.coalesce(F.col(cfg.role_col), F.lit("")).isin(*cfg.roles),
-            F.lit("bad_role"),
+    # content checks BIND TO COLUMNS: a payload without the configured
+    # role/tool/text column (e.g. a documents stream next to the
+    # transcript stream) simply has those checks not applicable —
+    # config-driven per stream, like the reference's per-route
+    # validation functions. A transcript payload carries all of them,
+    # so its behavior is unchanged.
+    checks: list[tuple] = [
+        (required_null, "missing_required_field"),
+        (~F.col(cfg.op_col).isin(*cfg.ops), "bad_op"),
+    ]
+    if cfg.role_col in cols:
+        checks.append(
+            (
+                ~is_delete
+                & ~F.coalesce(F.col(cfg.role_col), F.lit("")).isin(*cfg.roles),
+                "bad_role",
+            )
         )
-        .when(
-            ~is_delete
-            & F.col(cfg.role_col).isin(*cfg.tool_required_roles)
-            & (F.coalesce(F.trim(F.col(cfg.tool_col)), F.lit("")) == ""),
-            F.lit("missing_tool"),
+        if cfg.tool_col in cols:
+            checks.append(
+                (
+                    ~is_delete
+                    & F.col(cfg.role_col).isin(*cfg.tool_required_roles)
+                    & (F.coalesce(F.trim(F.col(cfg.tool_col)), F.lit("")) == ""),
+                    "missing_tool",
+                )
+            )
+    if cfg.text_col in cols:
+        checks.append(
+            (
+                ~is_delete
+                & (F.octet_length(F.col(cfg.text_col)) > cfg.max_text_bytes),
+                "text_too_large",
+            )
         )
-        .when(
-            ~is_delete & (F.octet_length(F.col(cfg.text_col)) > cfg.max_text_bytes),
-            F.lit("text_too_large"),
+        checks.append(
+            (
+                ~is_delete & ~_text_wellformed(F.col(cfg.text_col)),
+                "malformed_text",
+            )
         )
-        .when(
-            ~is_delete & ~_text_wellformed(F.col(cfg.text_col)),
-            F.lit("malformed_text"),
-        )
-    )
 
-    if cfg.check_ts_monotonic:
+    reason = F.when(checks[0][0], F.lit(checks[0][1]))
+    for cond, tag in checks[1:]:
+        reason = reason.when(cond, F.lit(tag))
+
+    if cfg.check_ts_monotonic and cfg.ts_col in cols:
         # ts must be >= every STRICTLY EARLIER turn's ts within the same
         # conv (revisions of the same turn never compare against each
         # other). A window over the raw events would shuffle + sort the

@@ -33,6 +33,7 @@ from dexspark.lake.matview import (  # noqa: F401
     refresh_agg_view,
 )
 from dexspark.lake.sigindex import (  # noqa: F401
+    SigIndexSpec,
     create_signature_index,
     ingest_dedup_gate,
     near_dup_pairs_via_index,

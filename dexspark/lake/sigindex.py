@@ -41,6 +41,7 @@ from the lake's change feed (§2.2).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -202,6 +203,35 @@ def near_dup_pairs_via_index(
     return verified.filter(
         F.col("n_inter") * 1000 >= F.col("n_union") * F.lit(min_jaccard_x1000)
     ).select("id_a", "id_b", "n_inter", "n_union", "jaccard_x1000")
+
+
+@dataclass
+class SigIndexSpec:
+    """Streaming subscription wrapper: drop into
+    ``CdcStreamReplay(views=[...])`` next to ``AggViewSpec`` and the
+    index refreshes after every applied micro-batch (ledger-gated, so
+    restarts and replayed batches are no-ops) — the corpus's near-dup
+    index trails the table by at most one trigger."""
+
+    idx: LakeTable
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    num_hashes: int = 64
+    shingle_n: int = 3
+    seed: int = 42
+    batch_id_prefix: str = DEFAULT_PREFIX
+
+    def refresh(self, src: LakeTable) -> dict[str, Any] | None:
+        return refresh_signature_index(
+            src,
+            self.idx,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            num_hashes=self.num_hashes,
+            shingle_n=self.shingle_n,
+            seed=self.seed,
+            batch_id_prefix=self.batch_id_prefix,
+        )
 
 
 def ingest_dedup_gate(

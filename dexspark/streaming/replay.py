@@ -99,9 +99,11 @@ class CdcStreamReplay:
         # (delta append) — pair with compact_every so read-time resolve
         # stays bounded on a long-running ingest
         self.strategy = strategy
-        # downstream rollup subscriptions (lake/matview.py
-        # AggViewSpec): refreshed incrementally after every applied
-        # micro-batch, so aggregate consumers trail the table by at
+        # downstream derived-table subscriptions — anything with a
+        # ``refresh(src) -> info | None`` method (lake/matview.py
+        # AggViewSpec rollups, lake/sigindex.py SigIndexSpec near-dup
+        # indexes): refreshed incrementally after every applied
+        # micro-batch, so derived consumers trail the table by at
         # most one trigger. Refreshes are ledger-gated, hence replay-
         # safe under the same restart semantics as apply_changes.
         self.views = views or []

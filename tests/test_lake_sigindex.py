@@ -177,3 +177,58 @@ def test_create_validates_id_col(spark, tmp_path_factory):
     )
     with pytest.raises(ValueError, match="not in source schema"):
         create_signature_index(spark, str(d / "idx"), src, id_col="nope")
+
+
+def test_streaming_subscription_keeps_index_current(
+    spark, tmp_path_factory
+):
+    """SigIndexSpec in CdcStreamReplay(views=[...]): a documents-shaped
+    change stream (validation checks bind to the columns the payload
+    actually has) keeps the near-dup index within one trigger of the
+    table, across a checkpoint resume."""
+    import os
+
+    from dexspark.cdc.validate import ValidationConfig
+    from dexspark.lake.sigindex import SigIndexSpec
+    from dexspark.streaming.replay import CdcStreamReplay
+
+    d = tmp_path_factory.mktemp("sigidx_stream")
+    src, idx = _mk(spark, d)
+    log_dir = str(d / "log")
+    cfg = ValidationConfig(key_cols=("doc_id",))
+
+    def replay():
+        return CdcStreamReplay(
+            spark,
+            src,
+            log_dir,
+            str(d / "checkpoint"),
+            _parse_datatype_string("lsn long, op string, " + DDL),
+            cfg=cfg,
+            views=[SigIndexSpec(idx)],
+        )
+
+    seg1 = _docs(spark, [(0, TEXTS[0]), (2, TEXTS[2])]).select(
+        F.lit(1).cast("long").alias("lsn"), F.lit("I").alias("op"), "*"
+    )
+    seg1.coalesce(1).write.parquet(log_dir, mode="append")
+    r1 = replay()
+    r1.run_available()
+    assert _index_equals_batch(src, idx)
+    assert any(r.get("trigger") == "view_refresh" for r in r1.results)
+
+    # second segment arrives later: insert a near-dup, delete doc 2
+    seg2 = _docs(spark, [(1, TEXTS[1])]).select(
+        F.lit(2).cast("long").alias("lsn"), F.lit("I").alias("op"), "*"
+    ).unionByName(
+        _docs(spark, [(2, TEXTS[2])]).select(
+            F.lit(3).cast("long").alias("lsn"), F.lit("D").alias("op"), "*"
+        )
+    )
+    seg2.coalesce(1).write.parquet(log_dir, mode="append")
+    replay().run_available()  # checkpoint resume
+    assert _index_equals_batch(src, idx)
+    pairs = near_dup_pairs_via_index(
+        idx, src.read(), num_hashes=64, bands=32
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
