@@ -22,6 +22,10 @@ Subcommands:
   stats-pruned surgical rewrite of only the files that may match.
 - ``view-refresh`` — maintain an incremental aggregate rollup view
   (COUNT + SUMs) of a table, O(changed rows) per run.
+- ``sigindex-refresh`` — maintain the incremental near-dup signature
+  index, O(changed docs) per run.
+- ``dedup-gate`` — screen an incoming parquet batch against the
+  indexed corpus before it lands.
 - ``status``  — print snapshot version, row count, committed batches.
 
 ≙ the reference's deployment unit (an Azure Functions app wired by
@@ -215,6 +219,79 @@ def cmd_view_refresh(args) -> int:
     )
     print(json.dumps(info if info is not None else {"skipped": "current"},
                      default=str))
+    return 0
+
+
+def cmd_sigindex_refresh(args) -> int:
+    """Maintain the near-dup signature index from the CLI (the
+    scheduled job a curation pipeline deploys next to replay/compact):
+    creates the index on first run, then brings it up to date with the
+    source head in one incremental merge — signatures recomputed for
+    changed docs only, full rebuild across retention gaps."""
+    spark = _spark(args)
+    from dexspark.lake.sigindex import (
+        create_signature_index,
+        refresh_signature_index,
+    )
+
+    src = LakeTable(spark, args.table)
+    if LakeTable.exists(args.index):
+        idx = LakeTable(spark, args.index)
+    else:
+        idx = create_signature_index(
+            spark, args.index, src, id_col=args.id_col
+        )
+    info = refresh_signature_index(
+        src,
+        idx,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        num_hashes=args.num_hashes,
+        shingle_n=args.shingle_n,
+    )
+    print(json.dumps(info if info is not None else {"skipped": "current"},
+                     default=str))
+    return 0
+
+
+def cmd_dedup_gate(args) -> int:
+    """Screen an incoming parquet batch against the indexed corpus
+    BEFORE it lands: prints a JSON summary (docs screened / flagged)
+    and, with --out, writes the verified hit pairs for the pipeline to
+    quarantine or drop."""
+    spark = _spark(args)
+    from dexspark.lake.sigindex import ingest_dedup_gate
+
+    src = LakeTable(spark, args.table)
+    idx = LakeTable(spark, args.index)
+    incoming = spark.read.parquet(args.incoming).select(
+        args.id_col, args.text_col
+    )
+    hits = ingest_dedup_gate(
+        idx,
+        src.read(),
+        incoming,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        num_hashes=args.num_hashes,
+        bands=args.bands,
+        shingle_n=args.shingle_n,
+        min_jaccard_x1000=args.min_jaccard_x1000,
+    ).persist()
+    flagged = hits.select("id_new").distinct().count()
+    if args.out:
+        hits.write.parquet(args.out, mode="errorifexists")
+    print(
+        json.dumps(
+            {
+                "screened": incoming.count(),
+                "flagged_docs": flagged,
+                "hit_pairs": hits.count(),
+                **({"out": args.out} if args.out else {}),
+            }
+        )
+    )
+    hits.unpersist()
     return 0
 
 
@@ -432,6 +509,34 @@ def main(argv: list[str] | None = None) -> int:
     vr.add_argument("--maxs", default="", help="JSON name->expr (MAX)")
     vr.add_argument("--buckets", type=int, default=8)
     vr.set_defaults(fn=cmd_view_refresh)
+
+    si = sub.add_parser(
+        "sigindex-refresh",
+        help="maintain the incremental near-dup signature index",
+    )
+    si.add_argument("--table", required=True, help="source docs table dir")
+    si.add_argument("--index", required=True, help="index table dir")
+    si.add_argument("--id-col", default="doc_id")
+    si.add_argument("--text-col", default="text")
+    si.add_argument("--num-hashes", type=int, default=64)
+    si.add_argument("--shingle-n", type=int, default=3)
+    si.set_defaults(fn=cmd_sigindex_refresh)
+
+    dg = sub.add_parser(
+        "dedup-gate",
+        help="screen an incoming parquet batch against the indexed corpus",
+    )
+    dg.add_argument("--table", required=True, help="corpus table dir")
+    dg.add_argument("--index", required=True, help="signature index dir")
+    dg.add_argument("--incoming", required=True, help="incoming parquet path")
+    dg.add_argument("--out", default=None, help="write hit pairs here")
+    dg.add_argument("--id-col", default="doc_id")
+    dg.add_argument("--text-col", default="text")
+    dg.add_argument("--num-hashes", type=int, default=64)
+    dg.add_argument("--bands", type=int, default=32)
+    dg.add_argument("--shingle-n", type=int, default=3)
+    dg.add_argument("--min-jaccard-x1000", type=int, default=800)
+    dg.set_defaults(fn=cmd_dedup_gate)
 
     rp = sub.add_parser(
         "reprocess", help="fix + replay quarantined (dead-letter) rows"

@@ -354,3 +354,53 @@ def test_cli_replay_to_branch_then_publish(spark, tmp_table_dir):
     got = t.read()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_cli_sigindex_refresh_and_dedup_gate(spark, tmp_table_dir, capsys):
+    """sigindex-refresh creates the index on first run and catches up
+    incrementally; dedup-gate screens an incoming parquet batch and
+    writes the verified hit pairs."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    src_dir = os.path.join(tmp_table_dir, "docs")
+    idx_dir = os.path.join(tmp_table_dir, "sigidx")
+    src = LakeTable.create(
+        spark, src_dir, _parse_datatype_string("doc_id bigint, text string"),
+        "doc_id", 4,
+    )
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+         (1, "unrelated corpus text speaking of entirely different things")],
+        "doc_id bigint, text string",
+    )
+    src.merge(
+        corpus.withColumn("op", F.lit("I")).withColumn(
+            "lsn", F.lit(1).cast("long")
+        ),
+        key_cols=["doc_id"],
+        summary={"batch_id": "c"},
+    )
+    args = ["sigindex-refresh", "--table", src_dir, "--index", idx_dir]
+    assert main(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["index_mode"] == "incremental"
+    assert main(args) == 0  # already current -> no-op
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"skipped": "current"}
+
+    incoming_dir = os.path.join(tmp_table_dir, "incoming")
+    spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu!"),
+         (11, "fresh novel content with no duplicate anywhere at all")],
+        "doc_id bigint, text string",
+    ).write.parquet(incoming_dir)
+    hits_dir = os.path.join(tmp_table_dir, "hits")
+    assert main(
+        ["dedup-gate", "--table", src_dir, "--index", idx_dir,
+         "--incoming", incoming_dir, "--out", hits_dir]
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["screened"] == 2 and out["flagged_docs"] == 1
+    hits = spark.read.parquet(hits_dir)
+    assert [(r.id_corpus, r.id_new) for r in hits.collect()] == [(0, 10)]
