@@ -1076,6 +1076,48 @@ SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts FROM r WHERE rn = 1
 """
 
 
+def conv_assembly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation assembly under the hard oracle — the north rule's
+    'per-turn text equality under stable (conv_id, turn_idx) ordering'
+    checked end-to-end: LWW final state (max-LSN dedup incl. tombstone
+    drops), then each conversation's surviving turns concatenated in
+    turn order into ONE document (the shape a training pipeline
+    tokenizes). The collect_list is bounded by turns-per-conversation
+    (conversations are short by construction; the aggregate shuffles
+    one row per turn, grouped on the same key the table is bucketed
+    by), and array_sort gives a deterministic in-group order without a
+    global sort."""
+    from dexspark.cdc.dedup import dedupe_latest
+
+    log = derive_log(spark, sf_dir).drop("batch_seq")
+    final = dedupe_latest(log, ["conv_id", "turn_idx"]).filter(
+        F.col("op") != "D"
+    )
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col("turn_idx"), F.col("text")))
+    )
+    return final.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.concat_ws(
+            "\n", F.transform(parts, lambda x: x["text"])
+        ).alias("conv_text"),
+    )
+
+
+ORACLE_CONV_ASSEMBLY = f"""
+WITH {LOG_CTE},
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM log
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       coalesce(string_agg(text, chr(10) ORDER BY turn_idx), '') AS conv_text
+FROM r WHERE rn = 1 AND op <> 'D'
+GROUP BY conv_id
+"""
+
+
 def cdc_validate_rejects_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dexspark.cdc.validate import REASON_COL, validate_events
 
@@ -4208,6 +4250,7 @@ QUERIES: dict[str, tuple] = {
     "media_feature_stats": (media_feature_stats_q, ORACLE_MEDIA),
     "doc_gzip_unpack_roundtrip": (doc_gzip_unpack_roundtrip_q, ORACLE_GZIP_UNPACK),
     "cdc_dedup_latest": (cdc_dedup_latest_q, ORACLE_DEDUP),
+    "conv_assembly": (conv_assembly_q, ORACLE_CONV_ASSEMBLY),
     "cdc_validate_rejects": (cdc_validate_rejects_q, ORACLE_REJECTS),
     "cdc_validate_ts_monotonic": (
         cdc_validate_ts_monotonic_q,
