@@ -24,6 +24,8 @@ Subcommands:
   (COUNT + SUMs) of a table, O(changed rows) per run.
 - ``sigindex-refresh`` — maintain the incremental near-dup signature
   index, O(changed docs) per run.
+- ``vecindex-refresh`` — maintain the incremental IVF inverted-file
+  vector index, O(changed vectors) per run.
 - ``dedup-gate`` — screen an incoming parquet batch against the
   indexed corpus before it lands.
 - ``status``  — print snapshot version, row count, committed batches.
@@ -248,6 +250,37 @@ def cmd_sigindex_refresh(args) -> int:
         text_col=args.text_col,
         num_hashes=args.num_hashes,
         shingle_n=args.shingle_n,
+    )
+    print(json.dumps(info if info is not None else {"skipped": "current"},
+                     default=str))
+    return 0
+
+
+def cmd_vecindex_refresh(args) -> int:
+    """Maintain the IVF inverted-file vector index from the CLI:
+    creates on first run, then one incremental merge per catch-up —
+    cell assignments recomputed for changed vectors only, retractions
+    emitted on cell moves."""
+    spark = _spark(args)
+    from dexspark.lake.vecindex import (
+        create_vector_index,
+        refresh_vector_index,
+    )
+
+    src = LakeTable(spark, args.table)
+    if LakeTable.exists(args.index):
+        idx = LakeTable(spark, args.index)
+    else:
+        idx = create_vector_index(
+            spark, args.index, src, id_col=args.id_col, vec_col=args.vec_col
+        )
+    info = refresh_vector_index(
+        src,
+        idx,
+        dim=args.dim,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+        n_centroids=args.n_centroids,
     )
     print(json.dumps(info if info is not None else {"skipped": "current"},
                      default=str))
@@ -521,6 +554,18 @@ def main(argv: list[str] | None = None) -> int:
     si.add_argument("--num-hashes", type=int, default=64)
     si.add_argument("--shingle-n", type=int, default=3)
     si.set_defaults(fn=cmd_sigindex_refresh)
+
+    vi = sub.add_parser(
+        "vecindex-refresh",
+        help="maintain the incremental IVF inverted-file vector index",
+    )
+    vi.add_argument("--table", required=True, help="source vectors table dir")
+    vi.add_argument("--index", required=True, help="index table dir")
+    vi.add_argument("--dim", type=int, required=True)
+    vi.add_argument("--id-col", default="vec_id")
+    vi.add_argument("--vec-col", default="embedding")
+    vi.add_argument("--n-centroids", type=int, default=8)
+    vi.set_defaults(fn=cmd_vecindex_refresh)
 
     dg = sub.add_parser(
         "dedup-gate",

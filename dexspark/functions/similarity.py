@@ -225,11 +225,19 @@ def ivf_topk(
     probe prunes whole files. Returns (query_id, neighbor_id, rank,
     score_x1e6) like the other top-k operators.
     """
-    scores = _centroid_scores_udf(dim, n_centroids, seed)
-    # materialize the K-score array once per row (one Arrow batch
-    # pass); argmax / probe ranking are then cheap JVM expressions over
-    # that column — no K*dim expression tree, no codegen blowup
-    cell_arr = F.array(
+    c_assigned = ivf_assign_cells(
+        corpus, dim, n_centroids, seed, id_col, vec_col
+    )
+    probes = ivf_query_probes(
+        queries, dim, n_centroids, n_probe, seed, query_id_col, vec_col
+    )
+    return ivf_rerank(c_assigned, probes, k)
+
+
+def _cell_struct_arr(n_centroids: int):
+    """Struct array over a ``_scores`` column: (score, -cell, cell) so
+    ``array_max`` breaks ties toward the LOWER cell id."""
+    return F.array(
         *[
             F.struct(
                 F.col("_scores")[c].alias("s"),
@@ -239,14 +247,48 @@ def ivf_topk(
             for c in range(n_centroids)
         ]
     )
-    c_assigned = (
-        corpus.select(
+
+
+def ivf_assign_cells(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(_nid, _nvec, _cell): each vector's single nearest-centroid
+    cell. Split out of ``ivf_topk`` so the incrementally-maintained
+    vector index (lake/vecindex.py) assigns cells with the IDENTICAL
+    quantizer — index and batch paths agree by construction. The
+    K-score array materializes once per row (one Arrow batch pass);
+    argmax is a cheap JVM expression over that column."""
+    scores = _centroid_scores_udf(dim, n_centroids, seed)
+    cell_arr = _cell_struct_arr(n_centroids)
+    return (
+        df.select(
             F.col(id_col).alias("_nid"),
             F.col(vec_col).alias("_nvec"),
             scores(F.col(vec_col)).alias("_scores"),
         )
         .select("_nid", "_nvec", F.array_max(cell_arr)["c"].alias("_cell"))
     )
+
+
+def ivf_query_probes(
+    queries: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Broadcast-ready (_qid, _qvec, _cell) probe list: each query's
+    ``n_probe`` best cells by quantizer score (ties toward the lower
+    cell id, matching ``ivf_assign_cells``)."""
+    scores = _centroid_scores_udf(dim, n_centroids, seed)
+    cell_arr = _cell_struct_arr(n_centroids)
     qexp = (
         queries.select(
             F.col(query_id_col).alias("_qid"),
@@ -258,11 +300,16 @@ def ivf_topk(
     wp = Window.partitionBy("_qid").orderBy(
         F.col("p.s").desc(), F.col("p.c").asc()
     )
-    probes = F.broadcast(
+    return F.broadcast(
         qexp.withColumn("_pr", F.row_number().over(wp))
         .filter(F.col("_pr") <= n_probe)
         .select("_qid", "_qvec", F.col("p.c").alias("_cell"))
     )
+
+
+def ivf_rerank(c_assigned: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine rerank of cell-matched candidates → the standard
+    (query_id, neighbor_id, rank, score_x1e6) top-k output."""
     scored = (
         c_assigned.join(probes, on="_cell")
         .filter(F.col("_nid") != F.col("_qid"))

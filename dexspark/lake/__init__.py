@@ -39,3 +39,9 @@ from dexspark.lake.sigindex import (  # noqa: F401
     near_dup_pairs_via_index,
     refresh_signature_index,
 )
+from dexspark.lake.vecindex import (  # noqa: F401
+    VecIndexSpec,
+    create_vector_index,
+    ivf_topk_via_index,
+    refresh_vector_index,
+)

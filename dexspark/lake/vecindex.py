@@ -1,0 +1,285 @@
+"""Incrementally-maintained IVF vector index (inverted file as a lake
+table).
+
+``ivf_topk`` re-assigns every corpus vector to its quantizer cell on
+every query batch — an O(corpus) Arrow pass that dominates at 10^9
+vectors. The assignment only changes when a vector changes, so keep
+the inverted file as a derived lake table off the source's change
+feed:
+
+- one row ``(cell, vec_id, embedding)`` per live vector, keyed by
+  **(cell, vec_id)** — the member-of-list identity a real IVF index
+  uses — and **bucketed by cell**, so a probe's
+  ``read(filters=[("cell", "=", c)])`` prunes whole buckets (bucket
+  derivation) and files (min/max stats) before the scan is planned;
+- ``refresh_vector_index`` catches up from the last maintained source
+  version in ONE merge using the pre/post-image feed
+  (``table_changes(images=True)``): a changed vector inserts into its
+  new cell and — exactly when the cell MOVED or the row was deleted —
+  retracts from its old cell (two distinct (cell, vec_id) keys, so
+  one merge handles the move atomically). O(changed vectors), never
+  O(corpus);
+- exactly-once via the index's batch ledger (``vecidx-v{head}``,
+  source version as LSN — the mirror/matview/sigindex gate); full
+  rebuild fallback across retention gaps;
+- ``ivf_topk_via_index`` probes the index: the query side computes its
+  probe cells (``ivf_query_probes`` — the same quantizer), only the
+  probed cells' files are read, and the exact-cosine rerank is the
+  shared ``ivf_rerank``. Because ``ivf_assign_cells`` is the one cell
+  assignment both paths use, index and batch results are identical by
+  construction (pinned by the ``emb_ivf_incremental_topk`` driver
+  oracle).
+
+Rows with NULL embeddings are not indexed (a null vector has no
+geometry); an update that nulls an embedding retracts the old row.
+
+≙ reference: no equivalent (opaque payload routing,
+RouteIngestedFile.kt:21-34); engine-supplied similarity surface per
+SURVEY §2.3 composed from the lake change feed (§2.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from dexspark.functions.similarity import (
+    ivf_assign_cells,
+    ivf_query_probes,
+    ivf_rerank,
+)
+from dexspark.lake import manifest as mf
+from dexspark.lake.changes import last_done_version, snapshot_diff, table_changes
+from dexspark.lake.table import LakeTable
+
+CELL_COL = "cell"
+DEFAULT_PREFIX = "vecidx"
+
+
+def index_schema(id_field: StructField, vec_field: StructField) -> StructType:
+    return StructType(
+        [StructField(CELL_COL, IntegerType(), True), id_field, vec_field]
+    )
+
+
+def create_vector_index(
+    spark: SparkSession,
+    path: str,
+    source: LakeTable,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int | None = None,
+) -> LakeTable:
+    """Create the (empty) inverted-file table for ``source``, bucketed
+    on the cell id so probes prune buckets."""
+    by_name = {f.name: f for f in source.schema().fields}
+    for c in (id_col, vec_col):
+        if c not in by_name:
+            raise ValueError(f"column {c!r} not in source schema")
+    return LakeTable.create(
+        spark,
+        path,
+        index_schema(by_name[id_col], by_name[vec_col]),
+        bucket_key=CELL_COL,
+        num_buckets=num_buckets or source.manifest().num_buckets,
+    )
+
+
+def refresh_vector_index(
+    src: LakeTable,
+    idx: LakeTable,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    seed: int = 42,
+    batch_id_prefix: str = DEFAULT_PREFIX,
+) -> dict[str, Any] | None:
+    """Bring ``idx`` up to date with ``src``'s head snapshot in one
+    merge. Returns the merge info dict, or None when already current.
+    Quantizer parameters (dim, n_centroids, seed) define the index's
+    content — hold them constant across refreshes."""
+    versions = mf.available_versions(src.meta_dir)
+    if not versions:
+        return None
+    head = versions[-1]
+    maintained = last_done_version(idx, batch_id_prefix)
+    if maintained is not None and maintained >= head:
+        return None
+
+    def assigned(rows: DataFrame) -> DataFrame:
+        return ivf_assign_cells(
+            rows.filter(F.col(vec_col).isNotNull()),
+            dim,
+            n_centroids,
+            seed,
+            id_col,
+            vec_col,
+        ).select(
+            F.col("_cell").cast("int").alias(CELL_COL),
+            F.col("_nid").alias(id_col),
+            F.col("_nvec").alias(vec_col),
+        )
+
+    is_create = src.manifest(versions[0]).summary.get("operation") == "create"
+    if (maintained is not None and maintained in versions) or (
+        maintained is None and is_create
+    ):
+        feed = table_changes(
+            src, versions[0] if maintained is None else maintained, head,
+            images=True,
+        ).persist()
+        try:
+            pre = assigned(
+                feed.filter(F.col("_old").isNotNull()).select(
+                    F.col(id_col),
+                    F.col(f"_old.{vec_col}").alias(vec_col),
+                )
+            )
+            post = assigned(
+                feed.filter(F.col("_new").isNotNull()).select(
+                    F.col(id_col),
+                    F.col(f"_new.{vec_col}").alias(vec_col),
+                )
+            )
+            ups = post.withColumn("op", F.lit("U"))
+            # retract the OLD (cell, vec_id) row exactly when the row
+            # vanished or its cell moved — same-cell updates are pure
+            # upserts and must NOT also delete (one merge row per key)
+            dels = (
+                pre.alias("p")
+                .join(
+                    post.select(
+                        F.col(id_col), F.col(CELL_COL).alias("_newcell")
+                    ).alias("q"),
+                    on=id_col,
+                    how="left",
+                )
+                .filter(
+                    F.col("_newcell").isNull()
+                    | (F.col(f"p.{CELL_COL}") != F.col("_newcell"))
+                )
+                .select(
+                    F.col(f"p.{CELL_COL}").alias(CELL_COL),
+                    F.col(id_col),
+                    F.col(f"p.{vec_col}").alias(vec_col),
+                    F.lit("D").alias("op"),
+                )
+            )
+            changes = ups.unionByName(dels)
+            mode = "incremental"
+            return _commit(
+                idx, changes, head, maintained, mode, batch_id_prefix,
+                id_col,
+            )
+        finally:
+            feed.unpersist()
+    # retention gap: rebuild — recompute the inverted file at head and
+    # diff against the stored index, one merge of only real differences
+    target = assigned(src.read(version=head).select(id_col, vec_col))
+    payload = [CELL_COL, id_col, vec_col]
+    changes = snapshot_diff(
+        idx.read().select(*payload), target, [CELL_COL, id_col], payload
+    )
+    return _commit(
+        idx, changes, head, maintained, "rebuild", batch_id_prefix, id_col
+    )
+
+
+def _commit(
+    idx: LakeTable,
+    changes: DataFrame,
+    head: int,
+    maintained: int | None,
+    mode: str,
+    batch_id_prefix: str,
+    id_col: str,
+) -> dict[str, Any]:
+    return idx.merge(
+        changes.withColumn("lsn", F.lit(head).cast("long")),
+        key_cols=[CELL_COL, id_col],
+        summary={
+            "batch_id": f"{batch_id_prefix}-v{head}",
+            "maintained_version": head,
+            "index_mode": mode,
+            "maintained_from": maintained,
+        },
+    )
+
+
+@dataclass
+class VecIndexSpec:
+    """Streaming subscription wrapper: drop into
+    ``CdcStreamReplay(views=[...])`` and the inverted file refreshes
+    after every applied micro-batch (ledger-gated, restart-safe)."""
+
+    idx: LakeTable
+    dim: int
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+    n_centroids: int = 8
+    seed: int = 42
+    batch_id_prefix: str = DEFAULT_PREFIX
+
+    def refresh(self, src: LakeTable) -> dict[str, Any] | None:
+        return refresh_vector_index(
+            src,
+            self.idx,
+            dim=self.dim,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            n_centroids=self.n_centroids,
+            seed=self.seed,
+            batch_id_prefix=self.batch_id_prefix,
+        )
+
+
+def ivf_topk_via_index(
+    idx: LakeTable,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF top-k served from the INDEX: no corpus-wide cell
+    assignment — the query batch computes its probe cells, only the
+    probed cells' buckets/files are read (manifest pruning), and the
+    exact-cosine rerank runs on those members alone. The probed-cell
+    collect is bounded by n_centroids (quantizer metadata, never
+    data)."""
+    probes = ivf_query_probes(
+        queries, dim, n_centroids, n_probe, seed, query_id_col, vec_col
+    )
+    cells = sorted(
+        int(r["_cell"]) for r in probes.select("_cell").distinct().collect()
+    )
+    parts = [
+        idx.read(filters=[(CELL_COL, "=", c)]) for c in cells
+    ]
+    if not parts:
+        return ivf_rerank(
+            idx.read().limit(0).select(
+                F.col(id_col).alias("_nid"),
+                F.col(vec_col).alias("_nvec"),
+                F.col(CELL_COL).alias("_cell"),
+            ),
+            probes,
+            k,
+        )
+    members = parts[0]
+    for p in parts[1:]:
+        members = members.unionByName(p)
+    cand = members.select(
+        F.col(id_col).alias("_nid"),
+        F.col(vec_col).alias("_nvec"),
+        F.col(CELL_COL).alias("_cell"),
+    )
+    return ivf_rerank(cand, probes, k)

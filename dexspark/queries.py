@@ -3654,6 +3654,74 @@ IVF_CENTROIDS = 8
 IVF_PROBE = 2
 
 
+def emb_ivf_incremental_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k served from the incrementally-maintained inverted
+    file (lake/vecindex.py): vectors arrive as three CDC batches — the
+    first lands NEGATED embeddings the second must fix (a guaranteed
+    cell MOVE: retract-from-old + insert-into-new in one merge), the
+    second also inserts junk vectors the third DELETES — with the
+    index refreshed off the pre/post-image change feed after each
+    batch, O(changed vectors) per refresh. The final query probes the
+    INDEX (only the probed cells' files are read); the oracle is the
+    same exact arithmetic quantizer mirror as ``emb_ivf_topk``, so
+    assignment, probe list, and ranking are all hash-checked."""
+    from dexspark.lake.vecindex import (
+        create_vector_index,
+        ivf_topk_via_index,
+        refresh_vector_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    src = LakeTable.create(
+        spark, os.path.join(d, "vec_lake"),
+        _parse_datatype_string("vec_id bigint, embedding array<float>"),
+        "vec_id", num_buckets=8,
+    )
+    idx = create_vector_index(spark, os.path.join(d, "vec_ivf"), src)
+
+    def rf():
+        refresh_vector_index(
+            src, idx, dim=EMB_DIM, n_centroids=IVF_CENTROIDS
+        )
+
+    half = emb.filter(F.pmod(F.col("vec_id"), 2) == 0)
+    corrupted = half.withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    junk = emb.limit(10).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    src.merge(
+        corrupted.withColumn("op", F.lit("I")).withColumn(
+            "lsn", F.lit(1).cast("long")
+        ),
+        key_cols=["vec_id"], summary={"batch_id": "v1"},
+    )
+    rf()
+    src.merge(
+        emb.unionByName(junk).withColumn("op", F.lit("U")).withColumn(
+            "lsn", F.lit(2).cast("long")
+        ),
+        key_cols=["vec_id"], summary={"batch_id": "v2"},
+    )
+    rf()
+    src.merge(
+        junk.withColumn("op", F.lit("D")).withColumn(
+            "lsn", F.lit(3).cast("long")
+        ),
+        key_cols=["vec_id"], summary={"batch_id": "v3"},
+    )
+    rf()
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk_via_index(
+        idx, queries, dim=EMB_DIM, k=5,
+        n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
+    )
+
+
 def emb_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (the 'scale path' beyond flat LSH): deterministic
     LCG coarse quantizer assigns each vector one cell; queries probe
@@ -4246,6 +4314,7 @@ QUERIES: dict[str, tuple] = {
     "emb_ann_lsh_topk": (emb_ann_lsh_topk_q, ORACLE_ANN_TOPK),
     "emb_ann_multiband_topk": (emb_ann_multiband_topk_q, _ann_multiband_oracle_sql()),
     "emb_ivf_topk": (emb_ivf_topk_q, _ivf_oracle_sql()),
+    "emb_ivf_incremental_topk": (emb_ivf_incremental_topk_q, _ivf_oracle_sql()),
     "emb_cosine_near_dups": (emb_cosine_near_dups_q, ORACLE_EMB_NEAR_DUPS),
     "media_feature_stats": (media_feature_stats_q, ORACLE_MEDIA),
     "doc_gzip_unpack_roundtrip": (doc_gzip_unpack_roundtrip_q, ORACLE_GZIP_UNPACK),

@@ -404,3 +404,36 @@ def test_cli_sigindex_refresh_and_dedup_gate(spark, tmp_table_dir, capsys):
     assert out["screened"] == 2 and out["flagged_docs"] == 1
     hits = spark.read.parquet(hits_dir)
     assert [(r.id_corpus, r.id_new) for r in hits.collect()] == [(0, 10)]
+
+
+def test_cli_vecindex_refresh(spark, tmp_table_dir, capsys):
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    src_dir = os.path.join(tmp_table_dir, "vecs")
+    idx_dir = os.path.join(tmp_table_dir, "vecidx")
+    src = LakeTable.create(
+        spark, src_dir,
+        _parse_datatype_string("vec_id bigint, embedding array<float>"),
+        "vec_id", 4,
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 31 + d * 7) % 17 - 8) for d in range(8)])
+         for i in range(20)],
+        "vec_id bigint, embedding array<float>",
+    )
+    src.merge(
+        vecs.withColumn("op", F.lit("I")).withColumn(
+            "lsn", F.lit(1).cast("long")
+        ),
+        key_cols=["vec_id"], summary={"batch_id": "v"},
+    )
+    args = ["vecindex-refresh", "--table", src_dir, "--index", idx_dir,
+            "--dim", "8"]
+    assert main(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["index_mode"] == "incremental"
+    assert main(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"skipped": "current"}
+    assert LakeTable(spark, idx_dir).read().count() == 20
