@@ -337,6 +337,38 @@ class LakeTable:
         )
         return {int(row["b"])}
 
+    def buckets_for_values(self, values: list[Any]) -> set[int]:
+        """Buckets that can hold rows whose bucket key equals ANY of
+        ``values`` — the IN/union shape (``_buckets_for_keys`` handles
+        the ``=``-conjunction shape). One tiny Spark job over the
+        VALUE LIST (so the Python side never re-implements Spark's
+        xxhash64), never the data. Callers pair this with
+        ``read(buckets=...)`` + a row-level ``isin`` filter to get a
+        single bucket-pruned scan for a multi-key lookup."""
+        m = self.manifest()
+        vals = [v for v in values if v is not None]
+        if not vals:
+            return set()
+        ktype = next(
+            f.dataType
+            for f in self.schema(m.version).fields
+            if f.name == m.bucket_key
+        )
+        rows = (
+            self.spark.createDataFrame(
+                [(v,) for v in vals],
+                StructType([StructField("v", ktype, True)]),
+            )
+            .select(
+                F.pmod(F.xxhash64(F.col("v")), F.lit(m.num_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        return {int(r["b"]) for r in rows}
+
     def _bloom_keep(self, f: mf.DataFile, key_vals: list[Any]) -> bool:
         """False only when the file's bloom sidecar PROVES every
         conjunct's key absent is impossible — i.e. some required key is

@@ -261,22 +261,13 @@ def ivf_topk_via_index(
     cells = sorted(
         int(r["_cell"]) for r in probes.select("_cell").distinct().collect()
     )
-    parts = [
-        idx.read(filters=[(CELL_COL, "=", c)]) for c in cells
-    ]
-    if not parts:
-        return ivf_rerank(
-            idx.read().limit(0).select(
-                F.col(id_col).alias("_nid"),
-                F.col(vec_col).alias("_nvec"),
-                F.col(CELL_COL).alias("_cell"),
-            ),
-            probes,
-            k,
-        )
-    members = parts[0]
-    for p in parts[1:]:
-        members = members.unionByName(p)
+    # ONE bucket-pruned scan for all probed cells (a per-cell read
+    # union would plan O(cells) scan branches — measured slower than
+    # the batch path it is meant to beat); the isin residual keeps the
+    # member set exact within the kept buckets
+    members = idx.read(buckets=idx.buckets_for_values(cells)).filter(
+        F.col(CELL_COL).isin(cells) if cells else F.lit(False)
+    )
     cand = members.select(
         F.col(id_col).alias("_nid"),
         F.col(vec_col).alias("_nvec"),

@@ -158,3 +158,22 @@ def test_create_validates_columns(spark, tmp_path_factory):
     )
     with pytest.raises(ValueError, match="not in source schema"):
         create_vector_index(spark, str(d / "idx"), src, vec_col="nope")
+
+
+def test_buckets_for_values_matches_placement(spark, tmp_path_factory):
+    """The IN-shape bucket pruner must cover exactly the buckets the
+    engine placed those key values in (plus nothing for None/empty)."""
+    d = tmp_path_factory.mktemp("vecidx")
+    src, idx = _mk(spark, d)
+    _apply(src, _vdf(spark, [(i, _vec(i)) for i in range(100)]), "I", 1, "b1")
+    refresh_vector_index(src, idx, dim=DIM)
+    cells = sorted(
+        int(r.cell) for r in idx.read().select("cell").distinct().collect()
+    )
+    probe = cells[: max(1, len(cells) // 2)]
+    bs = idx.buckets_for_values(probe)
+    got = idx.read(buckets=bs).filter(F.col("cell").isin(probe))
+    want = idx.read().filter(F.col("cell").isin(probe))
+    assert got.count() == want.count() > 0
+    assert idx.buckets_for_values([]) == set()
+    assert idx.buckets_for_values([None]) == set()
