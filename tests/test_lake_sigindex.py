@@ -232,3 +232,20 @@ def test_streaming_subscription_keeps_index_current(
         idx, src.read(), num_hashes=64, bands=32
     ).collect()
     assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
+
+
+def test_maintenance_only_source_version_advances_ledger(
+    spark, tmp_path_factory
+):
+    """A source compact() (layout-only version) must advance the
+    index's maintained watermark via an empty merge — not leave the
+    refresh re-diffing the same gap forever."""
+    d = tmp_path_factory.mktemp("sigidx")
+    src, idx = _mk(spark, d)
+    _apply(src, _docs(spark, [(0, TEXTS[0]), (1, TEXTS[2])]), "I", 1, "b1")
+    refresh_signature_index(src, idx)
+    src.compact(min_files_per_bucket=1)
+    info = refresh_signature_index(src, idx)
+    assert info is not None and info["change_rows"] == 0
+    assert refresh_signature_index(src, idx) is None
+    assert _index_equals_batch(src, idx)

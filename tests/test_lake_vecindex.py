@@ -177,3 +177,17 @@ def test_buckets_for_values_matches_placement(spark, tmp_path_factory):
     assert got.count() == want.count() > 0
     assert idx.buckets_for_values([]) == set()
     assert idx.buckets_for_values([None]) == set()
+
+
+def test_maintenance_only_source_version_advances_ledger(
+    spark, tmp_path_factory
+):
+    d = tmp_path_factory.mktemp("vecidx")
+    src, idx = _mk(spark, d)
+    _apply(src, _vdf(spark, [(i, _vec(i)) for i in range(10)]), "I", 1, "b1")
+    refresh_vector_index(src, idx, dim=DIM)
+    src.compact(min_files_per_bucket=1)
+    info = refresh_vector_index(src, idx, dim=DIM)
+    assert info is not None and info["change_rows"] == 0
+    assert refresh_vector_index(src, idx, dim=DIM) is None
+    assert _index_equals_batch(src, idx)
