@@ -3415,6 +3415,79 @@ WHERE len(list_intersect(a.s, b.s)) * 1000
 """
 
 
+def corpus_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline a training-data run applies,
+    as ONE composed query under ONE oracle: (1) quality gate (>= 5
+    tokens, alpha ratio >= 0.5), (2) exact dedup (min doc_id per
+    normalized text), (3) near-dup prune — drop every doc that has a
+    verified (exact n-gram Jaccard >= 0.8) near-dup with a SMALLER
+    surviving doc_id (a deterministic non-iterative rule: candidates
+    from MinHash-LSH, so stage cost is output-bounded, never
+    all-pairs), (4) emit the curated manifest (doc_id, n_tokens,
+    n_chars). Every stage is the same operator the standalone queries
+    check; the composition is what this query pins — filters feed
+    dedup feeds prune with no state leaking between stages."""
+    from dexspark.functions.dedup import minhash_lsh_pairs, ngram_jaccard
+    from dexspark.functions.text import quality_score
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    q = quality_score(docs).select(
+        "doc_id", "n_tokens", "alpha_ratio_x1000", "n_chars_q"
+    )
+    staged = docs.join(q, "doc_id").filter(
+        (F.col("n_tokens") >= 5) & (F.col("alpha_ratio_x1000") >= 500)
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    keep_exact = (
+        staged.groupBy(norm.alias("_norm"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = staged.join(keep_exact, "doc_id")
+    pairs = ngram_jaccard(
+        surv, minhash_lsh_pairs(surv, num_hashes=64, bands=32)
+    ).filter(F.col("n_inter") * 1000 >= F.col("n_union") * 800)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    final = surv.join(dropped, "doc_id", "left_anti")
+    return final.select("doc_id", "n_tokens", "n_chars_q")
+
+
+ORACLE_CURATION = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(trim(text), ' ') AS toks,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha
+  FROM documents
+), staged AS (
+  SELECT doc_id, text,
+         CAST(len(toks) AS BIGINT) AS n_tokens, n_chars
+  FROM t
+  WHERE len(toks) >= 5 AND n_chars > 0
+    AND CAST(floor(alpha * 1000.0 / n_chars) AS BIGINT) >= 500
+), keep_exact AS (
+  SELECT min(doc_id) AS doc_id FROM staged
+  GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+), surv AS (
+  SELECT s.* FROM staged s JOIN keep_exact USING (doc_id)
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i+1:i+3], ' ')
+                        for i in range(0, len(words)-2)]) AS s
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+        FROM surv)
+), dup AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1000
+        >= len(list_distinct(list_concat(a.s, b.s))) * 800
+)
+SELECT doc_id, n_tokens, n_chars AS n_chars_q
+FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+"""
+
+
 def doc_simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups (exact for hamming ≤ 3 by 4x16-bit pigeonhole
     banding). The token hash is md5-derived (byte-identical in every
@@ -4308,6 +4381,7 @@ QUERIES: dict[str, tuple] = {
     "doc_near_dup_pairs": (doc_near_dup_pairs_q, ORACLE_NEAR_DUP),
     "doc_near_dup_incremental": (doc_near_dup_incremental_q, ORACLE_NEAR_DUP),
     "doc_ingest_dedup_gate": (doc_ingest_dedup_gate_q, ORACLE_INGEST_GATE),
+    "corpus_curation_pipeline": (corpus_curation_pipeline_q, ORACLE_CURATION),
     "doc_simhash_near_dups": (doc_simhash_near_dups_q, ORACLE_SIMHASH),
     "doc_fingerprint_groups": (doc_fingerprint_groups_q, ORACLE_FP_GROUPS),
     "emb_cosine_topk": (emb_cosine_topk_q, ORACLE_COSINE_TOPK),
