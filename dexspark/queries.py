@@ -4346,6 +4346,171 @@ def pipeline_config_doc_words_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting / chunking / packing (training-data ops)
+# ---------------------------------------------------------------------------
+
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def doc_train_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold train/val/test split over the
+    corpus — assignment is a pure function of doc_id (md5 prefix), so
+    it is stable across runs, engines, cluster sizes, and late-
+    arriving appends; no RNG, no shuffle for the assignment itself.
+    Result: per-split doc count, char mass, and id range."""
+    from dexspark.functions.sampling import split_assign
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        split_assign(docs, "doc_id", _SPLIT_FRACTIONS)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )
+
+
+def _oracle_train_split() -> str:
+    from dexspark.functions.sampling import split_thresholds
+
+    t1, t2 = split_thresholds(_SPLIT_FRACTIONS)
+    return f"""
+WITH h AS (
+  SELECT *,
+         CAST(('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 6))
+              AS BIGINT) AS hv
+  FROM documents
+)
+SELECT CASE WHEN hv < {t1} THEN 'train'
+            WHEN hv < {t2} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM h GROUP BY 1
+"""
+
+
+_SAMPLE_FRACTIONS = {"en": 0.25, "zh": 0.5}
+
+
+def doc_stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsample (corpus rebalancing: thin
+    the over-represented languages, keep the rest whole). Pure filter
+    — the keep decision needs no shuffle and no count pass — and the
+    result returns the kept IDS, so the oracle hash pins the exact
+    membership, not just counts."""
+    from dexspark.functions.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "doc_id", _SAMPLE_FRACTIONS, "lang", default_fraction=1.0
+    )
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+def _oracle_stratified_sample() -> str:
+    from dexspark.functions.sampling import HASH_SPACE
+
+    t_en = int(_SAMPLE_FRACTIONS["en"] * HASH_SPACE)
+    t_zh = int(_SAMPLE_FRACTIONS["zh"] * HASH_SPACE)
+    t_def = int(1.0 * HASH_SPACE)
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('sample-v1' || CAST(doc_id AS VARCHAR)), 1, 6))
+              AS BIGINT) AS hv
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM h
+WHERE hv < CASE lang WHEN 'en' THEN {t_en} WHEN 'zh' THEN {t_zh}
+                     ELSE {t_def} END
+"""
+
+
+def doc_context_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: every document split into 120-char
+    windows with 20-char overlap (stride 100) — the pre-tokenization
+    fan-out of a training pipeline, as codegen'd
+    explode(sequence)+substring with no UDF and no shuffle. The chunk
+    text itself rides the value hash via md5."""
+    from dexspark.functions.sampling import context_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    ch = context_chunks(docs, "text", ("doc_id",), size=120, overlap=20)
+    return ch.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_len",
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+ORACLE_CONTEXT_CHUNKS = """
+WITH base AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, CAST(ceil(greatest(len(text) - 20, 1) / 100.0) AS BIGINT) - 1
+         )) AS i
+  FROM documents
+  WHERE len(text) > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(len(substr(text, CAST(i * 100 + 1 AS INT), 120)) AS BIGINT)
+         AS chunk_len,
+       md5(substr(text, CAST(i * 100 + 1 AS INT), 120)) AS chunk_md5
+FROM base
+"""
+
+
+def doc_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents greedily assigned to fixed-budget
+    packs (budget 4000 chars as the token proxy) in stable doc_id
+    order within 8 deterministic hash shards — next-fit-with-overflow,
+    a pure function of (order, sizes), no RNG and no partition-layout
+    dependence. One shuffle on the shard key; running sum over the
+    external sort. Result: per-pack membership stats."""
+    from dexspark.functions.sampling import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    packed = pack_sequences(docs, "n_chars", 4000, ("doc_id",), n_shards=8)
+    return packed.groupBy(
+        F.col("shard").cast("long").alias("shard"), F.col("pack_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5('pack-shard' || CAST(doc_id AS VARCHAR)), 1, 6))
+              AS BIGINT) % 8 AS shard
+  FROM documents
+), c AS (
+  SELECT shard, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars AS cum
+  FROM t
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(FLOOR(cum / 4000.0) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM c GROUP BY shard, pack_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "pipeline_doc_words": (pipeline_doc_words_q, ORACLE_PIPELINE_WORDS),
     "pipeline_config_doc_words": (pipeline_config_doc_words_q, ORACLE_PIPELINE_WORDS),
@@ -4448,4 +4613,8 @@ QUERIES: dict[str, tuple] = {
     "q5_nation_volume": (q5_nation_volume, ORACLE_Q5),
     "doc_token_stats": (doc_token_stats, ORACLE_TOKENS),
     "doc_exact_dedup": (doc_exact_dedup_q, ORACLE_EXACT_DEDUP),
+    "doc_train_split": (doc_train_split_q, _oracle_train_split()),
+    "doc_stratified_sample": (doc_stratified_sample_q, _oracle_stratified_sample()),
+    "doc_context_chunks": (doc_context_chunks_q, ORACLE_CONTEXT_CHUNKS),
+    "doc_pack_sequences": (doc_pack_sequences_q, ORACLE_PACK_SEQUENCES),
 }
