@@ -198,6 +198,22 @@ def cmd_mirror(args) -> int:
     return 0
 
 
+def cmd_export_changes(args) -> int:
+    """Publish a table's change feed to a directory of file segments
+    for external (non-dexspark) consumers — the outbound leg of the
+    CDC hub. Resumes from the export ledger; a no-op prints nothing."""
+    spark = _spark(args)
+    from dexspark.lake.export import export_changes
+
+    keys = args.keys.split(",") if args.keys else None
+    entry = export_changes(
+        LakeTable(spark, args.table), args.out, fmt=args.format, key_cols=keys
+    )
+    if entry is not None:
+        print(json.dumps(entry, default=str))
+    return 0
+
+
 def cmd_view_refresh(args) -> int:
     """Maintain an aggregate rollup view of a table from the CLI (the
     scheduled job a dashboard owner deploys next to replay/compact):
@@ -525,6 +541,15 @@ def main(argv: list[str] | None = None) -> int:
     mi.add_argument("--keys", default="conv_id,turn_idx")
     mi.add_argument("--buckets", type=int, default=0)
     mi.set_defaults(fn=cmd_mirror)
+
+    ex = sub.add_parser(
+        "export-changes", help="export the change feed to file segments"
+    )
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--out", required=True, help="export directory")
+    ex.add_argument("--format", default="parquet", choices=["parquet", "json"])
+    ex.add_argument("--keys", default="")
+    ex.set_defaults(fn=cmd_export_changes)
 
     vr = sub.add_parser(
         "view-refresh", help="maintain an incremental aggregate rollup view"

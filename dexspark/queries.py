@@ -4346,6 +4346,49 @@ def pipeline_config_doc_words_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_export_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbound CDC under the hard oracle (lake/export.py): replay
+    half the log into a table, EXPORT its change feed to a parquet
+    segment, replay the rest, export again as a JSON segment (mixed
+    formats + the ledger's recorded Spark schema restoring exact types
+    across the JSON hop), then replay the exported segments into a
+    consumer table with a different bucket count — table → files →
+    table. Matching the replay oracle proves the exported segments are
+    a complete exactly-once change stream an EXTERNAL system could
+    consume. Producer and consumer re-runs must both no-op off their
+    ledgers."""
+    from dexspark.lake.export import export_changes, read_ledger, replay_export
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    src = LakeTable.create(
+        spark, os.path.join(d, "upstream"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    out_dir = os.path.join(d, "feed")
+    batches = batch_range(log)
+    mid = (batches.start + batches.stop) // 2
+    for b in batches:
+        apply_changes(src, log.filter(F.col("batch_seq") == b), batch_id=f"e{b}")
+        if b == mid:
+            export_changes(src, out_dir, fmt="parquet",
+                           key_cols=["conv_id", "turn_idx"])
+    export_changes(src, out_dir, fmt="json", key_cols=["conv_id", "turn_idx"])
+    # producer exactly-once: nothing new at head -> no segment
+    assert export_changes(src, out_dir) is None
+    segs = read_ledger(out_dir)
+    assert len(segs) == 2 and all(s["mode"] == "incremental" for s in segs)
+
+    consumer = LakeTable.create(
+        spark, os.path.join(d, "consumer"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=8,
+    )
+    assert len(replay_export(spark, out_dir, consumer)) == 2
+    # consumer exactly-once: re-replay finds both batch ids committed
+    assert replay_export(spark, out_dir, consumer) == []
+    return consumer.read()
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / splitting / chunking / packing (training-data ops)
 # ---------------------------------------------------------------------------
@@ -4527,6 +4570,7 @@ QUERIES: dict[str, tuple] = {
         ORACLE_REPLAY,
     ),
     "cdc_feed_mirror": (cdc_feed_mirror_q, ORACLE_REPLAY),
+    "cdc_export_roundtrip": (cdc_export_roundtrip_q, ORACLE_REPLAY),
     "cdc_agg_view": (cdc_agg_view_q, ORACLE_AGG_VIEW),
     "cdc_stream_agg_view": (cdc_stream_agg_view_q, ORACLE_AGG_VIEW),
     "cdc_stream_replay_mor": (cdc_stream_replay_mor_q, ORACLE_REPLAY),
