@@ -1863,14 +1863,19 @@ class LakeTable:
             bdir = os.path.join(self.table_dir, REFS_DIR, name)
             yield bdir, mf.available_versions(bdir)
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict[str, Any]:
+    def expire_snapshots(
+        self, keep_last: int = 1, keep_versions: set[int] | None = None
+    ) -> dict[str, Any]:
         """Vacuum: delete manifests older than the last ``keep_last``
         versions and any data file referenced only by them. Time travel
         to expired versions stops working (by design — this is Iceberg's
         expire_snapshots), and batch_ids recorded only in expired
         summaries leave the ledger — size ``keep_last`` beyond the
         streaming checkpoint's replay horizon. The current snapshot is
-        never touched."""
+        never touched. Tagged versions are always retained;
+        ``keep_versions`` adds external pins with the same protection —
+        lake/catalog.py's ``protected_versions()`` feeds it so a
+        cross-table catalog pin keeps its snapshot readable."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         if self.branch is not None:
@@ -1881,7 +1886,7 @@ class LakeTable:
         head = self.current_version()
         cutoff = head - keep_last + 1
         avail = mf.available_versions(self.table_dir)
-        tagged = set(self.list_tags().values())
+        tagged = set(self.list_tags().values()) | set(keep_versions or ())
         expired = [v for v in avail if v < cutoff and v not in tagged]
         if not expired:
             return {"operation": "expire_snapshots", "expired_versions": []}

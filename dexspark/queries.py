@@ -4346,6 +4346,67 @@ def pipeline_config_doc_words_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def catalog_consistent_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table atomic catalog under the hard oracle
+    (lake/catalog.py): replay the log into a transcript table while an
+    aggregate view tracks it; after each joint refresh the catalog
+    atomically pins BOTH tables in one commit. The mid-replay pin is
+    then read back after both tables have advanced further — the view
+    read through the pin must EXACTLY equal re-aggregating the
+    transcripts read through the same pin (cross-table consistency: no
+    table@new with view@old), and the pin must survive
+    expire_snapshots(keep_last=1) via protected_versions. Returns the
+    transcripts read through the catalog HEAD pin, so the whole
+    catalog read path sits under the replay oracle."""
+    from dexspark.lake.catalog import Catalog
+    from dexspark.lake.matview import create_agg_view, refresh_agg_view
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    group, sums = ["conv_id"], {"sum_len": "length(text)"}
+    view = create_agg_view(
+        spark, os.path.join(d, "rollup"), table, group, sums, num_buckets=8
+    )
+    cat = Catalog.create(
+        spark, os.path.join(d, "cat"), {"transcripts": table, "rollup": view}
+    )
+    batches = batch_range(log)
+    mid = (batches.start + batches.stop) // 2
+    mid_pin = None
+    for b in batches:
+        apply_changes(table, log.filter(F.col("batch_seq") == b), batch_id=f"c{b}")
+        if b in (batches.start, mid):
+            refresh_agg_view(table, view, group, sums)
+            cv = cat.commit({"transcripts": None, "rollup": None})
+            if b == mid:
+                mid_pin = cv
+    refresh_agg_view(table, view, group, sums)
+    cat.commit({"transcripts": None, "rollup": None})
+
+    # consistency at the mid pin, long after both tables moved on:
+    t_mid = cat.read("transcripts", version=mid_pin)
+    v_mid = cat.read("rollup", version=mid_pin).select(
+        "conv_id", "n_rows", "sum_len"
+    )
+    recomputed = t_mid.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("text")).alias("sum_len"),
+    )
+    assert v_mid.exceptAll(recomputed).count() == 0
+    assert recomputed.exceptAll(v_mid).count() == 0
+
+    # the pin protects its snapshot from retention
+    table.expire_snapshots(
+        keep_last=1, keep_versions=cat.protected_versions("transcripts")
+    )
+    assert cat.read("transcripts", version=mid_pin).count() == t_mid.count()
+    return cat.read("transcripts")
+
+
 def cdc_export_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outbound CDC under the hard oracle (lake/export.py): replay
     half the log into a table, EXPORT its change feed to a parquet
@@ -4571,6 +4632,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "cdc_feed_mirror": (cdc_feed_mirror_q, ORACLE_REPLAY),
     "cdc_export_roundtrip": (cdc_export_roundtrip_q, ORACLE_REPLAY),
+    "catalog_consistent_read": (catalog_consistent_read_q, ORACLE_REPLAY),
     "cdc_agg_view": (cdc_agg_view_q, ORACLE_AGG_VIEW),
     "cdc_stream_agg_view": (cdc_stream_agg_view_q, ORACLE_AGG_VIEW),
     "cdc_stream_replay_mor": (cdc_stream_replay_mor_q, ORACLE_REPLAY),
