@@ -117,13 +117,16 @@ def cosine_topk(
     )
 
 
-def _plane_weight(bit: int, d: int, dim: int, seed: int) -> Column:
+def _plane_weight_int(bit: int, d: int, dim: int, seed: int) -> int:
     """Deterministic hyperplane weight in [-1024, 1023] from an LCG
     over the flat index — pure integer arithmetic, any engine can
     reproduce it bit-for-bit."""
     idx = (seed * 7919 + bit * dim + d) % _LCG_M
-    w = ((_LCG_A * idx + _LCG_C) % _LCG_M) % 2048 - 1024
-    return F.lit(float(w))
+    return ((_LCG_A * idx + _LCG_C) % _LCG_M) % 2048 - 1024
+
+
+def _plane_weight(bit: int, d: int, dim: int, seed: int) -> Column:
+    return F.lit(float(_plane_weight_int(bit, d, dim, seed)))
 
 
 def lsh_signature(
@@ -330,6 +333,55 @@ def ivf_rerank(c_assigned: DataFrame, probes: DataFrame, k: int) -> DataFrame:
     )
 
 
+# Above this many unrolled mul-add terms (bands x bits x dim) the
+# generated consume method for the signature explode exceeds janino's
+# 64KB cap and Spark silently drops to interpreted mode — measured: a
+# single 4-bit/64-dim family (256 terms) compiles, the 4-band family
+# (1024) does not, and no Project/Generate staging avoids it (the
+# optimizer collapses the projection into the generator). Past the
+# limit the signatures come from an Arrow pandas UDF instead, with the
+# same strict left-to-right accumulation so both paths stay
+# bit-identical to the SQL oracle.
+_UNROLL_TERM_LIMIT = 512
+
+
+def _band_sigs_udf(dim: int, n_bits: int, seed: int, n_bands: int):
+    """Arrow pandas UDF: all band signatures for a vector in one batch
+    pass — array<long> of length n_bands (band b's planes seeded
+    seed + 1009*b, matching the expression path and the oracle).
+    Accumulates over d explicitly (rows vectorized, dims sequential)
+    so each projection is the strict left-to-right sum t0+t1+... —
+    bit-identical to the unrolled expressions; np.dot's pairwise/SIMD
+    summation would not be."""
+    import numpy as np
+
+    W = np.array(
+        [
+            [
+                [_plane_weight_int(bit, d, dim, seed + 1009 * b) for d in range(dim)]
+                for bit in range(n_bits)
+            ]
+            for b in range(n_bands)
+        ],
+        dtype=np.float64,
+    )
+
+    @F.pandas_udf("array<long>")
+    def sigs(vecs: pd.Series) -> pd.Series:
+        arr = np.asarray(vecs.tolist(), dtype=np.float64)  # n x dim
+        n = arr.shape[0]
+        out = np.zeros((n, n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            for bit in range(n_bits):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(dim):
+                    acc += arr[:, d] * W[b, bit, d]
+                out[:, b] += (acc >= 0).astype(np.int64) << bit
+        return pd.Series(list(out))
+
+    return sigs
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -360,29 +412,42 @@ def ann_lsh_topk(
     signature column as a bucket/partition key and the join prunes
     whole files per band.
     """
-    band_sigs = [
-        _sig_fast(F.col(vec_col), dim, n_bits, seed + 1009 * b)
-        + F.lit(b * (2**n_bits)).cast("long")
-        for b in range(n_bands)
-    ]
+    if n_bands * n_bits * dim > _UNROLL_TERM_LIMIT:
+        sig_udf = _band_sigs_udf(dim, n_bits, seed, n_bands)
+
+        def banded(vc: Column) -> Column:
+            # band offsets keep families in disjoint bucket ranges;
+            # added JVM-side over the UDF's raw signatures
+            return F.explode(
+                F.transform(
+                    sig_udf(vc),
+                    lambda s, i: s + (i * (2**n_bits)).cast("long"),
+                )
+            )
+
+    else:
+
+        def banded(vc: Column) -> Column:
+            return F.explode(
+                F.array(
+                    *[
+                        _sig_fast(vc, dim, n_bits, seed + 1009 * b)
+                        + F.lit(b * (2**n_bits)).cast("long")
+                        for b in range(n_bands)
+                    ]
+                )
+            )
+
     c = corpus.select(
         F.col(id_col).alias("_nid"),
         F.col(vec_col).alias("_nvec"),
-        F.explode(F.array(*band_sigs)).alias("_bucket"),
+        banded(F.col(vec_col)).alias("_bucket"),
     )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("_qid"),
             F.col(vec_col).alias("_qvec"),
-            F.explode(
-                F.array(
-                    *[
-                        _sig_fast(F.col(vec_col), dim, n_bits, seed + 1009 * b)
-                        + F.lit(b * (2**n_bits)).cast("long")
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("_bucket"),
+            banded(F.col(vec_col)).alias("_bucket"),
         )
     )
     scored = (
