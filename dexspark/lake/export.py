@@ -181,6 +181,31 @@ def read_export(
     return df
 
 
+class ExportSpec:
+    """Subscription wrapper: rides ``CdcStreamReplay(views=[...])`` (the
+    duck-typed ``refresh(src) -> info | None`` protocol views and
+    derived indexes use) so the export directory catches up after every
+    applied micro-batch — downstream consumers see new segments within
+    one trigger of the table. Resumable and exactly-once off the export
+    ledger like every other subscriber; a mid-stream no-op (maintenance
+    -only source version) returns None and is not recorded."""
+
+    def __init__(
+        self, out_dir: str, fmt: str = "parquet", key_cols: list[str] | None = None
+    ):
+        self.out_dir = out_dir
+        self.fmt = fmt
+        self.key_cols = key_cols
+
+    def refresh(self, src: LakeTable) -> dict[str, Any] | None:
+        info = export_changes(
+            src, self.out_dir, fmt=self.fmt, key_cols=self.key_cols
+        )
+        if info is not None:
+            info = {"operation": "export_changes", **info}
+        return info
+
+
 def replay_export(
     spark: SparkSession,
     out_dir: str,

@@ -161,6 +161,71 @@ def test_export_schema_evolution_across_segments(spark, tmp_table_dir):
     assert _state(dst) == _state(t)
 
 
+def test_streaming_export_subscription(spark, tmp_table_dir):
+    """ExportSpec in CdcStreamReplay(views=[...]): every applied
+    micro-batch publishes a segment; an external consumer replaying
+    the directory tracks the table within one trigger, across a
+    checkpoint resume."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from dexspark.cdc.generator import expected_final_state, gen_change_log
+    from dexspark.lake.export import ExportSpec
+    from dexspark.streaming.replay import CdcStreamReplay
+
+    payload = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    table = LakeTable.create(
+        spark,
+        os.path.join(tmp_table_dir, "transcripts"),
+        _parse_datatype_string(payload),
+        "conv_id",
+        8,
+    )
+    out = os.path.join(tmp_table_dir, "feed")
+    log_dir = os.path.join(tmp_table_dir, "log")
+    cp = os.path.join(tmp_table_dir, "cp")
+    log = gen_change_log(spark, 3000, n_convs=40, n_batches=4)
+
+    def replay():
+        return CdcStreamReplay(
+            spark,
+            table,
+            log_dir,
+            cp,
+            _parse_datatype_string("lsn long, op string, batch_seq long, " + payload),
+            views=[ExportSpec(out, key_cols=["conv_id", "turn_idx"])],
+        )
+
+    log.filter(F.col("batch_seq") < 2).coalesce(2).write.parquet(
+        log_dir, mode="append"
+    )
+    r1 = replay()
+    r1.run_available()
+    assert any(
+        r.get("operation") == "export_changes" for r in r1.results
+    )
+    log.filter(F.col("batch_seq") >= 2).coalesce(2).write.parquet(
+        log_dir, mode="append"
+    )
+    replay().run_available()  # checkpoint resume
+
+    dst = LakeTable.create(
+        spark,
+        os.path.join(tmp_table_dir, "dst"),
+        _parse_datatype_string(payload),
+        "conv_id",
+        4,
+    )
+    replay_export(spark, out, dst)
+    expected = expected_final_state(log)
+    got = dst.read()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
 def test_cli_export_changes(spark, tmp_table_dir, capsys):
     from dexspark.__main__ import main
 
