@@ -198,6 +198,32 @@ def cmd_mirror(args) -> int:
     return 0
 
 
+def cmd_catalog(args) -> int:
+    """Multi-table pin-set management: ``create`` pins named tables at
+    their current heads, ``commit`` atomically re-pins the given
+    members (their current heads), ``show`` prints a pin set."""
+    spark = _spark(args)
+    from dexspark.lake.catalog import Catalog
+
+    members = dict(kv.split("=", 1) for kv in args.tables) if args.tables else {}
+    if args.action == "create":
+        cat = Catalog.create(
+            spark, args.dir,
+            {n: LakeTable(spark, p) for n, p in members.items()},
+        )
+        print(json.dumps({"catalog_version": 0, "tables": cat.pins(0)}))
+        return 0
+    cat = Catalog(spark, args.dir)
+    if args.action == "commit":
+        names = args.members.split(",") if args.members else list(cat.pins())
+        v = cat.commit_with_retry({n: None for n in names})
+        print(json.dumps({"catalog_version": v, "tables": cat.pins(v)}))
+        return 0
+    v = args.version if args.version >= 0 else cat.current_version()
+    print(json.dumps({"catalog_version": v, "tables": cat.pins(v)}))
+    return 0
+
+
 def cmd_export_changes(args) -> int:
     """Publish a table's change feed to a directory of file segments
     for external (non-dexspark) consumers — the outbound leg of the
@@ -541,6 +567,20 @@ def main(argv: list[str] | None = None) -> int:
     mi.add_argument("--keys", default="conv_id,turn_idx")
     mi.add_argument("--buckets", type=int, default=0)
     mi.set_defaults(fn=cmd_mirror)
+
+    ca = sub.add_parser("catalog", help="multi-table atomic pin sets")
+    ca.add_argument("action", choices=["create", "commit", "show"])
+    ca.add_argument("--dir", required=True, help="catalog directory")
+    ca.add_argument(
+        "--tables", nargs="*", default=[],
+        help="create: name=path pairs to pin",
+    )
+    ca.add_argument(
+        "--members", default="",
+        help="commit: comma-separated member names (default: all)",
+    )
+    ca.add_argument("--version", type=int, default=-1, help="show: pin-set version")
+    ca.set_defaults(fn=cmd_catalog)
 
     ex = sub.add_parser(
         "export-changes", help="export the change feed to file segments"

@@ -146,6 +146,21 @@ class Catalog:
         t = LakeTable(self.spark, pins[name]["path"])
         return t.read(version=pins[name]["version"], **kw)
 
+    def commit_with_retry(
+        self, updates: dict[str, int | None], attempts: int = 5
+    ) -> int:
+        """``commit`` with optimistic retry: on a lost publish race,
+        re-read the head pin set and re-pin (None updates re-resolve to
+        the members' CURRENT heads, so the retried commit is still
+        internally consistent). Raises after ``attempts`` losses."""
+        last: FileExistsError | None = None
+        for _ in range(attempts):
+            try:
+                return self.commit(updates)
+            except FileExistsError as e:
+                last = e
+        raise last  # type: ignore[misc]
+
     def protected_versions(self, table_name: str) -> set[int]:
         """Every version of a member any retained catalog version still
         pins — pass to ``expire_snapshots(keep_versions=...)`` so a
@@ -157,3 +172,33 @@ class Catalog:
             if table_name in pins:
                 out.add(pins[table_name]["version"])
         return out
+
+
+class CatalogPinSpec:
+    """Rides ``CdcStreamReplay(views=[...])`` so every applied
+    micro-batch ends with ONE atomic pin-set commit covering the
+    ingest table and the derived tables the same trigger just
+    refreshed. Place it LAST in the views list — subscribers run in
+    order, so by the time the pin publishes, the view/index/export
+    refreshes for this trigger are durable and the pin set names a
+    mutually consistent family. A reader resolving through the catalog
+    then gets trigger-aligned state even while the stream keeps
+    committing. No-ops (nothing moved since the last pin) publish
+    nothing."""
+
+    def __init__(self, catalog: Catalog, members: list[str]):
+        self.catalog = catalog
+        self.members = list(members)
+
+    def refresh(self, src: LakeTable) -> dict[str, Any] | None:
+        base = self.catalog.current_version()
+        pins = self.catalog.pins(base)
+        moved = any(
+            LakeTable(self.catalog.spark, pins[m]["path"]).current_version()
+            != pins[m]["version"]
+            for m in self.members
+        )
+        if not moved:
+            return None
+        v = self.catalog.commit_with_retry({m: None for m in self.members})
+        return {"operation": "catalog_pin", "catalog_version": v}

@@ -116,6 +116,92 @@ def test_protected_versions_survive_expiry(spark, tmp_table_dir):
         cat.read("b", version=cat.versions()[0]).count()
 
 
+def test_streaming_catalog_pins_trigger_aligned(spark, tmp_table_dir):
+    """CatalogPinSpec rides the replay LAST in the views list: each
+    applied micro-batch publishes one pin set under which the rollup
+    view exactly matches the transcripts — consistency holds at EVERY
+    retained catalog version, not just head."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from dexspark.cdc.generator import gen_change_log
+    from dexspark.lake.catalog import CatalogPinSpec
+    from dexspark.lake.matview import AggViewSpec, create_agg_view
+    from dexspark.streaming.replay import CdcStreamReplay
+
+    payload = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    table = LakeTable.create(
+        spark,
+        os.path.join(tmp_table_dir, "transcripts"),
+        _parse_datatype_string(payload),
+        "conv_id",
+        8,
+    )
+    group, sums = ["conv_id"], {"sum_len": "length(text)"}
+    view = create_agg_view(
+        spark, os.path.join(tmp_table_dir, "rollup"), table, group, sums, 4
+    )
+    cat = Catalog.create(
+        spark,
+        os.path.join(tmp_table_dir, "cat"),
+        {"transcripts": table, "rollup": view},
+    )
+    log = gen_change_log(spark, 2000, n_convs=30, n_batches=2)
+    log_dir = os.path.join(tmp_table_dir, "log")
+    log.coalesce(2).write.parquet(log_dir)
+    replay = CdcStreamReplay(
+        spark,
+        table,
+        log_dir,
+        os.path.join(tmp_table_dir, "cp"),
+        _parse_datatype_string("lsn long, op string, batch_seq long, " + payload),
+        views=[
+            AggViewSpec(view, group, sums),
+            CatalogPinSpec(cat, ["transcripts", "rollup"]),
+        ],
+    )
+    replay.run_available()
+    pinned = [r for r in replay.results if r.get("operation") == "catalog_pin"]
+    assert pinned, "no pin commits recorded"
+    # consistency at every pin, including historical ones
+    for cv in cat.versions():
+        if cv == 0:
+            continue
+        t = cat.read("transcripts", version=cv)
+        v = cat.read("rollup", version=cv).select("conv_id", "n_rows", "sum_len")
+        rec = t.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.length("text")).alias("sum_len"),
+        )
+        assert v.exceptAll(rec).count() == 0
+        assert rec.exceptAll(v).count() == 0
+    # nothing moved since the last pin -> spec no-ops
+    assert CatalogPinSpec(cat, ["transcripts", "rollup"]).refresh(table) is None
+
+
+def test_cli_catalog(spark, tmp_table_dir, capsys):
+    import json as _json
+
+    from dexspark.__main__ import main
+
+    a, b = _pair(spark, tmp_table_dir)
+    cat_dir = os.path.join(tmp_table_dir, "cat")
+    assert main([
+        "catalog", "create", "--dir", cat_dir,
+        "--tables", f"a={a.table_dir}", f"b={b.table_dir}",
+    ]) == 0
+    a.append(spark.createDataFrame([("y", 2)], DDL))
+    assert main(["catalog", "commit", "--dir", cat_dir, "--members", "a"]) == 0
+    assert main(["catalog", "show", "--dir", cat_dir]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    shown = _json.loads(out[-1])
+    assert shown["catalog_version"] == 1
+    assert shown["tables"]["a"]["version"] == a.current_version()
+
+
 def test_read_kwargs_passthrough(spark, tmp_table_dir):
     a, b = _pair(spark, tmp_table_dir)
     cat = Catalog.create(
