@@ -32,7 +32,13 @@ def hash_bucket(key: Column, salt: str = "") -> Column:
     """24-bit integer in [0, 16^6) from md5(salt || key) — the shared
     primitive under splits and samples. String-typed input is hashed
     as-is; other types go through their canonical string form, which
-    both Spark and the SQL oracle produce identically for ints."""
+    both Spark and the SQL oracle produce identically for ints.
+
+    NULL keys hash to NULL, which every threshold comparison treats as
+    false — so a null-keyed row lands in the LAST split under
+    ``split_assign`` (the when-chain's otherwise) and is DROPPED by
+    ``stratified_sample``. A corpus with nullable ids should validate
+    them upstream (the CDC path already rejects null keys)."""
     return F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 6), 16, 10
     ).cast("long")

@@ -161,6 +161,20 @@ class Catalog:
                 last = e
         raise last  # type: ignore[misc]
 
+    def expire(self, keep_last: int = 100) -> list[int]:
+        """Drop old pin-set files (streaming pins accumulate one per
+        trigger). Keeps the newest ``keep_last``; member-table
+        snapshots those dropped pins protected become expirable on the
+        next ``expire_snapshots(keep_versions=protected_versions(...))``
+        — retention order is catalog first, tables second."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        dropped = vs[:-keep_last]
+        for v in dropped:
+            os.remove(_cat_path(self.cat_dir, v))
+        return dropped
+
     def protected_versions(self, table_name: str) -> set[int]:
         """Every version of a member any retained catalog version still
         pins — pass to ``expire_snapshots(keep_versions=...)`` so a

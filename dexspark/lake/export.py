@@ -87,7 +87,14 @@ def export_changes(
 ) -> dict[str, Any] | None:
     """Export everything that changed since the last export as one new
     segment. Returns the ledger entry, or None if already at head.
-    Call repeatedly — it resumes from the ledger."""
+    Call repeatedly — it resumes from the ledger.
+
+    Concurrency contract: ONE producer per export directory (the same
+    single-writer contract a streaming sink's checkpoint has — run it
+    from the ingest job via ``ExportSpec`` or one scheduled CLI job).
+    Two producers racing the same directory can interleave writes into
+    the same segment path; the TABLE's own commits are never at risk,
+    but the feed directory is the producer's artifact."""
     if fmt not in FORMATS:
         raise ValueError(f"fmt must be one of {FORMATS}, got {fmt!r}")
     os.makedirs(out_dir, exist_ok=True)

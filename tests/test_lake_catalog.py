@@ -209,3 +209,22 @@ def test_read_kwargs_passthrough(spark, tmp_table_dir):
     )
     df = cat.read("a", columns=["k"])
     assert df.columns == ["k"]
+
+
+def test_catalog_expire_keeps_newest_pins(spark, tmp_table_dir):
+    a, b = _pair(spark, tmp_table_dir)
+    cat = Catalog.create(
+        spark, os.path.join(tmp_table_dir, "cat"), {"a": a, "b": b}
+    )
+    for i in range(4):
+        a.append(spark.createDataFrame([(f"r{i}", i)], DDL))
+        cat.commit({"a": None})
+    dropped = cat.expire(keep_last=2)
+    assert dropped == [0, 1, 2]
+    assert cat.versions() == [3, 4]
+    # dropped pins no longer protect their snapshots
+    assert cat.protected_versions("a") == {
+        cat.pins(3)["a"]["version"],
+        cat.pins(4)["a"]["version"],
+    }
+    assert cat.read("a").count() == 5
