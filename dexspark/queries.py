@@ -3452,8 +3452,9 @@ def corpus_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("doc_id", "n_tokens", "n_chars_q")
 
 
-ORACLE_CURATION = f"""
-WITH t AS (
+# the curation stages as reusable CTE text: corpus_training_run chains
+# split/chunk/pack on top of the exact same `curated` relation
+_CURATION_CTES = """t AS (
   SELECT doc_id, text,
          string_split(trim(text), ' ') AS toks,
          CAST(length(text) AS BIGINT) AS n_chars,
@@ -3482,9 +3483,14 @@ WITH t AS (
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
   WHERE len(list_intersect(a.s, b.s)) * 1000
         >= len(list_distinct(list_concat(a.s, b.s))) * 800
-)
-SELECT doc_id, n_tokens, n_chars AS n_chars_q
-FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+), curated AS (
+  SELECT doc_id, n_tokens, n_chars
+  FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+)"""
+
+ORACLE_CURATION = f"""
+WITH {_CURATION_CTES}
+SELECT doc_id, n_tokens, n_chars AS n_chars_q FROM curated
 """
 
 
@@ -4615,6 +4621,87 @@ FROM c GROUP BY shard, pack_id
 """
 
 
+def corpus_training_run_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end training-data run as ONE composed query
+    under ONE oracle: curate (quality gate → exact dedup → near-dup
+    prune, the corpus_curation_pipeline stages unchanged) → keep the
+    deterministic TRAIN split → context-chunk every surviving document
+    (120 chars, 20 overlap) → pack chunks into 2000-char sequences in
+    4 deterministic shards → emit per-pack manifest stats. Every stage
+    is the operator its standalone query checks; this query pins their
+    COMPOSITION — curation feeds the split feeds the fan-out feeds the
+    packer with no state leaking between stages, end to end in one
+    lazy plan (the optimizer sees the whole run)."""
+    from dexspark.functions.sampling import (
+        context_chunks,
+        pack_sequences,
+        split_assign,
+    )
+
+    curated = corpus_curation_pipeline_q(spark, sf_dir).select("doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    train = (
+        split_assign(curated.join(docs, "doc_id"), "doc_id", _SPLIT_FRACTIONS)
+        .where(F.col("split") == "train")
+    )
+    ch = context_chunks(train, "text", ("doc_id",), size=120, overlap=20)
+    packed = pack_sequences(
+        ch, "chunk_len", 2000, ("doc_id", "chunk_idx"), n_shards=4
+    )
+    return packed.groupBy(
+        F.col("shard").cast("long").alias("shard"), F.col("pack_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_len").cast("long").alias("sum_chars"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
+
+
+def _oracle_training_run() -> str:
+    from dexspark.functions.sampling import split_thresholds
+
+    t1 = split_thresholds(_SPLIT_FRACTIONS)[0]
+    return f"""
+WITH {_CURATION_CTES},
+trainset AS (
+  SELECT c.doc_id, d.text
+  FROM curated c JOIN documents d USING (doc_id)
+  WHERE CAST(('0x' || substr(md5('split-v1' || CAST(c.doc_id AS VARCHAR)), 1, 6))
+             AS BIGINT) < {t1}
+),
+ch AS (
+  SELECT doc_id,
+         unnest(generate_series(
+           0, CAST(ceil(greatest(len(text) - 20, 1) / 100.0) AS BIGINT) - 1
+         )) AS chunk_idx,
+         text
+  FROM trainset WHERE len(text) > 0
+),
+sized AS (
+  SELECT doc_id, chunk_idx,
+         CAST(len(substr(text, CAST(chunk_idx * 100 + 1 AS INT), 120)) AS BIGINT)
+           AS chunk_len,
+         CAST(('0x' || substr(md5('pack-shard' || CAST(doc_id AS VARCHAR)), 1, 6))
+              AS BIGINT) % 4 AS shard
+  FROM ch
+),
+cum AS (
+  SELECT shard, doc_id, chunk_idx, chunk_len,
+         SUM(chunk_len) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+                              ROWS UNBOUNDED PRECEDING) - chunk_len AS c
+  FROM sized
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(FLOOR(c / 2000.0) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(chunk_len) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM cum GROUP BY shard, pack_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "pipeline_doc_words": (pipeline_doc_words_q, ORACLE_PIPELINE_WORDS),
     "pipeline_config_doc_words": (pipeline_config_doc_words_q, ORACLE_PIPELINE_WORDS),
@@ -4723,4 +4810,5 @@ QUERIES: dict[str, tuple] = {
     "doc_stratified_sample": (doc_stratified_sample_q, _oracle_stratified_sample()),
     "doc_context_chunks": (doc_context_chunks_q, ORACLE_CONTEXT_CHUNKS),
     "doc_pack_sequences": (doc_pack_sequences_q, ORACLE_PACK_SEQUENCES),
+    "corpus_training_run": (corpus_training_run_q, _oracle_training_run()),
 }
