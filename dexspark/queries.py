@@ -3187,6 +3187,102 @@ FROM latest, thr WHERE rn = 1 AND op <> 'D'
 
 
 # --------------------------------------------------------------------------
+# SCD Type-2 history replay (full-audit CDC materialization)
+# --------------------------------------------------------------------------
+
+def cdc_scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-history (SCD2) replay: every accepted event becomes a
+    version row with an LSN validity interval. Batches are applied
+    OUT OF ORDER (odd batches descending, then even ascending) to
+    prove the incremental rebuild is commutative — late batches whose
+    LSNs fall between stored versions must split intervals exactly as
+    an in-order replay would. Oracle: one window pass over the whole
+    accepted log (lead(lsn)/lead(op) per key)."""
+    from dexspark.cdc.scd2 import apply_changes_scd2, scd2_schema, scd2_view
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    history = LakeTable.create(
+        spark, os.path.join(d, "transcripts_hist"),
+        scd2_schema(_parse_datatype_string(PAYLOAD)), "conv_id",
+        num_buckets=16,
+    )
+    batches = list(batch_range(log))
+    scrambled = [b for b in reversed(batches) if b % 2 == 1] + [
+        b for b in batches if b % 2 == 0
+    ]
+    for b in scrambled:
+        apply_changes_scd2(
+            history,
+            log.filter(F.col("batch_seq") == b).drop("batch_seq"),
+            batch_id=f"b{b}",
+        )
+    return scd2_view(history.read())
+
+
+ORACLE_SCD2 = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+w AS (
+  SELECT *,
+         lead(lsn) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn) AS next_lsn,
+         lead(op)  OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn) AS next_op
+  FROM flagged WHERE reject_reason IS NULL
+)
+SELECT conv_id, turn_idx, role, text, tool, ts,
+       CAST(lsn AS BIGINT) AS valid_from_lsn,
+       CAST(next_lsn AS BIGINT) AS valid_to_lsn,
+       COALESCE(next_op = 'D', FALSE) AS closed_by_delete,
+       next_lsn IS NULL AS is_current
+FROM w WHERE op <> 'D'
+"""
+
+
+def cdc_scd2_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time query over the SCD2 history: the table state as
+    of the log's median LSN, answered by an interval filter on the
+    history (no snapshot restore, no time travel) — the query SCD2
+    exists to make cheap. Must equal an SCD1 replay truncated at that
+    LSN."""
+    from dexspark.cdc.scd2 import apply_changes_scd2, scd2_schema
+
+    log = derive_log(spark, sf_dir)
+    pivot = int(log.agg(F.max("lsn")).first()[0]) // 2
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    history = LakeTable.create(
+        spark, os.path.join(d, "transcripts_hist"),
+        scd2_schema(_parse_datatype_string(PAYLOAD)), "conv_id",
+        num_buckets=16,
+    )
+    for b in batch_range(log):
+        apply_changes_scd2(
+            history,
+            log.filter(F.col("batch_seq") == b).drop("batch_seq"),
+            batch_id=f"b{b}",
+        )
+    h = history.read()
+    return h.filter(
+        (F.col("valid_from_lsn") <= F.lit(pivot))
+        & (
+            F.col("valid_to_lsn").isNull()
+            | (F.col("valid_to_lsn") > F.lit(pivot))
+        )
+    ).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+ORACLE_SCD2_ASOF = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+piv AS (SELECT max(lsn) // 2 AS p FROM log),
+latest AS (
+  SELECT f.*, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM flagged f, piv WHERE reject_reason IS NULL AND lsn <= piv.p
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# --------------------------------------------------------------------------
 # documents: quality, lang-id, near-dup, fingerprint
 # --------------------------------------------------------------------------
 
@@ -4709,6 +4805,8 @@ QUERIES: dict[str, tuple] = {
     "cdc_stream_replay_final_state": (cdc_stream_replay_final_state, ORACLE_REPLAY),
     "cdc_schema_evolution_replay": (cdc_schema_evolution_replay, ORACLE_EVOLUTION),
     "cdc_replay_gzip_log": (cdc_replay_gzip_log_q, ORACLE_REPLAY),
+    "cdc_scd2_history": (cdc_scd2_history_q, ORACLE_SCD2),
+    "cdc_scd2_asof": (cdc_scd2_asof_q, ORACLE_SCD2_ASOF),
     "cdc_replay_compacted": (cdc_replay_compacted_q, ORACLE_REPLAY),
     "cdc_rollback_replay": (cdc_rollback_replay_q, ORACLE_REPLAY),
     "cdc_wap_publish": (cdc_wap_publish_q, ORACLE_REPLAY),

@@ -1,0 +1,187 @@
+"""SCD Type-2 history apply: interval chains, out-of-order batches,
+dangling-delete markers, idempotency."""
+
+import datetime as dt
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import _parse_datatype_string
+
+from dexspark.cdc.scd2 import apply_changes_scd2, scd2_schema, scd2_view
+from dexspark.cdc.validate import ValidationConfig
+from dexspark.lake.table import LakeTable
+
+PAYLOAD = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+TS = dt.datetime(2024, 1, 1)
+
+
+def _mk_history(spark, d, num_buckets=4):
+    return LakeTable.create(
+        spark,
+        os.path.join(d, "hist"),
+        scd2_schema(_parse_datatype_string(PAYLOAD)),
+        "conv_id",
+        num_buckets,
+    )
+
+
+def _events(spark, rows):
+    """rows: (lsn, op, conv_id, turn_idx, text)"""
+    return spark.createDataFrame(
+        [(l, o, c, t, "user", x, None, TS) for (l, o, c, t, x) in rows],
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+
+
+def _versions(history):
+    return {
+        (r.conv_id, r.turn_idx, r.valid_from_lsn): (
+            r.valid_to_lsn,
+            r.closed_by_delete,
+            r.is_current,
+            r.text,
+        )
+        for r in scd2_view(history.read()).collect()
+    }
+
+
+def test_basic_chain_and_delete(spark, tmp_table_dir):
+    h = _mk_history(spark, tmp_table_dir)
+    apply_changes_scd2(
+        h,
+        _events(
+            spark,
+            [
+                (10, "I", "c1", 0, "v1"),
+                (20, "U", "c1", 0, "v2"),
+                (30, "D", "c1", 0, None),
+                (15, "I", "c2", 0, "w1"),
+            ],
+        ),
+        batch_id="b0",
+        cfg=ValidationConfig(check_ts_monotonic=False),
+    )
+    got = _versions(h)
+    assert got == {
+        ("c1", 0, 10): (20, False, False, "v1"),
+        ("c1", 0, 20): (30, True, False, "v2"),
+        ("c2", 0, 15): (None, False, True, "w1"),
+    }
+
+
+def test_out_of_order_middle_insert_and_dangling_delete(spark, tmp_table_dir):
+    h = _mk_history(spark, tmp_table_dir)
+    cfg = ValidationConfig(check_ts_monotonic=False)
+    # later batch first: an update and a DELETE whose predecessors
+    # haven't arrived yet
+    apply_changes_scd2(
+        h,
+        _events(spark, [(40, "U", "c1", 0, "v3"), (60, "D", "c1", 0, None)]),
+        batch_id="b1",
+        cfg=cfg,
+    )
+    mid = _versions(h)
+    assert mid == {("c1", 0, 40): (60, True, False, "v3")}
+    # physical table additionally holds no marker here (D was consumed)
+    assert h.read().count() == 1
+
+    # earlier batch arrives: opens at 10, a delete at 30 that is
+    # dangling (nothing between 30 and 40 yet)
+    apply_changes_scd2(
+        h,
+        _events(spark, [(10, "I", "c1", 0, "v1"), (30, "D", "c1", 0, None)]),
+        batch_id="b2",
+        cfg=cfg,
+    )
+    got = _versions(h)
+    assert got == {
+        ("c1", 0, 10): (30, True, False, "v1"),
+        ("c1", 0, 40): (60, True, False, "v3"),
+    }
+    # the dangling-consumed transition left no extra physical rows:
+    # D@30 closed v1 directly, D@60 still recorded on v3
+    markers = h.read().filter(
+        F.col("valid_to_lsn").eqNullSafe(F.col("valid_from_lsn"))
+    )
+    assert markers.count() == 0
+
+    # a middle image lands between the stored delete and stored open:
+    # 30 is consumed against v1 already; image at 35 must slot in as
+    # [35, 40)
+    apply_changes_scd2(
+        h,
+        _events(spark, [(35, "I", "c1", 0, "v2b")]),
+        batch_id="b3",
+        cfg=cfg,
+    )
+    got = _versions(h)
+    assert got[("c1", 0, 35)] == (40, False, False, "v2b")
+    assert got[("c1", 0, 10)] == (30, True, False, "v1")
+
+
+def test_marker_persisted_then_consumed(spark, tmp_table_dir):
+    h = _mk_history(spark, tmp_table_dir)
+    cfg = ValidationConfig(check_ts_monotonic=False)
+    # delete-first: nothing to close -> zero-length marker persisted,
+    # logical view empty
+    apply_changes_scd2(
+        h, _events(spark, [(50, "D", "c1", 0, None)]), batch_id="b1", cfg=cfg
+    )
+    assert _versions(h) == {}
+    markers = h.read().filter(
+        F.col("valid_to_lsn").eqNullSafe(F.col("valid_from_lsn"))
+    )
+    assert markers.count() == 1
+
+    # the earlier image arrives: marker must close it and disappear
+    apply_changes_scd2(
+        h, _events(spark, [(20, "I", "c1", 0, "v1")]), batch_id="b2", cfg=cfg
+    )
+    assert _versions(h) == {("c1", 0, 20): (50, True, False, "v1")}
+    assert h.read().count() == 1  # marker row deleted
+
+
+def test_idempotent_batch_replay(spark, tmp_table_dir):
+    h = _mk_history(spark, tmp_table_dir)
+    cfg = ValidationConfig(check_ts_monotonic=False)
+    ev = _events(spark, [(10, "I", "c1", 0, "v1"), (20, "U", "c1", 0, "v2")])
+    r1 = apply_changes_scd2(h, ev, batch_id="b1", cfg=cfg)
+    assert not r1["skipped"]
+    before = _versions(h)
+    r2 = apply_changes_scd2(h, ev, batch_id="b1", cfg=cfg)
+    assert r2["skipped"]
+    assert _versions(h) == before
+
+    # redelivered events inside a NEW batch id are deduped against
+    # stored state, not double-versioned
+    r3 = apply_changes_scd2(h, ev, batch_id="b2", cfg=cfg)
+    assert not r3["skipped"]
+    assert _versions(h) == before
+
+
+def test_rejects_quarantined_not_versioned(spark, tmp_table_dir):
+    h = _mk_history(spark, tmp_table_dir)
+    q = LakeTable.create(
+        spark,
+        os.path.join(tmp_table_dir, "quar"),
+        _parse_datatype_string(
+            "lsn long, op string, conv_id string, turn_idx int, role string, "
+            "text string, tool string, ts timestamp, reject_reason string, "
+            "batch_id string"
+        ),
+        "conv_id",
+        2,
+    )
+    cfg = ValidationConfig(check_ts_monotonic=False)
+    bad = spark.createDataFrame(
+        [(10, "I", "c1", 0, "alien", "x", None, TS)],
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    res = apply_changes_scd2(h, bad, batch_id="b1", cfg=cfg, quarantine=q)
+    assert res["rejected"] == 1
+    assert _versions(h) == {}
+    assert q.read().count() == 1
