@@ -314,3 +314,47 @@ def hamming_near_dups(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Train/test decontamination: flag training documents that share
+    any word n-gram shingle with a benchmark/eval set (the standard
+    n-gram-overlap scrub run before LLM pretraining).
+
+    Scale shape: benchmark sets are tiny next to a 100 TB corpus, so
+    the distinct benchmark shingle keys BROADCAST and the corpus side
+    never shuffles — contamination detection rides the corpus scan.
+    Shingles are md5-keyed (engine-portable); per-doc distinct
+    contaminated-shingle counts come from one map-side-combinable
+    aggregate. Production default n=8 tokens; lower it for tiny
+    synthetic vocabularies."""
+    def _sh(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_sh")
+        )
+
+    bench_keys = (
+        _sh(bench).select(F.md5(F.col("_sh")).alias("_k")).distinct()
+    )
+    hits = (
+        _sh(train)
+        .select(id_col, F.md5(F.col("_sh")).alias("_k"))
+        .join(F.broadcast(bench_keys), "_k")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("_k")).alias("_n_hits"))
+    )
+    return (
+        train.join(hits, id_col, "left")
+        .withColumn(
+            "n_contaminated_shingles",
+            F.coalesce(F.col("_n_hits"), F.lit(0)).cast("long"),
+        )
+        .withColumn("contaminated", F.col("_n_hits").isNotNull())
+        .drop("_n_hits")
+    )

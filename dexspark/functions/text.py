@@ -101,6 +101,67 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     )
 
 
+# ---------------------------------------------------------------- PII
+# Patterns stay inside the regex subset Java (Spark codegen) and RE2
+# (DuckDB/Go scanners) treat identically: character classes, bounded
+# repetition, alternation — no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Scrub emails and phone numbers from a text column, keeping
+    per-row match counts (n_emails, n_phones) for curation metrics.
+    Pure regexp expressions — runs at scan speed inside whole-stage
+    codegen; at 100 TB the redaction adds no shuffle and no Python."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.regexp_count(t, F.lit(EMAIL_RE)).cast("long"))
+        .withColumn("n_phones", F.regexp_count(t, F.lit(PHONE_RE)).cast("long"))
+        .withColumn(
+            out_col,
+            F.regexp_replace(
+                F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+            ),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style within-document repetition: the fraction of
+    duplicate word n-grams (x1000, integer). High values flag boiler-
+    plate / degenerate generations for corpus filtering. Expression-
+    only: the n-gram array never explodes to rows, so cost is O(doc)
+    per row with zero shuffle."""
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams).cast("long")
+    n_distinct = F.size(F.array_distinct(grams)).cast("long")
+    return (
+        df.withColumn("n_grams", n_grams)
+        .withColumn("n_distinct_grams", n_distinct)
+        .withColumn(
+            "dup_gram_ratio_x1000",
+            F.when(
+                n_grams > 0,
+                ((n_grams - n_distinct) * 1000 / n_grams).cast("long"),
+            ).otherwise(F.lit(0)),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
     """64-bit document fingerprint: xxhash64 of normalized text
     (lowercased, whitespace collapsed). Stable across runs/sessions —

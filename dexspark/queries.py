@@ -3400,6 +3400,128 @@ WHERE len(list_intersect(a.s, b.s)) * 1000
 """
 
 
+def doc_pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: emails/phones are deterministically
+    SEEDED from doc_id (2 of every 3 docs) so the redaction regexes
+    have real work, then counted and replaced. The whole query is
+    regexp expressions inside codegen — the 100 TB shape of a
+    pre-training PII pass."""
+    from dexspark.functions.text import redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.concat(F.lit("user"), did.cast("string"), F.lit("@example.com"))
+    phone = F.concat(
+        F.lit("555-"),
+        (F.pmod(did, 900) + 100).cast("string"),
+        F.lit("-"),
+        (F.pmod(did, 9000) + 1000).cast("string"),
+    )
+    seeded = docs.withColumn(
+        "text",
+        F.when(F.pmod(did, 3) == 0, F.col("text")).otherwise(
+            F.concat(
+                F.col("text"), F.lit(" contact "), email,
+                F.lit(" or call "), phone,
+            )
+        ),
+    )
+    return redact_pii(seeded).select(
+        "doc_id", "n_emails", "n_phones", "text_redacted"
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from dexspark.functions.text import EMAIL_RE, PHONE_RE
+
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or call 555-'
+                   || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+                   || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+         END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+  regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g') AS text_redacted
+FROM seeded
+"""
+
+
+def doc_repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (duplicate-bigram fraction, Gopher-
+    style quality signal). Expression-only — the n-gram array never
+    becomes rows, so the pass is shuffle-free at any scale."""
+    from dexspark.functions.text import repetition_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_stats(docs, n=2).select(
+        "doc_id", "n_grams", "n_distinct_grams", "dup_gram_ratio_x1000"
+    )
+
+
+ORACLE_REPETITION = """
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(generate_series(1, len(toks)-1),
+                             i -> toks[i] || ' ' || toks[i+1])
+         ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id,
+  CAST(len(grams) AS BIGINT) AS n_grams,
+  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+  CASE WHEN len(grams) > 0
+       THEN CAST(floor((len(grams) - len(list_distinct(grams))) * 1000.0
+                 / len(grams)) AS BIGINT)
+       ELSE 0 END AS dup_gram_ratio_x1000
+FROM g
+"""
+
+
+def doc_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: docs with doc_id % 97 == 0 play the
+    benchmark set; every other doc is flagged if it shares a 3-token
+    shingle with any benchmark doc (n=3 because the synthetic vocab is
+    tiny; production uses n=8). Benchmark shingles broadcast — the
+    corpus side never shuffles."""
+    from dexspark.functions.dedup import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.pmod(F.col("doc_id"), 97) == 0)
+    train = docs.filter(F.pmod(F.col("doc_id"), 97) != 0)
+    return decontaminate(train, bench, shingle_n=3).select(
+        "doc_id", "n_contaminated_shingles", "contaminated"
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT ex.doc_id, count(DISTINCT ex.g) AS n
+  FROM ex JOIN bench USING (g)
+  WHERE ex.doc_id % 97 <> 0
+  GROUP BY ex.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_shingles,
+  h.n IS NOT NULL AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 97 <> 0
+"""
+
+
 def doc_near_dup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with candidates served from the incrementally-
     maintained signature index (lake/sigindex.py): documents arrive as
@@ -4839,6 +4961,9 @@ QUERIES: dict[str, tuple] = {
     "doc_ingest_dedup_gate": (doc_ingest_dedup_gate_q, ORACLE_INGEST_GATE),
     "corpus_curation_pipeline": (corpus_curation_pipeline_q, ORACLE_CURATION),
     "doc_simhash_near_dups": (doc_simhash_near_dups_q, ORACLE_SIMHASH),
+    "doc_pii_redact": (doc_pii_redact_q, _pii_oracle_sql()),
+    "doc_repetition_stats": (doc_repetition_stats_q, ORACLE_REPETITION),
+    "doc_decontaminate": (doc_decontaminate_q, ORACLE_DECONTAMINATE),
     "doc_fingerprint_groups": (doc_fingerprint_groups_q, ORACLE_FP_GROUPS),
     "emb_cosine_topk": (emb_cosine_topk_q, ORACLE_COSINE_TOPK),
     "emb_ann_lsh_topk": (emb_ann_lsh_topk_q, ORACLE_ANN_TOPK),

@@ -228,3 +228,60 @@ def test_ivf_topk_semantics(spark):
     assert by_rank[0].neighbor_id == 100 and by_rank[0].score_x1e6 == 10**6
     scores = [r.score_x1e6 for r in by_rank]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_redact_pii(spark):
+    from dexspark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@ex-ample.org or 555-123-4567 thanks"),
+            (2, "two mails x@y.io and z@w.co, phone +1 555 987 6543"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert got[1].n_emails == 1 and got[1].n_phones == 1
+    assert got[1].text_redacted == "mail me at <EMAIL> or <PHONE> thanks"
+    assert got[2].n_emails == 2 and got[2].n_phones == 1
+    assert "<EMAIL>" in got[2].text_redacted and "<PHONE>" in got[2].text_redacted
+    assert got[3].n_emails == 0 and got[3].n_phones == 0
+    assert got[3].text_redacted == "nothing sensitive here"
+
+
+def test_repetition_stats(spark):
+    from dexspark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "all words differ here"),
+            (3, "single"),        # shorter than n -> zero grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df, n=2).collect()}
+    assert (got[1].n_grams, got[1].n_distinct_grams) == (5, 2)
+    assert got[1].dup_gram_ratio_x1000 == 600
+    assert got[2].dup_gram_ratio_x1000 == 0
+    assert (got[3].n_grams, got[3].dup_gram_ratio_x1000) == (0, 0)
+
+
+def test_decontaminate(spark):
+    from dexspark.functions.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words appear in this sentence"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we ask about the quick brown fox here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in decontaminate(train, bench, shingle_n=3).collect()}
+    assert got[1].contaminated and got[1].n_contaminated_shingles >= 2
+    assert not got[2].contaminated and got[2].n_contaminated_shingles == 0
