@@ -434,6 +434,49 @@ def cdc_replay_concurrent_maintenance_q(spark: SparkSession, sf_dir: str) -> Dat
     return table.read()
 
 
+def cdc_replay_dual_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO concurrent ingest writers on one table — a multi-source
+    tail (e.g. two producers' binlog segments) applied by independent
+    jobs without coordination. Unlike the maintenance race (layout vs
+    data), both writers here mutate DATA in overlapping buckets, so
+    losing commits must RECOMPUTE against the winner's state, not
+    rebase — the optimistic-retry loop in LakeTable.merge. LSN-gated
+    merge makes the interleaving irrelevant: the final state must
+    equal a serial replay of the union bit-for-bit. Each writer's
+    batches stay ordered within its own thread (per-source ordering,
+    the Kafka-partition guarantee); cross-source order is arbitrary."""
+    import threading
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    batches = list(batch_range(log))
+    errors: list[Exception] = []
+
+    def writer(src: int) -> None:
+        try:
+            for b in batches:
+                if b % 2 == src:
+                    apply_changes(
+                        table,
+                        log.filter(F.col("batch_seq") == b),
+                        batch_id=f"s{src}b{b}",
+                    )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(s,)) for s in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    return table.read()
+
+
 def cdc_replay_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read replay under the hard oracle: every micro-batch
     commits O(batch) delta files (no bucket rewrite — the write path
@@ -4937,6 +4980,7 @@ QUERIES: dict[str, tuple] = {
         cdc_replay_concurrent_maintenance_q,
         ORACLE_REPLAY,
     ),
+    "cdc_replay_dual_ingest": (cdc_replay_dual_ingest_q, ORACLE_REPLAY),
     "cdc_feed_mirror": (cdc_feed_mirror_q, ORACLE_REPLAY),
     "cdc_export_roundtrip": (cdc_export_roundtrip_q, ORACLE_REPLAY),
     "catalog_consistent_read": (catalog_consistent_read_q, ORACLE_REPLAY),
