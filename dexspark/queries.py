@@ -3280,6 +3280,49 @@ FROM w WHERE op <> 'D'
 """
 
 
+def cdc_stream_scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming × SCD2 composition: the same file-tail / checkpoint /
+    mid-stream-restart harness as ``cdc_stream_replay_final_state``,
+    but each micro-batch lands in the FULL-HISTORY table via
+    ``apply_changes_scd2``. Restart must neither lose nor double-apply
+    version rows; the final interval chains must equal the one-pass
+    batch oracle."""
+    from dexspark.cdc.scd2 import scd2_schema, scd2_view
+    from dexspark.sources.changelog import log_schema as mk_log_schema
+    from dexspark.streaming.replay import CdcStreamReplay
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    log_dir = os.path.join(d, "log")
+    cp = os.path.join(d, "cp")
+    history = LakeTable.create(
+        spark, os.path.join(d, "transcripts_hist"),
+        scd2_schema(_parse_datatype_string(PAYLOAD)), "conv_id",
+        num_buckets=16,
+    )
+    thr = (batch_range(log).stop + 1) // 2
+    seg = log.repartition(4, F.col("batch_seq"))
+    (
+        seg.filter(F.col("batch_seq") < thr)
+        .write.partitionBy("batch_seq").parquet(log_dir)
+    )
+
+    def replayer() -> CdcStreamReplay:
+        return CdcStreamReplay(
+            spark, history, log_dir + "/*", cp, mk_log_schema(),
+            max_files_per_trigger=2, batch_id_prefix="s2",
+            mode="scd2",
+        )
+
+    replayer().run_available()
+    (
+        seg.filter(F.col("batch_seq") >= thr)
+        .write.mode("append").partitionBy("batch_seq").parquet(log_dir)
+    )
+    replayer().run_available()
+    return scd2_view(history.read())
+
+
 def cdc_scd2_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time query over the SCD2 history: the table state as
     of the log's median LSN, answered by an interval filter on the
@@ -4971,6 +5014,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_schema_evolution_replay": (cdc_schema_evolution_replay, ORACLE_EVOLUTION),
     "cdc_replay_gzip_log": (cdc_replay_gzip_log_q, ORACLE_REPLAY),
     "cdc_scd2_history": (cdc_scd2_history_q, ORACLE_SCD2),
+    "cdc_stream_scd2_history": (cdc_stream_scd2_history_q, ORACLE_SCD2),
     "cdc_scd2_asof": (cdc_scd2_asof_q, ORACLE_SCD2_ASOF),
     "cdc_replay_compacted": (cdc_replay_compacted_q, ORACLE_REPLAY),
     "cdc_rollback_replay": (cdc_rollback_replay_q, ORACLE_REPLAY),

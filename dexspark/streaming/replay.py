@@ -56,6 +56,7 @@ class CdcStreamReplay:
         cfg_provider: Callable[[], ValidationConfig] | None = None,
         strategy: str = "cow",
         views: list[Any] | None = None,
+        mode: str = "scd1",
     ):
         self.spark = spark
         self.table = table
@@ -107,6 +108,15 @@ class CdcStreamReplay:
         # most one trigger. Refreshes are ledger-gated, hence replay-
         # safe under the same restart semantics as apply_changes.
         self.views = views or []
+        # "scd1" (default): latest-image upsert via apply_changes.
+        # "scd2": full-history apply via cdc/scd2.py — ``table`` must
+        # be a history table (scd2_schema); strategy/salt are SCD1-only
+        # knobs and must stay at their defaults.
+        if mode not in ("scd1", "scd2"):
+            raise ValueError(f"unknown replay mode: {mode!r}")
+        if mode == "scd2" and (strategy != "cow" or salt_buckets):
+            raise ValueError("scd2 mode supports neither 'mor' nor salting")
+        self.mode = mode
         self._applied_since_compact = 0
         self.results: list[dict[str, Any]] = []
 
@@ -142,21 +152,35 @@ class CdcStreamReplay:
 
         t0 = time.monotonic()
         cfg = self.cfg_provider() if self.cfg_provider is not None else self.cfg
-        res = apply_changes(
-            self.table,
-            batch_df,
-            batch_id=f"{self.batch_id_prefix}-{self.checkpoint_identity}-{epoch_id}",
-            cfg=cfg,
-            quarantine=self.quarantine,
-            salt_buckets=self.salt_buckets,
-            strategy=self.strategy,
-        )
+        batch_id = f"{self.batch_id_prefix}-{self.checkpoint_identity}-{epoch_id}"
+        if self.mode == "scd2":
+            from dexspark.cdc.scd2 import apply_changes_scd2
+
+            res = apply_changes_scd2(
+                self.table,
+                batch_df,
+                batch_id=batch_id,
+                cfg=cfg,
+                quarantine=self.quarantine,
+            )
+        else:
+            res = apply_changes(
+                self.table,
+                batch_df,
+                batch_id=batch_id,
+                cfg=cfg,
+                quarantine=self.quarantine,
+                salt_buckets=self.salt_buckets,
+                strategy=self.strategy,
+            )
         # per-micro-batch operational metrics (≙ the reference's
         # per-step replay-aware logging, FnOrchestrator.kt:194-204):
         # wall seconds, processed rows (applied post-dedup + rejected),
         # and throughput — the signal an ingest daemon alerts on
         wall = time.monotonic() - t0
-        rows = int(res.get("applied", 0)) + int(res.get("rejected", 0))
+        rows = int(res.get("applied", res.get("events", 0))) + int(
+            res.get("rejected", 0)
+        )
         res["metrics"] = {
             "epoch_id": int(epoch_id),
             "wall_sec": round(wall, 3),

@@ -308,3 +308,72 @@ def test_checkpoint_wipe_does_not_silently_drop_new_data(spark, tmp_table_dir):
     got = table.read()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_stream_replay_scd2_mode(spark, tmp_table_dir):
+    from dexspark.cdc.scd2 import scd2_schema, scd2_view
+    from dexspark.cdc.validate import ValidationConfig
+
+    log = gen_change_log(spark, 4000, n_convs=60, n_batches=4)
+    history = LakeTable.create(
+        spark,
+        os.path.join(tmp_table_dir, "hist"),
+        scd2_schema(_parse_datatype_string(PAYLOAD)),
+        "conv_id",
+        8,
+    )
+    log_dir = os.path.join(tmp_table_dir, "log")
+    cp = os.path.join(tmp_table_dir, "cp")
+
+    def replayer():
+        return CdcStreamReplay(
+            spark, history, log_dir, cp, _parse_datatype_string(LOG_SCHEMA),
+            mode="scd2",
+        )
+
+    log.filter(F.col("batch_seq") < 2).coalesce(2).write.parquet(
+        log_dir, mode="append"
+    )
+    replayer().run_available()
+    log.filter(F.col("batch_seq") >= 2).coalesce(2).write.parquet(
+        log_dir, mode="append"
+    )
+    r2 = replayer()
+    r2.run_available()
+    assert all(not r["skipped"] for r in r2.results if "skipped" in r)
+
+    # current rows of the history == SCD1 final state
+    hist = scd2_view(history.read())
+    cur = hist.filter("is_current").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    expected = expected_final_state(log).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    assert cur.exceptAll(expected).count() == 0
+    assert expected.exceptAll(cur).count() == 0
+    # history depth: at least as many version rows as final rows
+    assert hist.count() >= cur.count()
+    # replaying the whole log again must change nothing (ledger no-op)
+    r3 = replayer()
+    r3.run_available()
+    assert hist.count() == scd2_view(history.read()).count()
+
+
+def test_stream_replay_scd2_mode_rejects_mor_and_salt(spark, tmp_table_dir):
+    import pytest as _pytest
+
+    from dexspark.cdc.scd2 import scd2_schema
+
+    history = LakeTable.create(
+        spark,
+        os.path.join(tmp_table_dir, "hist2"),
+        scd2_schema(_parse_datatype_string(PAYLOAD)),
+        "conv_id",
+        4,
+    )
+    with _pytest.raises(ValueError):
+        CdcStreamReplay(
+            spark, history, "x", os.path.join(tmp_table_dir, "cp2"),
+            _parse_datatype_string(LOG_SCHEMA), mode="scd2", strategy="mor",
+        )
