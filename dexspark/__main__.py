@@ -56,13 +56,18 @@ def _spark(args):
 
 def cmd_replay(args) -> int:
     spark = _spark(args)
+    schema = _parse_datatype_string(args.payload_schema)
+    if args.mode == "scd2":
+        from dexspark.cdc.scd2 import scd2_schema
+
+        schema = scd2_schema(schema)
     if LakeTable.exists(args.table):
         table = LakeTable(spark, args.table)
     else:
         table = LakeTable.create(
             spark,
             args.table,
-            _parse_datatype_string(args.payload_schema),
+            schema,
             bucket_key=args.bucket_key,
             num_buckets=args.buckets,
         )
@@ -99,6 +104,7 @@ def cmd_replay(args) -> int:
         strategy=args.strategy,
         compact_every=args.compact_every or None,
         compact_delta_depth=args.compact_delta_depth or None,
+        mode=args.mode,
     )
     results = replay.run_available()
     for r in results:
@@ -483,6 +489,12 @@ def main(argv: list[str] | None = None) -> int:
         help="compact when any bucket holds this many outstanding MOR "
              "delta files (bounds read-time resolve depth; tracks read "
              "amplification instead of batch count)",
+    )
+    r.add_argument(
+        "--mode", choices=["scd1", "scd2"], default="scd1",
+        help="scd1 keeps the latest image per key; scd2 keeps every "
+             "version as an LSN validity interval (full-history table; "
+             "created with the scd2 schema when absent)",
     )
     r.set_defaults(fn=cmd_replay)
 

@@ -437,3 +437,38 @@ def test_cli_vecindex_refresh(spark, tmp_table_dir, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"skipped": "current"}
     assert LakeTable(spark, idx_dir).read().count() == 20
+
+
+def test_cli_replay_scd2_mode(spark, tmp_table_dir):
+    from dexspark.cdc.scd2 import scd2_view
+
+    log = gen_change_log(spark, 3000, n_convs=50, n_batches=2)
+    log_dir = os.path.join(tmp_table_dir, "log")
+    log.coalesce(2).write.parquet(log_dir)
+    table_dir = os.path.join(tmp_table_dir, "hist")
+    cp = os.path.join(tmp_table_dir, "cp")
+
+    rc = main(
+        [
+            "replay",
+            "--log", log_dir,
+            "--table", table_dir,
+            "--checkpoint", cp,
+            "--buckets", "8",
+            "--mode", "scd2",
+        ]
+    )
+    assert rc == 0
+    t = LakeTable(spark, table_dir)
+    # history table carries the interval columns and its current rows
+    # equal the SCD1 final state
+    cols = {f.name for f in t.schema().fields}
+    assert {"valid_from_lsn", "valid_to_lsn", "is_current"} <= cols
+    cur = scd2_view(t.read()).filter("is_current").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    expected = expected_final_state(log).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    assert cur.exceptAll(expected).count() == 0
+    assert expected.exceptAll(cur).count() == 0
