@@ -141,6 +141,14 @@ def apply_changes_scd2(
     if batch_id in history.committed_batch_ids():
         return {"batch_id": batch_id, "skipped": True, "reason": "already_committed"}
 
+    # north-rule schema evolution applies to the history table too: a
+    # batch carrying a new payload column (or a widening) issues the
+    # DDL before the rebuild, so earlier versions read back with NULLs
+    # and rebuilt interval rows carry the evolved shape
+    from dexspark.cdc.apply import maybe_evolve_schema
+
+    maybe_evolve_schema(history, events)
+
     key_cols = list(cfg.key_cols)
     payload = [
         f.name for f in history.schema().fields if f.name not in SCD2_COLS
@@ -181,27 +189,63 @@ def apply_changes_scd2(
 
         # stored versions win ties against a redelivered copy of the
         # same (key, lsn) event — deterministic, and by the CDC
-        # contract the payloads are identical anyway
+        # contract the payloads are identical anyway. The dedup is a
+        # lag() under the SAME (key)-hash partitioning the interval
+        # rebuild sorts on, so stored∪new shuffles exactly ONCE: the
+        # obvious alternative (row_number over (key, lsn)) partitions
+        # by a different key set and would insert a second exchange.
         all_ev = _stored_as_events(stored, payload).withColumn(
             "_src", F.lit(0)
         ).unionByName(new_ev.withColumn("_src", F.lit(1)))
-        tie = Window.partitionBy(*key_cols, "lsn").orderBy(F.col("_src").asc())
+        w_sort = Window.partitionBy(*key_cols).orderBy(
+            F.col("lsn").asc(), F.col("_src").asc()
+        )
         all_ev = (
-            all_ev.withColumn("_rn", F.row_number().over(tie))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_src")
+            all_ev.withColumn(
+                "_is_dup",
+                F.coalesce(
+                    F.lag("lsn").over(w_sort) == F.col("lsn"), F.lit(False)
+                ),
+            )
+            .filter(~F.col("_is_dup"))
+            .drop("_is_dup", "_src")
         )
 
-        rebuilt = _rebuild(all_ev, key_cols, payload).withColumn(
+        full_rebuilt = _rebuild(all_ev, key_cols, payload).withColumn(
             "op", F.lit("U")
+        )
+        # feed the merge ONLY changed/new version rows: a version's
+        # payload can never change (it is its opening event), so a
+        # stored row is dirty iff its interval fields moved. Most of a
+        # touched key's history is untouched by any one batch — without
+        # this filter the merge shuffles and LWW-resolves every stored
+        # version of every touched key, per batch.
+        prev = stored.select(
+            *key_cols,
+            "valid_from_lsn",
+            F.col("valid_to_lsn").alias("_p_to"),
+            F.col("closed_by_delete").alias("_p_cbd"),
+            F.col("is_current").alias("_p_cur"),
+        )
+        unchanged = (
+            F.col("valid_to_lsn").eqNullSafe(F.col("_p_to"))
+            & (F.col("closed_by_delete") == F.col("_p_cbd"))
+            & (F.col("is_current") == F.col("_p_cur"))
+        )
+        rebuilt = (
+            full_rebuilt.join(prev, on=key_cols + ["valid_from_lsn"], how="left")
+            .filter(F.col("_p_cbd").isNull() | ~unchanged)
+            .drop("_p_to", "_p_cbd", "_p_cur")
         )
         # a marker whose D got consumed by a later-arriving earlier
         # image no longer exists in the rebuilt chain — delete it.
         # Stored VERSION rows always reappear (their opening event is
-        # in the rebuild input), so this anti-join can only yield
-        # consumed markers; it is empty on in-order replays.
+        # in the rebuild input), so this anti-join — against the FULL
+        # rebuild, not the changed-rows feed, or still-dangling markers
+        # would be wrongly deleted — can only yield consumed markers;
+        # it is empty on in-order replays.
         stale = stored.filter(_is_marker()).join(
-            rebuilt.select(*key_cols, "valid_from_lsn"),
+            full_rebuilt.select(*key_cols, "valid_from_lsn"),
             on=key_cols + ["valid_from_lsn"],
             how="left_anti",
         ).withColumn("op", F.lit("D"))

@@ -3368,6 +3368,55 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def cdc_scd2_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution × SCD2: batches past the midpoint carry a new
+    ``model`` column and a widened ``turn_idx`` (int→long); the history
+    table evolves mid-replay, earlier version rows read back with NULL
+    model, and the interval chains stay exact across the boundary."""
+    from dexspark.cdc.scd2 import apply_changes_scd2, scd2_schema, scd2_view
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    history = LakeTable.create(
+        spark, os.path.join(d, "transcripts_hist"),
+        scd2_schema(_parse_datatype_string(PAYLOAD)), "conv_id",
+        num_buckets=16,
+    )
+    batches = batch_range(log)
+    thr = (max(batches) + 1) // 2
+    for b in batches:
+        bdf = log.filter(F.col("batch_seq") == b).drop("batch_seq")
+        if b >= thr:
+            bdf = bdf.withColumn(
+                "model", F.concat(F.lit("m"), F.pmod(F.col("lsn"), 3).cast("string"))
+            ).withColumn("turn_idx", F.col("turn_idx").cast("long"))
+        apply_changes_scd2(history, bdf, batch_id=f"b{b}")
+    return scd2_view(history.read())
+
+
+ORACLE_SCD2_EVOLUTION = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+thr AS (SELECT (max(batch_seq) + 1) // 2 AS t FROM log),
+ev AS (
+  SELECT f.*, CASE WHEN f.batch_seq >= thr.t
+                   THEN 'm' || CAST(f.lsn % 3 AS VARCHAR) END AS model
+  FROM flagged f, thr WHERE f.reject_reason IS NULL
+),
+w AS (
+  SELECT *,
+         lead(lsn) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn) AS next_lsn,
+         lead(op)  OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn) AS next_op
+  FROM ev
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool, ts, model,
+       CAST(lsn AS BIGINT) AS valid_from_lsn,
+       CAST(next_lsn AS BIGINT) AS valid_to_lsn,
+       COALESCE(next_op = 'D', FALSE) AS closed_by_delete,
+       next_lsn IS NULL AS is_current
+FROM w WHERE op <> 'D'
+"""
+
+
 # --------------------------------------------------------------------------
 # documents: quality, lang-id, near-dup, fingerprint
 # --------------------------------------------------------------------------
@@ -5016,6 +5065,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_scd2_history": (cdc_scd2_history_q, ORACLE_SCD2),
     "cdc_stream_scd2_history": (cdc_stream_scd2_history_q, ORACLE_SCD2),
     "cdc_scd2_asof": (cdc_scd2_asof_q, ORACLE_SCD2_ASOF),
+    "cdc_scd2_evolution": (cdc_scd2_evolution_q, ORACLE_SCD2_EVOLUTION),
     "cdc_replay_compacted": (cdc_replay_compacted_q, ORACLE_REPLAY),
     "cdc_rollback_replay": (cdc_rollback_replay_q, ORACLE_REPLAY),
     "cdc_wap_publish": (cdc_wap_publish_q, ORACLE_REPLAY),

@@ -185,3 +185,37 @@ def test_rejects_quarantined_not_versioned(spark, tmp_table_dir):
     assert res["rejected"] == 1
     assert _versions(h) == {}
     assert q.read().count() == 1
+
+
+def test_marker_survives_unrelated_later_event(spark, tmp_table_dir):
+    """A still-dangling marker must NOT be deleted when a later batch
+    touches the same key without consuming it (regression: the stale-
+    marker anti-join must run against the full rebuild, not the
+    changed-rows merge feed)."""
+    h = _mk_history(spark, tmp_table_dir)
+    cfg = ValidationConfig(check_ts_monotonic=False)
+    apply_changes_scd2(
+        h, _events(spark, [(50, "D", "c1", 0, None)]), batch_id="b1", cfg=cfg
+    )
+    # later event on the same key: marker at 50 stays dangling
+    apply_changes_scd2(
+        h, _events(spark, [(60, "I", "c1", 0, "v2")]), batch_id="b2", cfg=cfg
+    )
+    markers = h.read().filter(
+        F.col("valid_to_lsn").eqNullSafe(F.col("valid_from_lsn"))
+    )
+    assert markers.count() == 1
+    assert _versions(h) == {("c1", 0, 60): (None, False, True, "v2")}
+
+    # the pre-marker image finally arrives: marker consumed, chain
+    # [20,50) closed-by-delete, [60,None) current
+    apply_changes_scd2(
+        h, _events(spark, [(20, "I", "c1", 0, "v1")]), batch_id="b3", cfg=cfg
+    )
+    assert _versions(h) == {
+        ("c1", 0, 20): (50, True, False, "v1"),
+        ("c1", 0, 60): (None, False, True, "v2"),
+    }
+    assert h.read().filter(
+        F.col("valid_to_lsn").eqNullSafe(F.col("valid_from_lsn"))
+    ).count() == 0
