@@ -3417,6 +3417,59 @@ FROM w WHERE op <> 'D'
 """
 
 
+def cdc_scd2_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History retention × SCD2: replay the full history, then age out
+    every CLOSED version (and consumed-delete marker) whose interval
+    ended at or below the midpoint-LSN horizon via the lake's surgical
+    ``delete_where`` — stats-pruned, only files that may match are
+    rewritten. Open versions carry a NULL ``valid_to_lsn`` and the
+    predicate is null-rejecting, so current rows always survive; the
+    audit trail older than the horizon is gone, the live state is
+    untouched. The read back goes through the SAME table (post-delete
+    snapshot), so the oracle checks the delete's row-level surgery,
+    not just its bookkeeping."""
+    from dexspark.cdc.scd2 import apply_changes_scd2, scd2_schema, scd2_view
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    history = LakeTable.create(
+        spark, os.path.join(d, "transcripts_hist"),
+        scd2_schema(_parse_datatype_string(PAYLOAD)), "conv_id",
+        num_buckets=16,
+    )
+    for b in batch_range(log):
+        apply_changes_scd2(
+            history,
+            log.filter(F.col("batch_seq") == b).drop("batch_seq"),
+            batch_id=f"b{b}",
+        )
+    cutoff = int(log.agg(F.max("lsn")).first()[0]) // 2
+    history.delete_where(
+        [("valid_to_lsn", "<=", cutoff)],
+        summary={"batch_id": "retention_sweep"},
+    )
+    return scd2_view(history.read())
+
+
+ORACLE_SCD2_RETENTION = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+w AS (
+  SELECT *,
+         lead(lsn) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn) AS next_lsn,
+         lead(op)  OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn) AS next_op
+  FROM flagged WHERE reject_reason IS NULL
+),
+cut AS (SELECT max(lsn) // 2 AS c FROM log)
+SELECT conv_id, turn_idx, role, text, tool, ts,
+       CAST(lsn AS BIGINT) AS valid_from_lsn,
+       CAST(next_lsn AS BIGINT) AS valid_to_lsn,
+       COALESCE(next_op = 'D', FALSE) AS closed_by_delete,
+       next_lsn IS NULL AS is_current
+FROM w, cut
+WHERE op <> 'D' AND (next_lsn IS NULL OR next_lsn > cut.c)
+"""
+
+
 # --------------------------------------------------------------------------
 # documents: quality, lang-id, near-dup, fingerprint
 # --------------------------------------------------------------------------
@@ -5066,6 +5119,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_stream_scd2_history": (cdc_stream_scd2_history_q, ORACLE_SCD2),
     "cdc_scd2_asof": (cdc_scd2_asof_q, ORACLE_SCD2_ASOF),
     "cdc_scd2_evolution": (cdc_scd2_evolution_q, ORACLE_SCD2_EVOLUTION),
+    "cdc_scd2_retention": (cdc_scd2_retention_q, ORACLE_SCD2_RETENTION),
     "cdc_replay_compacted": (cdc_replay_compacted_q, ORACLE_REPLAY),
     "cdc_rollback_replay": (cdc_rollback_replay_q, ORACLE_REPLAY),
     "cdc_wap_publish": (cdc_wap_publish_q, ORACLE_REPLAY),

@@ -20,7 +20,7 @@ def test_queries_and_oracles_in_lockstep():
         f"missing oracles: {sorted(set(q) - set(o))}; "
         f"orphan oracles: {sorted(set(o) - set(q))}"
     )
-    assert len(q) >= 103
+    assert len(q) >= 104
 
 
 def test_shapes():
