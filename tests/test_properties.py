@@ -297,3 +297,76 @@ def test_wap_any_staging_pattern_matches_direct(
     expected = {k for k, (lsn, op) in model.items() if op != "D"}
     got = {(r.conv_id, r.turn_idx) for r in table.read().collect()}
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events_strategy,
+    st.integers(min_value=2, max_value=5),
+    st.randoms(use_true_random=False),
+)
+def test_scd2_history_any_batching_any_order(
+    spark, tmp_path_factory, evs, n_batches, rng
+):
+    """SCD2 apply is commutative: ANY batch partitioning, applied in
+    ANY order, converges to the interval chains a single in-order pass
+    would produce (Python model) — late batches whose LSNs land
+    between stored versions must split intervals exactly; dangling
+    deletes must persist as markers until consumed and never leak
+    into the logical view."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from dexspark.cdc.scd2 import apply_changes_scd2, scd2_schema, scd2_view
+    from dexspark.lake.table import LakeTable
+
+    seen = {}
+    uniq = {}
+    for conv, turn, lsn, op in evs:
+        op = seen.setdefault((conv, turn, lsn), op)
+        uniq[(conv, turn, lsn)] = (conv, turn, lsn, op)
+    ordered = sorted(uniq.values(), key=lambda e: e[2])
+
+    d = tmp_path_factory.mktemp("prop_scd2")
+    payload = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    history = LakeTable.create(
+        spark, str(d), scd2_schema(_parse_datatype_string(payload)),
+        "conv_id", num_buckets=4,
+    )
+    size = max(1, len(ordered) // n_batches)
+    chunks = [
+        (b, ordered[start : start + size])
+        for b, start in enumerate(range(0, len(ordered), size))
+    ]
+    rng.shuffle(chunks)
+    for b, chunk in chunks:
+        df = spark.createDataFrame(_rows(chunk), SCHEMA)
+        apply_changes_scd2(history, df, batch_id=f"s{b}")
+
+    # Python model: per key, the lsn-sorted event list; each non-D
+    # event opens a version closed by the next event (image or D)
+    per_key = {}
+    for conv, turn, lsn, op in ordered:
+        per_key.setdefault((f"c{conv}", turn), []).append((lsn, op))
+    model = set()
+    for (conv, turn), evts in per_key.items():
+        evts.sort()
+        for i, (lsn, op) in enumerate(evts):
+            if op == "D":
+                continue
+            nxt = evts[i + 1] if i + 1 < len(evts) else None
+            model.add((
+                conv, turn, lsn,
+                nxt[0] if nxt else None,
+                bool(nxt and nxt[1] == "D"),
+                nxt is None,
+            ))
+
+    got = {
+        (r.conv_id, r.turn_idx, r.valid_from_lsn, r.valid_to_lsn,
+         r.closed_by_delete, r.is_current)
+        for r in scd2_view(history.read()).collect()
+    }
+    assert got == model
