@@ -120,6 +120,45 @@ def stratified_sample(
     return df.where(h < thr)
 
 
+def source_cap_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    cap: int,
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """Cap every source at ~``cap`` rows: a source at or under the cap
+    passes whole; an over-represented source keeps each row iff its
+    hash falls under ``floor(cap * HASH_SPACE / n_source)`` — the
+    standard "cap the head domains" rebalancing step of corpus
+    curation (per-domain page caps, per-source document caps), where
+    the FRACTION is derived from the data instead of configured.
+
+    Unlike a float-weighted mixture (``n^tau`` temperatures), the
+    threshold is computed with exact int64 arithmetic — both operands
+    of the one division are < 2^53, so the IEEE quotient (and its
+    floor) is bit-identical in any engine — which keeps the sample
+    membership oracle-reproducible even though it depends on runtime
+    counts.
+
+    Plan shape: one map-side-combined ``groupBy(source).count()``
+    (output = #sources rows), broadcast back onto the corpus, then a
+    codegen'd hash filter — the corpus itself never shuffles, and the
+    decision stays a pure function of (row, per-source count)."""
+    if cap < 0:
+        raise ValueError("cap must be >= 0")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    thr = F.when(F.col("_n") <= cap, F.lit(HASH_SPACE)).otherwise(
+        F.floor(F.lit(cap * HASH_SPACE) / F.col("_n"))
+    )
+    h = hash_bucket(F.col(key_col), salt)
+    return (
+        df.join(F.broadcast(counts), on=source_col)
+        .where(h < thr)
+        .drop("_n")
+    )
+
+
 def context_chunks(
     df: DataFrame,
     text_col: str = "text",

@@ -5108,6 +5108,124 @@ FROM cum GROUP BY shard, pack_id
 """
 
 
+def cdc_log_gap_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log continuity audit under the hard oracle: the derived
+    log is deterministically corrupted — every lsn % 97 == 0 segment
+    DROPPED (gaps, including lsn 0 so the expected_min endpoint check
+    fires), every surviving lsn % 131 == 0 event re-delivered with a
+    DIFFERENT payload (conflicts), and every surviving lsn % 149 == 0
+    event re-delivered verbatim (benign redelivery, which must NOT be
+    flagged — the dedup stage absorbs it by design). The audit
+    (dexspark/cdc/audit.py) must report exactly the injected gaps and
+    conflicts and nothing else; span=1024 forces the per-span window +
+    boundary-stitch path the 10^10-scale plan relies on."""
+    from dexspark.cdc.audit import log_continuity_audit
+
+    log = derive_log(spark, sf_dir)
+    base = log.filter(F.pmod(F.col("lsn"), 97) != 0)
+    conflict = base.filter(F.pmod(F.col("lsn"), 131) == 0).withColumn(
+        "text", F.concat(F.lit("CONFLICT rev"), F.col("lsn").cast("string"))
+    )
+    redeliver = base.filter(F.pmod(F.col("lsn"), 149) == 0)
+    corrupted = base.unionByName(conflict).unionByName(redeliver)
+    return log_continuity_audit(
+        corrupted,
+        payload_cols=["op", "conv_id", "turn_idx", "role", "text", "tool"],
+        span=1024,
+        expected_min=0,
+    )
+
+
+ORACLE_LOG_GAP_AUDIT = f"""
+WITH {LOG_CTE},
+base AS (SELECT * FROM log WHERE lsn % 97 <> 0),
+corrupted AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT * REPLACE ('CONFLICT rev' || CAST(lsn AS VARCHAR) AS text)
+  FROM base WHERE lsn % 131 = 0
+  UNION ALL
+  SELECT * FROM base WHERE lsn % 149 = 0
+),
+fp AS (
+  SELECT lsn, md5(concat_ws(chr(31),
+    coalesce(CAST(op AS VARCHAR),       chr(0) || 'null' || chr(0)),
+    coalesce(CAST(conv_id AS VARCHAR),  chr(0) || 'null' || chr(0)),
+    coalesce(CAST(turn_idx AS VARCHAR), chr(0) || 'null' || chr(0)),
+    coalesce(CAST(role AS VARCHAR),     chr(0) || 'null' || chr(0)),
+    coalesce(CAST(text AS VARCHAR),     chr(0) || 'null' || chr(0)),
+    coalesce(CAST(tool AS VARCHAR),     chr(0) || 'null' || chr(0))
+  )) AS f FROM corrupted
+),
+per_lsn AS (SELECT lsn, count(DISTINCT f) AS variants FROM fp GROUP BY 1),
+conflicts AS (
+  SELECT 'conflict' AS kind, lsn AS lsn_from, lsn AS lsn_to, variants AS n
+  FROM per_lsn WHERE variants > 1
+),
+gaps AS (
+  SELECT 'gap' AS kind, lsn + 1 AS lsn_from, nxt - 1 AS lsn_to,
+         nxt - lsn - 1 AS n
+  FROM (SELECT lsn, lead(lsn) OVER (ORDER BY lsn) AS nxt FROM per_lsn)
+  WHERE nxt > lsn + 1
+),
+head AS (
+  SELECT 'gap' AS kind, 0 AS lsn_from, min(lsn) - 1 AS lsn_to, min(lsn) AS n
+  FROM per_lsn HAVING min(lsn) > 0
+)
+SELECT kind, CAST(lsn_from AS BIGINT) AS lsn_from,
+       CAST(lsn_to AS BIGINT) AS lsn_to, CAST(n AS BIGINT) AS n
+FROM (SELECT * FROM conflicts UNION ALL SELECT * FROM gaps
+      UNION ALL SELECT * FROM head)
+"""
+
+
+_CAP = 80
+
+
+def doc_source_cap_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-cap rebalancing: derive a deliberately skewed domain
+    column (70% web / 20% books / 10% code), then cap every domain at
+    ~80 expected docs via a count-derived hash threshold
+    (``source_cap_sample``) — integer-exact arithmetic keeps the
+    data-dependent threshold, and therefore the exact kept-row
+    MEMBERSHIP, reproducible in any engine. web and books are thinned
+    to the cap, code passes whole."""
+    from dexspark.functions.sampling import source_cap_sample
+
+    docs = load(spark, sf_dir, "documents")
+    domain = (
+        F.when(F.pmod(F.col("doc_id"), 10) < 7, F.lit("web"))
+        .when(F.pmod(F.col("doc_id"), 10) < 9, F.lit("books"))
+        .otherwise(F.lit("code"))
+    )
+    kept = source_cap_sample(
+        docs.withColumn("domain", domain), "doc_id", "domain", cap=_CAP
+    )
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"), "domain")
+
+
+ORACLE_SOURCE_CAP = f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 < 7 THEN 'web'
+         WHEN doc_id % 10 < 9 THEN 'books'
+         ELSE 'code' END AS domain
+  FROM documents
+),
+c AS (SELECT domain, count(*) AS n FROM d GROUP BY 1),
+h AS (
+  SELECT d.doc_id, d.domain, c.n,
+    CAST(('0x' || substr(md5('cap-v1' || CAST(d.doc_id AS VARCHAR)), 1, 6))
+         AS BIGINT) AS hv
+  FROM d JOIN c USING (domain)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, domain
+FROM h
+WHERE hv < CASE WHEN n <= {_CAP} THEN 16777216
+                ELSE CAST(floor({_CAP} * 16777216.0 / n) AS BIGINT) END
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "pipeline_doc_words": (pipeline_doc_words_q, ORACLE_PIPELINE_WORDS),
     "pipeline_config_doc_words": (pipeline_config_doc_words_q, ORACLE_PIPELINE_WORDS),
@@ -5173,6 +5291,7 @@ QUERIES: dict[str, tuple] = {
         ORACLE_TS_MONOTONIC,
     ),
     "cdc_lineage_batches": (cdc_lineage_batches_q, ORACLE_LINEAGE),
+    "cdc_log_gap_audit": (cdc_log_gap_audit_q, ORACLE_LOG_GAP_AUDIT),
     "cdc_quarantine_reprocess": (
         cdc_quarantine_reprocess_q,
         ORACLE_QUARANTINE_REPROCESS,
@@ -5223,6 +5342,7 @@ QUERIES: dict[str, tuple] = {
     "doc_exact_dedup": (doc_exact_dedup_q, ORACLE_EXACT_DEDUP),
     "doc_train_split": (doc_train_split_q, _oracle_train_split()),
     "doc_stratified_sample": (doc_stratified_sample_q, _oracle_stratified_sample()),
+    "doc_source_cap_sample": (doc_source_cap_sample_q, ORACLE_SOURCE_CAP),
     "doc_context_chunks": (doc_context_chunks_q, ORACLE_CONTEXT_CHUNKS),
     "doc_pack_sequences": (doc_pack_sequences_q, ORACLE_PACK_SEQUENCES),
     "corpus_training_run": (corpus_training_run_q, _oracle_training_run()),

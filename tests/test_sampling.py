@@ -156,3 +156,48 @@ def test_pack_sequences_contiguous_in_order(docs):
             .collect()
         ]
         assert seq == sorted(seq)
+
+
+def test_source_cap_sample_caps_heads_keeps_tails(docs):
+    from dexspark.functions.sampling import source_cap_sample
+
+    # lang distribution is uniform thirds (100 each); cap at 40:
+    # every stratum is over the cap, expected keep ≈ 40 per lang
+    kept = source_cap_sample(docs, "doc_id", "lang", cap=40)
+    per = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    for lang, n in per.items():
+        assert 20 <= n <= 60, (lang, n)  # ~40 expected, binomial spread
+
+    # cap above every count → identity (whole corpus passes, exactly)
+    whole = source_cap_sample(docs, "doc_id", "lang", cap=1000)
+    assert whole.count() == docs.count()
+
+    # membership is layout-independent and a subset of the input
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {
+        r["doc_id"]
+        for r in source_cap_sample(
+            docs.repartition(11), "doc_id", "lang", cap=40
+        ).collect()
+    }
+    assert a == b
+    assert a <= {r["doc_id"] for r in docs.collect()}
+
+
+def test_source_cap_sample_append_monotone(docs):
+    """Growing a source can only shrink its threshold: a row kept at
+    the larger corpus was also kept at the smaller one (the cap gets
+    SHARED across more rows, it never admits new ones)."""
+    from dexspark.functions.sampling import source_cap_sample
+
+    small = docs.where(F.col("doc_id") < 150)
+    kept_small = {
+        r["doc_id"]
+        for r in source_cap_sample(small, "doc_id", "lang", cap=30).collect()
+    }
+    kept_big = {
+        r["doc_id"]
+        for r in source_cap_sample(docs, "doc_id", "lang", cap=30).collect()
+    }
+    assert {i for i in kept_big if i < 150} <= kept_small
