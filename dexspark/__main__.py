@@ -431,6 +431,45 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_audit(args) -> int:
+    """Continuity audit — exit 1 on HARD findings (same-LSN payload
+    conflicts in the log, overlapping batch ranges in the lineage),
+    0 on clean or advisory-only, so it can gate a replay in a shell
+    pipeline the way the reference's validation gate fronts its
+    orchestrator (FnRouter.kt:72-89)."""
+    from dexspark.cdc.audit import lineage_continuity_audit, log_continuity_audit
+    from dexspark.sources.changelog import read_log
+
+    if not args.table and not args.log:
+        print("audit: need --table and/or --log", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    findings: list[dict] = []
+    if args.log:
+        df = read_log(spark, args.log, fmt=args.format)
+        rows = log_continuity_audit(
+            df, expected_min=args.expect_min, expected_max=args.expect_max
+        ).limit(args.max_findings + 1).collect()
+        findings += [{"scope": "log", **r.asDict()} for r in rows]
+    if args.table:
+        rows = (
+            lineage_continuity_audit(LakeTable(spark, args.table))
+            .limit(args.max_findings + 1)
+            .collect()
+        )
+        findings += [{"scope": "lineage", **r.asDict()} for r in rows]
+    truncated = len(findings) > args.max_findings
+    findings = findings[: args.max_findings]
+    hard = sum(1 for f in findings if f["kind"] in ("conflict", "overlap"))
+    print(
+        json.dumps(
+            {"findings": findings, "hard": hard, "truncated": truncated},
+            default=str,
+        )
+    )
+    return 1 if hard else 0
+
+
 def cmd_status(args) -> int:
     spark = _spark(args)
     t = LakeTable(spark, args.table)
@@ -683,6 +722,17 @@ def main(argv: list[str] | None = None) -> int:
              "timestamps in ISO format, e.g. ts:<:2024-01-01T00:08:00",
     )
     dl.set_defaults(fn=cmd_delete)
+
+    au = sub.add_parser(
+        "audit", help="continuity audit over a change log and/or table lineage"
+    )
+    au.add_argument("--table", default=None, help="lineage-range audit target")
+    au.add_argument("--log", default=None, help="change-log dir to gap-audit")
+    au.add_argument("--format", default="parquet", choices=["parquet", "json"])
+    au.add_argument("--expect-min", type=int, default=None)
+    au.add_argument("--expect-max", type=int, default=None)
+    au.add_argument("--max-findings", type=int, default=1000)
+    au.set_defaults(fn=cmd_audit)
 
     s = sub.add_parser("status", help="print table status")
     s.add_argument("--table", required=True)

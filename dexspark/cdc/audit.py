@@ -35,7 +35,12 @@ md5 from the first map pass.
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from dexspark.lake.table import LakeTable
 
 AUDIT_COLS = ("kind", "lsn_from", "lsn_to", "n")
 
@@ -163,3 +168,73 @@ def log_continuity_audit(
             if piece is not None:
                 out = out.unionByName(piece)
     return out
+
+
+LINEAGE_AUDIT_DDL = (
+    "kind string, a_batch string, b_batch string, "
+    "lsn_from long, lsn_to long, n long"
+)
+
+
+def lineage_continuity_audit(table: "LakeTable") -> DataFrame:
+    """Exactly-once sanity over a table's OWN metrics: the applied-LSN
+    ranges of the batches on the live lineage must be pairwise
+    disjoint, and consecutive ranges should leave no hole.
+
+    Two kinds:
+
+    - ``overlap`` (hard) — two committed batches claim the same LSNs:
+      a double-apply, a misordered tail, or two producers writing the
+      same sequence range. The LSN-gated merge masks the damage for
+      last-writer-wins state, but SCD2 history, change-feed consumers,
+      and lineage-based replay accounting are all wrong — stop and
+      investigate.
+    - ``range_gap`` (advisory) — LSNs between two batches that no
+      batch applied. Legitimately thinned edges (rejected or deduped
+      rows at a batch boundary carry LSNs that never reach the merge)
+      look identical to a dropped log segment from here, so a gap is
+      a pointer back to ``log_continuity_audit`` on the source log,
+      not a verdict.
+
+    Metadata-only: walks manifest summaries on the live lineage (the
+    same chain as the exactly-once ledger — rolled-back batches drop
+    out, published branch batches fold in where their publish commit
+    carries lineage). O(commits) driver work, zero data I/O; findings
+    are returned as a DataFrame for a uniform audit surface."""
+    spans: dict[str, list[int]] = {}
+    for m in table.live_manifests():
+        s = m.summary
+        bid = s.get("batch_id")
+        if bid is None:
+            continue
+        lsns = [
+            int(p[k])
+            for p in s.get("partitions", [])
+            for k in ("start_lsn", "end_lsn")
+            if p.get(k) is not None
+        ]
+        if not lsns:
+            continue
+        cur = spans.setdefault(str(bid), [min(lsns), max(lsns)])
+        cur[0] = min(cur[0], min(lsns))
+        cur[1] = max(cur[1], max(lsns))
+
+    findings: list[tuple] = []
+    ordered = sorted(spans.items(), key=lambda kv: (kv[1][0], kv[1][1]))
+    run_end: int | None = None
+    run_batch: str | None = None
+    for bid, (lo, hi) in ordered:
+        if run_end is not None:
+            if lo <= run_end:
+                ov_hi = min(hi, run_end)
+                findings.append(
+                    ("overlap", run_batch, bid, lo, ov_hi, ov_hi - lo + 1)
+                )
+            elif lo > run_end + 1:
+                findings.append(
+                    ("range_gap", run_batch, bid, run_end + 1, lo - 1,
+                     lo - run_end - 1)
+                )
+        if run_end is None or hi > run_end:
+            run_end, run_batch = hi, bid
+    return table.spark.createDataFrame(findings, LINEAGE_AUDIT_DDL)

@@ -221,40 +221,44 @@ class LakeTable:
     def history(self) -> list[mf.Manifest]:
         return [self.manifest(v) for v in mf.available_versions(self.meta_dir)]
 
-    def committed_batch_ids(self) -> set[Any]:
-        """Batch ids on the LIVE lineage — the exactly-once ledger.
-
-        Walks parent pointers from head; a ``rollback`` commit jumps to
-        its ``restored_version``, so batches whose effects were rolled
-        back LEAVE the ledger and a corrected replay of the same batch
-        id re-applies instead of no-opping (the point of a rollback in
-        a CDC store). Without rollbacks the chain is exactly the
-        retained history, preserving prior semantics. The walk stops at
-        an expired manifest: ids past the retention horizon age out —
-        size ``expire_snapshots(keep_last=)`` beyond the replay horizon
-        (same caveat as before the chain walk)."""
-        ids: set[Any] = set()
+    def live_manifests(self):
+        """Manifests on the LIVE lineage, head → root — the chain the
+        exactly-once ledger is defined over. Walks parent pointers; a
+        ``rollback`` commit jumps to its ``restored_version`` (batches
+        whose effects were rolled back leave the lineage, so a
+        corrected replay of the same batch id re-applies instead of
+        no-opping). Stops at an expired manifest: entries past the
+        retention horizon age out — size
+        ``expire_snapshots(keep_last=)`` beyond the replay horizon."""
         try:
             m = self.manifest()
         except FileNotFoundError:
-            return ids
+            return
         while True:
+            yield m
+            if m.summary.get("operation") == "rollback":
+                nxt = m.summary.get("restored_version")
+            else:
+                nxt = m.parent
+            if nxt is None:
+                return
+            try:
+                m = self.manifest(nxt)
+            except FileNotFoundError:
+                return
+
+    def committed_batch_ids(self) -> set[Any]:
+        """Batch ids on the LIVE lineage — the exactly-once ledger
+        (see ``live_manifests`` for the walk semantics)."""
+        ids: set[Any] = set()
+        for m in self.live_manifests():
             if "batch_id" in m.summary:
                 ids.add(m.summary["batch_id"])
             # a publish_branch commit carries the batch ids of every
             # branch-local commit it folded in — they join the ledger
             # exactly as if applied to main directly
             ids.update(m.summary.get("published_batch_ids", []))
-            if m.summary.get("operation") == "rollback":
-                nxt = m.summary.get("restored_version")
-            else:
-                nxt = m.parent
-            if nxt is None:
-                return ids
-            try:
-                m = self.manifest(nxt)
-            except FileNotFoundError:
-                return ids
+        return ids
 
     def lineage_df(self) -> DataFrame:
         """Per-commit, per-bucket lineage as a DataFrame (the metrics table).

@@ -99,3 +99,103 @@ def test_layout_independence(spark):
     # 0 missing → head gap; every other %13 multiple an interior gap
     assert ("gap", 0, 0, 1) in a
     assert len(a) == len([i for i in range(200) if i % 13 == 0])
+
+
+# ---------------------------------------------------------------------------
+# lineage continuity audit (metadata-only, over manifest summaries)
+# ---------------------------------------------------------------------------
+
+from types import SimpleNamespace
+
+from dexspark.cdc.audit import lineage_continuity_audit
+
+
+def _fake_table(spark, batches):
+    """batches: list of (batch_id, [(start, end), ...]) per-bucket spans."""
+    manifests = [
+        SimpleNamespace(
+            summary={
+                "batch_id": bid,
+                "partitions": [
+                    {"bucket": i, "start_lsn": s, "end_lsn": e, "applied": 1}
+                    for i, (s, e) in enumerate(spans)
+                ],
+            }
+        )
+        for bid, spans in batches
+    ]
+    return SimpleNamespace(spark=spark, live_manifests=lambda: iter(manifests))
+
+
+def _lrows(df):
+    return {
+        (r["kind"], r["a_batch"], r["b_batch"], r["lsn_from"], r["lsn_to"], r["n"])
+        for r in df.collect()
+    }
+
+
+def test_lineage_tiling_clean(spark):
+    t = _fake_table(
+        spark, [("b0", [(0, 40), (41, 99)]), ("b1", [(100, 150)]),
+                ("b2", [(151, 151)])]
+    )
+    assert _lrows(lineage_continuity_audit(t)) == set()
+
+
+def test_lineage_overlap_and_gap(spark):
+    t = _fake_table(
+        spark,
+        [("b0", [(0, 99)]), ("b1", [(80, 150)]),   # overlap 80..99
+         ("b2", [(200, 220)])],                     # gap 151..199
+    )
+    assert _lrows(lineage_continuity_audit(t)) == {
+        ("overlap", "b0", "b1", 80, 99, 20),
+        ("range_gap", "b1", "b2", 151, 199, 49),
+    }
+
+
+def test_lineage_contained_range_is_overlap(spark):
+    # b1 entirely inside b0 — the running-max walk must still flag it
+    t = _fake_table(spark, [("b0", [(0, 99)]), ("b1", [(10, 20)])])
+    assert _lrows(lineage_continuity_audit(t)) == {
+        ("overlap", "b0", "b1", 10, 20, 11),
+    }
+
+
+def test_lineage_audit_real_replay_overlap(spark, tmp_table_dir):
+    """End-to-end: two apply_changes of OVERLAPPING LSN ranges under
+    different batch ids — the exactly-once ledger can't see it (ids
+    differ), the lineage audit must."""
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from dexspark.cdc import apply_changes
+    from dexspark.cdc.generator import gen_change_log
+    from dexspark.sources.changelog import PAYLOAD_DDL
+
+    t = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "t"),
+        _parse_datatype_string(PAYLOAD_DDL), "conv_id", num_buckets=4,
+    )
+    log = gen_change_log(spark, 2000, n_convs=40, n_batches=1)
+    apply_changes(t, log.filter(F.col("lsn") < 1200), batch_id="a")
+    apply_changes(t, log.filter(F.col("lsn") >= 800), batch_id="a2")
+    got = lineage_continuity_audit(t).collect()
+    assert len(got) == 1 and got[0]["kind"] == "overlap"
+    assert (got[0]["lsn_from"], got[0]["lsn_to"]) == (800, 1199)
+
+    # clean tiling replay stays silent
+    t2 = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "t2"),
+        _parse_datatype_string(PAYLOAD_DDL), "conv_id", num_buckets=4,
+    )
+    apply_changes(t2, log.filter(F.col("lsn") < 1000), batch_id="a")
+    apply_changes(t2, log.filter(F.col("lsn") >= 1000), batch_id="b")
+    hard = [r for r in lineage_continuity_audit(t2).collect()
+            if r["kind"] == "overlap"]
+    assert hard == []
+
+
+from dexspark.lake.table import LakeTable  # noqa: E402  (used above)

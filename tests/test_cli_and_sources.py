@@ -472,3 +472,37 @@ def test_cli_replay_scd2_mode(spark, tmp_table_dir):
     )
     assert cur.exceptAll(expected).count() == 0
     assert expected.exceptAll(cur).count() == 0
+
+
+def test_cli_audit_gate(spark, tmp_table_dir, capsys):
+    """`dexspark audit` as a replay pre-gate: advisory-only findings
+    exit 0, hard findings (payload conflicts) exit 1."""
+    import pyspark.sql.functions as F
+
+    log = gen_change_log(spark, 2000, n_convs=50, n_batches=2)
+    log_dir = os.path.join(tmp_table_dir, "log")
+    log.filter("lsn % 250 != 3").coalesce(2).write.parquet(log_dir)
+    table_dir = os.path.join(tmp_table_dir, "tbl")
+    cp = os.path.join(tmp_table_dir, "cp")
+    assert main(
+        ["replay", "--log", log_dir, "--table", table_dir,
+         "--checkpoint", cp, "--buckets", "4"]
+    ) == 0
+
+    rc = main(["audit", "--table", table_dir, "--log", log_dir])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["hard"] == 0 and not out["truncated"]
+    gaps = [f for f in out["findings"]
+            if f["scope"] == "log" and f["kind"] == "gap"]
+    # dropped lsns 3, 253, ..., 1753 — eight interior single-lsn gaps
+    assert len(gaps) == 8 and all(g["n"] == 1 for g in gaps)
+    assert all(f["kind"] != "overlap" for f in out["findings"])
+
+    bad_dir = os.path.join(tmp_table_dir, "badlog")
+    dup = log.filter("lsn % 400 = 1").withColumn("text", F.lit("EVIL"))
+    log.unionByName(dup).coalesce(2).write.parquet(bad_dir)
+    rc = main(["audit", "--log", bad_dir])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["hard"] == 5  # lsn 1, 401, ..., 1601
+
+    assert main(["audit"]) == 2  # neither --table nor --log

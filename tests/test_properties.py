@@ -370,3 +370,46 @@ def test_scd2_history_any_batching_any_order(
         for r in scd2_view(history.read()).collect()
     }
     assert got == model
+
+
+# ---------------------------------------------------------------------------
+# log continuity audit vs a pure-Python reference model
+# ---------------------------------------------------------------------------
+
+audit_strategy = st.tuples(
+    st.sets(st.integers(min_value=0, max_value=120), min_size=0, max_size=60),
+    st.sets(st.integers(min_value=0, max_value=120), min_size=0, max_size=8),
+    st.sets(st.integers(min_value=0, max_value=120), min_size=0, max_size=8),
+    st.integers(min_value=2, max_value=40),  # span
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(audit_strategy)
+def test_log_audit_matches_reference_model(spark, data):
+    """Arbitrary present-LSN sets with arbitrary conflict injections
+    and verbatim redeliveries, audited at an arbitrary span, equal a
+    trivial O(n log n) single-threaded reference model."""
+    from dexspark.cdc.audit import log_continuity_audit
+
+    present, conflicts, redeliveries, span = data
+    conflicts &= present
+    redeliveries &= present
+    rows = [(i, f"p{i}") for i in present]
+    rows += [(i, f"CONFLICT{i}") for i in conflicts]
+    rows += [(i, f"p{i}") for i in redeliveries]
+    df = spark.createDataFrame(rows, "lsn long, text string")
+
+    got = {
+        (r["kind"], r["lsn_from"], r["lsn_to"], r["n"])
+        for r in log_continuity_audit(df, span=span, expected_min=0).collect()
+    }
+
+    expect = {("conflict", i, i, 2) for i in conflicts}
+    seq = sorted(present)
+    if seq and seq[0] > 0:
+        expect.add(("gap", 0, seq[0] - 1, seq[0]))
+    for a, b in zip(seq, seq[1:]):
+        if b > a + 1:
+            expect.add(("gap", a + 1, b - 1, b - a - 1))
+    assert got == expect
