@@ -10,5 +10,6 @@ Pipeline (≙ reference ingest→validate→route, SURVEY.md §3.4):
 """
 
 from dexspark.cdc.apply import apply_changes  # noqa: F401
+from dexspark.cdc.bootstrap import bootstrap_table  # noqa: F401
 from dexspark.cdc.dedup import dedupe_latest  # noqa: F401
 from dexspark.cdc.validate import validate_events  # noqa: F401

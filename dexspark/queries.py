@@ -5108,6 +5108,45 @@ FROM cum GROUP BY shard, pack_id
 """
 
 
+def cdc_bootstrap_then_tail_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap-then-tail under the hard oracle (Debezium/DMS initial
+    snapshot + stream): a "vendor snapshot" of the valid pre-watermark
+    state (plus the deleted-key tombstone list) seeds a fresh table as
+    one bootstrap batch at watermark LSN W = max_lsn // 2, then the
+    tail replays every batch from the one CONTAINING W — i.e. the
+    first tail batch overlaps the watermark and redelivers pre-W
+    events, which must all lose the LSN gate (the seeded tombstones
+    block resurrection of pre-W deletes). Final state must equal a
+    full from-scratch replay (ORACLE_REPLAY)."""
+    from dexspark.cdc.bootstrap import bootstrap_table
+    from dexspark.cdc.dedup import dedupe_latest
+    from dexspark.cdc.validate import REASON_COL, flag_events
+
+    log = derive_log(spark, sf_dir)
+    w = int(log.agg(F.max("lsn")).first()[0]) // 2
+    keys = ["conv_id", "turn_idx"]
+    payload = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    pre = flag_events(log.filter(F.col("lsn") <= w))
+    latest = dedupe_latest(pre.filter(F.col(REASON_COL).isNull()), keys)
+    snapshot = latest.filter(F.col("op") != "D").select(*payload)
+    deletes = latest.filter(F.col("op") == "D").select(*keys, "lsn")
+
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    bootstrap_table(table, snapshot, watermark_lsn=w, deletes=deletes)
+    w_batch = w // BATCH
+    for b in batch_range(log):
+        if b >= w_batch:
+            apply_changes(
+                table, log.filter(F.col("batch_seq") == b), batch_id=f"b{b}"
+            )
+    return table.read()
+
+
 def cdc_log_gap_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-log continuity audit under the hard oracle: the derived
     log is deterministically corrupted — every lsn % 97 == 0 segment
@@ -5292,6 +5331,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "cdc_lineage_batches": (cdc_lineage_batches_q, ORACLE_LINEAGE),
     "cdc_log_gap_audit": (cdc_log_gap_audit_q, ORACLE_LOG_GAP_AUDIT),
+    "cdc_bootstrap_then_tail": (cdc_bootstrap_then_tail_q, ORACLE_REPLAY),
     "cdc_quarantine_reprocess": (
         cdc_quarantine_reprocess_q,
         ORACLE_QUARANTINE_REPROCESS,
