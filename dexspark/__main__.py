@@ -431,6 +431,48 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_bootstrap(args) -> int:
+    """Initial-load entry: seed a fresh table from a snapshot at a
+    watermark LSN, then `dexspark replay` tails the log (safely from
+    the segment containing the watermark when --deletes was given —
+    tombstones block pre-watermark resurrection; strictly after it
+    otherwise)."""
+    from dexspark.cdc.bootstrap import bootstrap_table
+
+    spark = _spark(args)
+    schema = _parse_datatype_string(args.payload_schema)
+    if LakeTable.exists(args.table):
+        table = LakeTable(spark, args.table)
+    else:
+        table = LakeTable.create(
+            spark, args.table, schema,
+            bucket_key=args.bucket_key, num_buckets=args.buckets,
+        )
+    reader = spark.read.schema(schema)
+    snapshot = (
+        reader.parquet(args.snapshot)
+        if args.format == "parquet"
+        else reader.json(args.snapshot)
+    )
+    deletes = None
+    if args.deletes:
+        dschema = _parse_datatype_string(args.deletes_schema)
+        dr = spark.read.schema(dschema)
+        deletes = (
+            dr.parquet(args.deletes)
+            if args.format == "parquet"
+            else dr.json(args.deletes)
+        )
+    info = bootstrap_table(
+        table, snapshot,
+        watermark_lsn=args.watermark,
+        deletes=deletes,
+        batch_id=args.batch_id,
+    )
+    print(json.dumps(info, default=str))
+    return 0
+
+
 def cmd_audit(args) -> int:
     """Continuity audit — exit 1 on HARD findings (same-LSN payload
     conflicts in the log, overlapping batch ranges in the lineage),
@@ -722,6 +764,30 @@ def main(argv: list[str] | None = None) -> int:
              "timestamps in ISO format, e.g. ts:<:2024-01-01T00:08:00",
     )
     dl.set_defaults(fn=cmd_delete)
+
+    bs = sub.add_parser(
+        "bootstrap",
+        help="seed a fresh table from a full snapshot at a watermark LSN "
+             "(initial load before `replay` tails the log)",
+    )
+    bs.add_argument("--table", required=True)
+    bs.add_argument("--snapshot", required=True, help="snapshot data dir")
+    bs.add_argument("--watermark", type=int, required=True)
+    bs.add_argument(
+        "--deletes", default=None,
+        help="dir of (key cols + lsn) rows for keys deleted at-or-before "
+             "the watermark — seeded as tombstones so an overlapping tail "
+             "cannot resurrect them",
+    )
+    bs.add_argument(
+        "--deletes-schema", default="conv_id string, turn_idx int, lsn long"
+    )
+    bs.add_argument("--format", choices=["parquet", "json"], default="parquet")
+    bs.add_argument("--payload-schema", default=PAYLOAD_DDL)
+    bs.add_argument("--bucket-key", default="conv_id")
+    bs.add_argument("--buckets", type=int, default=64)
+    bs.add_argument("--batch-id", default="bootstrap")
+    bs.set_defaults(fn=cmd_bootstrap)
 
     au = sub.add_parser(
         "audit", help="continuity audit over a change log and/or table lineage"

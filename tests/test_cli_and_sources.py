@@ -506,3 +506,43 @@ def test_cli_audit_gate(spark, tmp_table_dir, capsys):
     assert rc == 1 and out["hard"] == 5  # lsn 1, 401, ..., 1601
 
     assert main(["audit"]) == 2  # neither --table nor --log
+
+
+def test_cli_bootstrap_then_replay(spark, tmp_table_dir):
+    """Initial load via `dexspark bootstrap`, then the normal `replay`
+    tail — final state equals a full from-scratch replay."""
+    import pyspark.sql.functions as F
+
+    from dexspark.cdc.dedup import dedupe_latest
+    from dexspark.cdc.validate import REASON_COL, flag_events
+
+    log = gen_change_log(spark, 3000, n_convs=50, n_batches=3, delete_pct=20)
+    w = 999  # batch 0 covers lsns 0..999
+    pre = flag_events(log.filter(F.col("lsn") <= w))
+    latest = dedupe_latest(
+        pre.filter(F.col(REASON_COL).isNull()), ["conv_id", "turn_idx"]
+    )
+    payload = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    snap_dir = os.path.join(tmp_table_dir, "snap")
+    latest.filter("op <> 'D'").select(*payload).write.parquet(snap_dir)
+    del_dir = os.path.join(tmp_table_dir, "dels")
+    latest.filter("op = 'D'").select(
+        "conv_id", "turn_idx", "lsn"
+    ).write.parquet(del_dir)
+    tail_dir = os.path.join(tmp_table_dir, "tail")
+    log.filter(F.col("batch_seq") >= 1).coalesce(2).write.parquet(tail_dir)
+
+    table_dir = os.path.join(tmp_table_dir, "tbl")
+    assert main(
+        ["bootstrap", "--table", table_dir, "--snapshot", snap_dir,
+         "--watermark", str(w), "--deletes", del_dir, "--buckets", "4"]
+    ) == 0
+    assert main(
+        ["replay", "--log", tail_dir, "--table", table_dir,
+         "--checkpoint", os.path.join(tmp_table_dir, "cp"), "--buckets", "4"]
+    ) == 0
+
+    got = LakeTable(spark, table_dir).read()
+    expected = expected_final_state(log)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
