@@ -183,3 +183,33 @@ def test_global_scalar_joins_broadcast_single_row(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, plan
     assert "Broadcast" in plan, plan
+
+
+@needs_data
+def test_source_cap_sample_broadcasts_counts(spark):
+    """The per-source count frame (one row per source) must broadcast
+    back onto the corpus — a shuffled sort-merge join here would
+    re-shuffle the whole corpus for a #sources-row lookup."""
+    plan = plan_of(spark, "doc_source_cap_sample")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan and (
+        "BroadcastNestedLoopJoin" not in plan
+    ), plan
+
+
+@needs_data
+def test_log_gap_audit_no_global_single_partition_window(spark):
+    """The gap windows must partition by the LSN span (parallel); a
+    refactor to a global orderBy window would plan a single-partition
+    exchange over every distinct LSN. Also: no cartesian/BNLJ anywhere
+    in the audit."""
+    plan = plan_of(spark, "cdc_log_gap_audit")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the data-scale windows are keyed by _span; SinglePartition may
+    # appear only for the O(spans) boundary-stitch aggregate, which the
+    # span window's own exchange must not be
+    assert re.search(r"Window .*lead\(lsn", plan), plan
+    spanned = re.findall(r"hashpartitioning\(_span", plan)
+    assert spanned, "span windows lost their parallel partitioning"
