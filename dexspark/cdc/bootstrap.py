@@ -82,6 +82,12 @@ def bootstrap_table(
     else:
         lsn = F.lit(int(watermark_lsn)).cast("long")
         payload_cols = list(snapshot.columns)
+    clash = {"lsn", "op"} & set(payload_cols)
+    if clash:
+        raise ValueError(
+            f"snapshot payload carries reserved CDC columns {sorted(clash)} "
+            "— drop them (or pass lsn_col='lsn' to use per-row LSNs)"
+        )
     events = snapshot.select(
         lsn.alias("lsn"), F.lit("I").alias("op"), *payload_cols
     )

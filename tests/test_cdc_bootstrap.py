@@ -140,3 +140,13 @@ def test_bootstrap_guards(spark, log, tmp_table_dir):
     t2 = _table(spark, tmp_table_dir, "guards2")
     with pytest.raises(ValueError, match="lacks columns"):
         bootstrap_table(t2, snapshot, watermark_lsn=999, deletes=bad)
+
+
+def test_bootstrap_rejects_reserved_columns(spark, log, tmp_table_dir):
+    t = _table(spark, tmp_table_dir, "reserved")
+    snap_with_lsn = log.filter(F.col("batch_seq") == 0).select(*PAYLOAD, "lsn")
+    with pytest.raises(ValueError, match="reserved CDC columns"):
+        bootstrap_table(t, snap_with_lsn, watermark_lsn=999)
+    # the documented escape hatch: use the column as per-row LSNs
+    info = bootstrap_table(t, snap_with_lsn, lsn_col="lsn")
+    assert not info["skipped"]
