@@ -123,6 +123,78 @@ def _stored_as_events(history: DataFrame, payload: list[str]) -> DataFrame:
     return opens.unionByName(deletes)
 
 
+def scd2_temporal_join(
+    facts: DataFrame,
+    history_df: DataFrame,
+    key_cols: list[str],
+    at_col: str = "lsn",
+    value_cols: list[str] | None = None,
+    suffix: str = "_dim",
+    how: str = "inner",
+) -> DataFrame:
+    """Enrich each fact row with the dimension VERSION that was valid
+    at the fact's LSN — the classic fact-to-SCD2-dimension temporal
+    join (``h.valid_from_lsn <= at < h.valid_to_lsn``, open version =
+    +inf): "what did this transcript turn say when event ``at``
+    happened?" as a join, with the SCD2 table playing the warehouse
+    dimension.
+
+    Built on the as-of operator (operators/asof.py): per key the
+    version intervals are disjoint and ordered, so the version with
+    the greatest ``valid_from_lsn <= at`` is the ONLY candidate — one
+    union + ordered-window pass, exactly one shuffle on the key, no
+    interval-join row multiplication, whole-stage codegen throughout.
+    The candidate then passes the coverage test ``at < valid_to``
+    (NULL = open), which is what distinguishes "the key was live with
+    this version" from "the key had been deleted by then".
+
+    ``how="inner"`` keeps covered facts; ``how="left"`` keeps every
+    fact with NULL dimension columns when no version covers it.
+    Output = facts' columns + ``valid_from_lsn{suffix}`` +
+    ``valid_to_lsn{suffix}`` + ``{value}{suffix}`` per value column
+    (default: the dimension payload minus the keys)."""
+    from dexspark.operators.asof import asof_join
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if at_col not in facts.columns:
+        raise ValueError(f"facts lack the {at_col!r} column")
+    if value_cols is None:
+        value_cols = [
+            f.name
+            for f in history_df.schema.fields
+            if f.name not in key_cols and f.name not in SCD2_COLS
+        ]
+    versions = scd2_view(history_df).select(
+        *key_cols,
+        F.col("valid_from_lsn").alias(at_col),
+        *value_cols,
+        "valid_to_lsn",
+    )
+    joined = asof_join(
+        facts,
+        versions,
+        on=at_col,
+        by=key_cols,
+        value_cols=value_cols + ["valid_to_lsn"],
+        suffix=suffix,
+    )
+    vf = F.col(f"{at_col}{suffix}")
+    vt = F.col(f"valid_to_lsn{suffix}")
+    covered = vf.isNotNull() & (vt.isNull() | (F.col(at_col) < vt))
+    if how == "inner":
+        joined = joined.filter(covered)
+        gate = lambda c: c  # noqa: E731 — already filtered
+    else:
+        gate = lambda c: F.when(covered, c)  # noqa: E731
+    return joined.select(
+        *facts.columns,
+        gate(vf).alias(f"valid_from_lsn{suffix}"),
+        gate(vt).alias(f"valid_to_lsn{suffix}"),
+        *[gate(F.col(f"{c}{suffix}")).alias(f"{c}{suffix}") for c in value_cols],
+    )
+
+
 def apply_changes_scd2(
     history: LakeTable,
     events: DataFrame,

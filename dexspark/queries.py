@@ -3263,6 +3263,66 @@ def cdc_scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_view(history.read())
 
 
+def cdc_scd2_temporal_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-SCD2-dimension temporal join under the hard oracle:
+    every 7th log event becomes a probe fact, enriched with the
+    transcript version valid AT its LSN (interval semantics
+    ``valid_from <= lsn < valid_to``, open = +inf). Implemented as the
+    as-of union+window pass (one shuffle, no interval-join row
+    multiplication) + the coverage gate; the oracle is the literal
+    interval join in SQL. Inner semantics: probes whose key had been
+    deleted (or not yet inserted) at their LSN drop — which the probe
+    set deliberately contains."""
+    from dexspark.cdc.scd2 import apply_changes_scd2, scd2_schema, scd2_temporal_join
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    history = LakeTable.create(
+        spark, os.path.join(d, "transcripts_hist"),
+        scd2_schema(_parse_datatype_string(PAYLOAD)), "conv_id",
+        num_buckets=16,
+    )
+    for b in batch_range(log):
+        apply_changes_scd2(
+            history,
+            log.filter(F.col("batch_seq") == b).drop("batch_seq"),
+            batch_id=f"b{b}",
+        )
+    facts = log.filter(F.pmod(F.col("lsn"), 7) == 3).select(
+        "lsn", "conv_id", "turn_idx"
+    )
+    return scd2_temporal_join(
+        facts,
+        history.read(),
+        key_cols=["conv_id", "turn_idx"],
+        value_cols=["role", "text", "tool", "ts"],
+    )
+
+
+ORACLE_SCD2_TEMPORAL = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+w AS (
+  SELECT *,
+         lead(lsn) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn) AS next_lsn
+  FROM flagged WHERE reject_reason IS NULL
+),
+hist AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         lsn AS vf, next_lsn AS vt
+  FROM w WHERE op <> 'D'
+),
+facts AS (SELECT lsn, conv_id, turn_idx FROM log WHERE lsn % 7 = 3)
+SELECT f.lsn, f.conv_id, f.turn_idx,
+       CAST(h.vf AS BIGINT) AS valid_from_lsn_dim,
+       CAST(h.vt AS BIGINT) AS valid_to_lsn_dim,
+       h.role AS role_dim, h.text AS text_dim, h.tool AS tool_dim,
+       h.ts AS ts_dim
+FROM facts f
+JOIN hist h USING (conv_id, turn_idx)
+WHERE h.vf <= f.lsn AND (h.vt IS NULL OR f.lsn < h.vt)
+"""
+
+
 ORACLE_SCD2 = f"""
 WITH {LOG_CTE}, {FLAGGED_CTE},
 w AS (
@@ -5275,6 +5335,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_scd2_history": (cdc_scd2_history_q, ORACLE_SCD2),
     "cdc_stream_scd2_history": (cdc_stream_scd2_history_q, ORACLE_SCD2),
     "cdc_scd2_asof": (cdc_scd2_asof_q, ORACLE_SCD2_ASOF),
+    "cdc_scd2_temporal_join": (cdc_scd2_temporal_join_q, ORACLE_SCD2_TEMPORAL),
     "cdc_scd2_evolution": (cdc_scd2_evolution_q, ORACLE_SCD2_EVOLUTION),
     "cdc_scd2_retention": (cdc_scd2_retention_q, ORACLE_SCD2_RETENTION),
     "cdc_replay_compacted": (cdc_replay_compacted_q, ORACLE_REPLAY),

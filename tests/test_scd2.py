@@ -4,6 +4,8 @@ dangling-delete markers, idempotency."""
 import datetime as dt
 import os
 
+import pytest
+
 import pyspark.sql.functions as F
 from pyspark.sql.types import _parse_datatype_string
 
@@ -219,3 +221,54 @@ def test_marker_survives_unrelated_later_event(spark, tmp_table_dir):
     assert h.read().filter(
         F.col("valid_to_lsn").eqNullSafe(F.col("valid_from_lsn"))
     ).count() == 0
+
+
+def test_scd2_temporal_join_interval_semantics(spark):
+    """Coverage edges of the fact-to-dimension temporal join: opens
+    inclusive, closes exclusive, delete gaps uncovered, markers
+    invisible, open version covers to +inf; left join nulls the
+    uncovered probes instead of dropping them."""
+    from dexspark.cdc.scd2 import scd2_temporal_join
+
+    hist = spark.createDataFrame(
+        [
+            ("A", "v1", 10, 20, False, False),
+            ("A", "v2", 20, 30, True, False),   # deleted at 30
+            ("A", "marker", 35, 35, True, False),  # dangling-D marker
+            ("A", "v3", 40, None, False, True),  # reinserted, open
+            ("B", "only", 15, None, False, True),
+        ],
+        "k string, text string, valid_from_lsn long, valid_to_lsn long, "
+        "closed_by_delete boolean, is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [("A", i) for i in (5, 10, 19, 20, 29, 30, 35, 40, 100)]
+        + [("B", 14), ("B", 15)],
+        "k string, lsn long",
+    )
+    inner = {
+        (r["k"], r["lsn"]): r["text_dim"]
+        for r in scd2_temporal_join(facts, hist, ["k"]).collect()
+    }
+    assert inner == {
+        ("A", 10): "v1", ("A", 19): "v1",       # open inclusive
+        ("A", 20): "v2", ("A", 29): "v2",       # close exclusive
+        ("A", 40): "v3", ("A", 100): "v3",      # open version -> +inf
+        ("B", 15): "only",
+    }  # 5 (pre-insert), 30/35 (deleted; marker invisible), B@14 drop
+
+    left = scd2_temporal_join(facts, hist, ["k"], how="left")
+    assert left.count() == facts.count()
+    nulls = {
+        (r["k"], r["lsn"])
+        for r in left.filter(F.col("text_dim").isNull()).collect()
+    }
+    assert nulls == {("A", 5), ("A", 30), ("A", 35), ("B", 14)}
+    # no join node at all: union + window, so no BNLJ/cartesian is
+    # even possible — assert the plan stays that way
+    plan = left._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    with pytest.raises(ValueError, match="inner|left"):
+        scd2_temporal_join(facts, hist, ["k"], how="full")
