@@ -1,0 +1,217 @@
+"""Routed multi-table ingest: one change stream demultiplexed into N
+lake tables through a config lookup, exactly-once per destination.
+
+This is the reference's core topology — ingest → route → deliver to a
+per-destination store (RouteIngestedFile.kt:44-66 resolves the route
+from config and copies to that destination's container; FnRouter.kt
+:138-149 is the two-key variant) — expressed against lake tables
+instead of blob folders. The routing probe itself is the existing O7
+broadcast lookup (operators/routing.py); what this module adds is the
+delivery contract the reference gets from idempotent blob copies:
+**each destination table keeps its own exactly-once ledger**, so a
+crash after destination k commits but before destination k+1 replays
+the batch, destinations 1..k no-op via their ledgers, and k+1..N apply
+— net exactly-once per destination with no cross-table transaction
+needed (destinations never share state; the batch is the unit of
+redelivery).
+
+Scale shape (10^10 events, hundreds of destinations):
+
+- the route stamp is one broadcast-hash probe inside codegen — the
+  event stream is never shuffled by routing;
+- the stamped batch is persisted ONCE and each destination filters its
+  slice from the cache (N cheap scans of one materialization, not N
+  source recomputes);
+- per-route row counts come from ONE map-combined count job, which
+  both feeds metrics and lets empty destinations skip deterministically
+  (no per-destination emptiness probes);
+- each destination's validate → dedup → merge then touches only its
+  slice and shuffles on its OWN bucket key — destinations are fully
+  independent jobs, so a real cluster can run them concurrently; the
+  sequential loop here is a driver-simplicity choice, not a data
+  dependency.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from dexspark.cdc.apply import apply_changes
+from dexspark.cdc.validate import ValidationConfig
+from dexspark.lake.table import LakeTable
+from dexspark.operators.routing import DEFAULT_ROUTE, ROUTE_COL, route_by_config
+
+
+def apply_routed(
+    tables: dict[str, LakeTable],
+    events: DataFrame,
+    routes: DataFrame,
+    batch_id: str,
+    type_col: str = "stream_id",
+    default_route: str = DEFAULT_ROUTE,
+    cfg: ValidationConfig | None = None,
+    quarantines: dict[str, LakeTable] | None = None,
+    salt_buckets: int | None = None,
+    strategy: str = "cow",
+) -> dict[str, Any]:
+    """Demux one batch into ``tables`` (route → destination) and apply
+    each slice through the normal validate → dedup → merge path under
+    the SAME batch_id — idempotent per destination via that
+    destination's own ledger.
+
+    ``routes`` is the (message_type, route) lookup of
+    operators.routing; unknown ``type_col`` values fall back to
+    ``default_route`` (≙ the reference's "?" FileType,
+    fileconfigs.json:17-22). Every route the config can produce —
+    including the fallback — must have a destination table: a stamped
+    row with nowhere to go is a config bug and fails fast here, not
+    silently at delivery time.
+
+    ``quarantines`` maps route → dead-letter table. Destinations must
+    not share one quarantine: apply_changes gates the quarantine
+    append on (quarantine ledger, batch_id), so the second destination
+    writing the same batch_id to a shared table would silently drop
+    its rejects. Enforced by path.
+    """
+    known = {r[ROUTE_COL] for r in routes.select(ROUTE_COL).distinct().collect()}
+    needed = known | {default_route}
+    missing = sorted(needed - set(tables))
+    if missing:
+        raise ValueError(f"routes with no destination table: {missing}")
+    if quarantines:
+        paths = [q.table_dir for q in quarantines.values()]
+        if len(set(paths)) != len(paths):
+            raise ValueError(
+                "destinations must not share a quarantine table "
+                "(its ledger would drop the second destination's rejects)"
+            )
+
+    routed = route_by_config(
+        events, routes, type_col=type_col, default_route=default_route
+    ).persist()
+    try:
+        counts = {
+            r[ROUTE_COL]: int(r["count"])
+            for r in routed.groupBy(ROUTE_COL).count().collect()
+        }
+        results: dict[str, Any] = {"batch_id": batch_id, "routes": {}}
+        for route in sorted(tables):
+            n = counts.get(route, 0)
+            if n == 0:
+                # deterministic skip: a replayed batch re-derives the
+                # same empty slice, so "no ledger entry" stays correct
+                results["routes"][route] = {"routed": 0, "skipped": True}
+                continue
+            slice_df = routed.filter(F.col(ROUTE_COL) == route).drop(
+                ROUTE_COL, type_col
+            )
+            res = apply_changes(
+                tables[route],
+                slice_df,
+                batch_id=batch_id,
+                cfg=cfg,
+                quarantine=(quarantines or {}).get(route),
+                salt_buckets=salt_buckets,
+                strategy=strategy,
+            )
+            res["routed"] = n
+            results["routes"][route] = res
+        return results
+    finally:
+        routed.unpersist()
+
+
+class RoutedCdcStreamReplay:
+    """Streaming demux: tail one ordered change log, route every
+    micro-batch by config, deliver to N lake tables — the streaming
+    composition of apply_routed with the same checkpoint/ledger
+    exactly-once contract as CdcStreamReplay (streaming/replay.py):
+    Spark's checkpoint redelivers a batch at least once with a stable
+    epoch id; each destination's ledger makes its redelivery a no-op.
+    A restart mid-fan-out is therefore safe even though N tables
+    commit at N different moments."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, LakeTable],
+        routes: DataFrame,
+        log_dir: str,
+        checkpoint_dir: str,
+        log_schema: StructType,
+        type_col: str = "stream_id",
+        default_route: str = DEFAULT_ROUTE,
+        cfg: ValidationConfig | None = None,
+        quarantines: dict[str, LakeTable] | None = None,
+        max_files_per_trigger: int | None = None,
+        batch_id_prefix: str = "route",
+        log_format: str = "parquet",
+        strategy: str = "cow",
+    ):
+        from dexspark.streaming.replay import CdcStreamReplay
+
+        self.spark = spark
+        self.tables = tables
+        self.routes = routes
+        self.log_dir = log_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_identity = CdcStreamReplay._checkpoint_identity(
+            checkpoint_dir
+        )
+        self.log_schema = log_schema
+        self.type_col = type_col
+        self.default_route = default_route
+        self.cfg = cfg
+        self.quarantines = quarantines
+        self.max_files_per_trigger = max_files_per_trigger
+        self.batch_id_prefix = batch_id_prefix
+        self.log_format = log_format
+        self.strategy = strategy
+        self.results: list[dict[str, Any]] = []
+
+    def _foreach_batch(self, batch_df, epoch_id: int) -> None:
+        import time
+
+        t0 = time.monotonic()
+        batch_id = f"{self.batch_id_prefix}-{self.checkpoint_identity}-{epoch_id}"
+        res = apply_routed(
+            self.tables,
+            batch_df,
+            self.routes,
+            batch_id=batch_id,
+            type_col=self.type_col,
+            default_route=self.default_route,
+            cfg=self.cfg,
+            quarantines=self.quarantines,
+            strategy=self.strategy,
+        )
+        res["metrics"] = {
+            "epoch_id": int(epoch_id),
+            "wall_sec": round(time.monotonic() - t0, 3),
+            "routed": {
+                k: v.get("routed", 0) for k, v in res["routes"].items()
+            },
+        }
+        self.results.append(res)
+
+    def run_available(self) -> list[dict[str, Any]]:
+        from dexspark.sources.changelog import read_log_stream
+
+        stream = read_log_stream(
+            self.spark,
+            self.log_dir,
+            fmt=self.log_format,
+            schema=self.log_schema,
+            max_files_per_trigger=self.max_files_per_trigger,
+        )
+        q = (
+            stream.writeStream.foreachBatch(self._foreach_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return self.results

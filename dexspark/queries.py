@@ -477,6 +477,96 @@ def cdc_replay_dual_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+def cdc_routed_fanout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed multi-table ingest — the reference's core demux topology
+    (ingest → config route → per-destination store,
+    RouteIngestedFile.kt:44-66) run as a STREAMING fan-out: one change
+    log tailed once, every micro-batch demuxed by a broadcast config
+    lookup into three lake tables (alpha/beta + the "?" fallback,
+    fileconfigs.json:17-22), each destination exactly-once via its OWN
+    ledger. The stream stops mid-log and a fresh instance resumes from
+    the checkpoint, so redelivery crosses the fan-out boundary: a
+    replayed batch must no-op on destinations that already committed
+    it. Result = union of the three final states stamped with their
+    destination; the oracle is the global LWW replay + the same route
+    CASE (the route is a pure function of conv_id, so demux-then-LWW
+    equals LWW-then-stamp)."""
+    from dexspark.cdc.router import RoutedCdcStreamReplay
+    from dexspark.operators.routing import routes_df
+    from dexspark.sources.changelog import log_schema as mk_log_schema
+
+    log = derive_log(spark, sf_dir)
+    conv_n = F.substring("conv_id", 6, 10).cast("int")
+    log = log.withColumn(
+        "stream_id",
+        F.when(
+            F.pmod(conv_n, 5) == 0,
+            F.concat(F.lit("gamma_"), F.pmod(conv_n, 3).cast("string")),
+        )
+        .when(F.pmod(conv_n, 2) == 0, F.lit("alpha"))
+        .otherwise(F.lit("beta")),
+    )
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    tables = {
+        r: LakeTable.create(
+            spark, os.path.join(d, r),
+            _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=8,
+        )
+        for r in ("alpha", "beta", "misc")
+    }
+    routes = routes_df(
+        spark,
+        [
+            {"route": "alpha", "message_types": ["alpha"]},
+            {"route": "beta", "message_types": ["beta"]},
+        ],
+    )
+    log_dir = os.path.join(d, "log")
+    cp = os.path.join(d, "cp")
+    thr = (batch_range(log).stop + 1) // 2
+    seg = log.repartition(4, F.col("batch_seq"))
+    (
+        seg.filter(F.col("batch_seq") < thr)
+        .write.partitionBy("batch_seq").parquet(log_dir)
+    )
+
+    def replayer() -> RoutedCdcStreamReplay:
+        return RoutedCdcStreamReplay(
+            spark, tables, routes, log_dir + "/*", cp,
+            mk_log_schema("stream_id string"), type_col="stream_id",
+            max_files_per_trigger=2, batch_id_prefix="rt",
+        )
+
+    replayer().run_available()
+    (
+        seg.filter(F.col("batch_seq") >= thr)
+        .write.mode("append").partitionBy("batch_seq").parquet(log_dir)
+    )
+    replayer().run_available()  # checkpoint resume across the fan-out
+    out = None
+    for r in sorted(tables):
+        part = tables[r].read().withColumn("destination", F.lit(r))
+        out = part if out is None else out.unionByName(part)
+    return out.select(
+        "destination", "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+ORACLE_ROUTED_FANOUT = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM flagged WHERE reject_reason IS NULL
+)
+SELECT CASE WHEN CAST(substr(conv_id, 6) AS INTEGER) % 5 = 0 THEN 'misc'
+            WHEN CAST(substr(conv_id, 6) AS INTEGER) % 2 = 0 THEN 'alpha'
+            ELSE 'beta' END AS destination,
+       conv_id, turn_idx, role, text, tool, ts
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def cdc_replay_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read replay under the hard oracle: every micro-batch
     commits O(batch) delta files (no bucket rewrite — the write path
@@ -5347,6 +5437,7 @@ QUERIES: dict[str, tuple] = {
         ORACLE_REPLAY,
     ),
     "cdc_replay_dual_ingest": (cdc_replay_dual_ingest_q, ORACLE_REPLAY),
+    "cdc_routed_fanout": (cdc_routed_fanout_q, ORACLE_ROUTED_FANOUT),
     "cdc_feed_mirror": (cdc_feed_mirror_q, ORACLE_REPLAY),
     "cdc_export_roundtrip": (cdc_export_roundtrip_q, ORACLE_REPLAY),
     "catalog_consistent_read": (catalog_consistent_read_q, ORACLE_REPLAY),

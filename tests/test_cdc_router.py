@@ -1,0 +1,217 @@
+"""Routed multi-table ingest: demux correctness, per-destination
+exactly-once (incl. a crash between destination commits), config
+fail-fast, and per-destination dead letters."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dexspark.cdc.apply import apply_changes
+from dexspark.cdc.generator import expected_final_state, gen_change_log
+from dexspark.cdc.router import apply_routed
+from dexspark.cdc.validate import validate_events
+from dexspark.lake.table import LakeTable
+from dexspark.operators.routing import routes_df
+
+PAYLOAD_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+REJECT_SCHEMA = (
+    "lsn long, op string, batch_seq long, "
+    + PAYLOAD_SCHEMA
+    + ", reject_reason string"
+)
+
+ROUTE_CONFIGS = [
+    {"route": "t0", "message_types": ["s0"]},
+    {"route": "t1", "message_types": ["s1"]},
+    # s2 is deliberately unmapped → "?" fallback to 'misc'
+]
+
+
+def _mk_table(spark, d, schema=PAYLOAD_SCHEMA, num_buckets=4):
+    from pyspark.sql.types import _parse_datatype_string
+
+    return LakeTable.create(
+        spark, d, _parse_datatype_string(schema), "conv_id", num_buckets
+    )
+
+
+def _stamped(log):
+    """Deterministic stream id, a pure function of conv_id so each
+    conversation's whole history lands in exactly one destination."""
+    return log.withColumn(
+        "stream_id",
+        F.concat(F.lit("s"), F.pmod(F.xxhash64("conv_id"), F.lit(3)).cast("string")),
+    )
+
+
+def _route_of(stream: str) -> str:
+    return {"s0": "t0", "s1": "t1"}.get(stream, "misc")
+
+
+def _mk_dests(spark, d, routes=("t0", "t1", "misc")):
+    import os
+
+    return {r: _mk_table(spark, os.path.join(d, r)) for r in routes}
+
+
+def _replay_routed(spark, tables, log, quarantines=None):
+    routes = routes_df(spark, ROUTE_CONFIGS)
+    out = []
+    for b in sorted(
+        r[0] for r in log.select("batch_seq").distinct().collect()
+    ):
+        out.append(
+            apply_routed(
+                tables,
+                log.filter(F.col("batch_seq") == b),
+                routes,
+                batch_id=f"b{b}",
+                quarantines=quarantines,
+            )
+        )
+    return out
+
+
+def test_routed_apply_matches_per_route_replay(spark, tmp_table_dir):
+    log = _stamped(gen_change_log(spark, 3000, n_convs=60, n_batches=4))
+    tables = _mk_dests(spark, tmp_table_dir)
+    _replay_routed(spark, tables, log)
+    for stream in ("s0", "s1", "s2"):
+        route = _route_of(stream)
+        exp = {
+            tuple(r)
+            for r in expected_final_state(
+                log.filter(F.col("stream_id") == stream).drop("stream_id")
+            ).collect()
+        }
+        got = {
+            tuple(r)
+            for r in tables[route]
+            .read()
+            .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            .collect()
+        }
+        assert got == exp, f"route {route} diverged"
+
+
+def test_routed_redelivery_noops_everywhere(spark, tmp_table_dir):
+    log = _stamped(gen_change_log(spark, 1500, n_convs=40, n_batches=3))
+    tables = _mk_dests(spark, tmp_table_dir)
+    _replay_routed(spark, tables, log)
+    versions = {r: t.current_version() for r, t in tables.items()}
+    states = {r: t.read().count() for r, t in tables.items()}
+    results = _replay_routed(spark, tables, log)  # full redelivery
+    for res in results:
+        for route, r in res["routes"].items():
+            assert r.get("skipped"), (res["batch_id"], route)
+    assert versions == {r: t.current_version() for r, t in tables.items()}
+    assert states == {r: t.read().count() for r, t in tables.items()}
+
+
+def test_crash_between_destination_commits_recovers(spark, tmp_table_dir):
+    """Destination t0 committed batch b0, then the driver died before
+    t1/misc — the redelivered batch must no-op on t0 and apply to the
+    rest, landing on the same state as a clean run."""
+    import os
+
+    log = _stamped(gen_change_log(spark, 1500, n_convs=40, n_batches=3))
+    routes = routes_df(spark, ROUTE_CONFIGS)
+    b0 = log.filter(F.col("batch_seq") == 0)
+
+    tables = _mk_dests(spark, os.path.join(tmp_table_dir, "crash"))
+    # simulate the pre-crash partial fan-out: t0 alone commits b0
+    apply_changes(
+        tables["t0"],
+        b0.filter(F.col("stream_id") == "s0").drop("stream_id"),
+        batch_id="b0",
+    )
+    v0 = tables["t0"].current_version()
+    # recovery: the full batch is redelivered to the router
+    res = apply_routed(tables, b0, routes, batch_id="b0")
+    assert res["routes"]["t0"]["skipped"] is True
+    assert res["routes"]["t1"]["skipped"] is False
+    assert tables["t0"].current_version() == v0  # no double apply
+    # rest of the log, then compare against a clean fan-out
+    for b in (1, 2):
+        apply_routed(
+            tables, log.filter(F.col("batch_seq") == b), routes, batch_id=f"b{b}"
+        )
+    clean = _mk_dests(spark, os.path.join(tmp_table_dir, "clean"))
+    _replay_routed(spark, clean, log)
+    for r in tables:
+        got = {tuple(x) for x in tables[r].read().collect()}
+        exp = {tuple(x) for x in clean[r].read().collect()}
+        assert got == exp, f"route {r} diverged after crash recovery"
+
+
+def test_route_without_destination_fails_fast(spark, tmp_table_dir):
+    log = _stamped(gen_change_log(spark, 100, n_convs=10, n_batches=1))
+    tables = _mk_dests(spark, tmp_table_dir, routes=("t0", "misc"))  # t1 missing
+    routes = routes_df(spark, ROUTE_CONFIGS)
+    with pytest.raises(ValueError, match="t1"):
+        apply_routed(tables, log, routes, batch_id="b0")
+
+
+def test_shared_quarantine_rejected(spark, tmp_table_dir):
+    import os
+
+    log = _stamped(gen_change_log(spark, 100, n_convs=10, n_batches=1))
+    tables = _mk_dests(spark, tmp_table_dir)
+    q = _mk_table(spark, os.path.join(tmp_table_dir, "q"), REJECT_SCHEMA + ", batch_id string")
+    routes = routes_df(spark, ROUTE_CONFIGS)
+    with pytest.raises(ValueError, match="quarantine"):
+        apply_routed(
+            tables, log, routes, batch_id="b0", quarantines={"t0": q, "t1": q}
+        )
+
+
+def test_rejects_land_in_their_destinations_quarantine(spark, tmp_table_dir):
+    import os
+
+    log = _stamped(
+        gen_change_log(spark, 2000, n_convs=40, n_batches=2, bad_role_pct=10)
+    )
+    tables = _mk_dests(spark, tmp_table_dir)
+    quars = {
+        r: _mk_table(
+            spark,
+            os.path.join(tmp_table_dir, f"q_{r}"),
+            REJECT_SCHEMA + ", batch_id string",
+        )
+        for r in tables
+    }
+    _replay_routed(spark, tables, log, quarantines=quars)
+    _, rejects = validate_events(log.drop("stream_id"))
+    total_rejected = rejects.count()
+    assert total_rejected > 0
+    seen = 0
+    for stream in ("s0", "s1", "s2"):
+        route = _route_of(stream)
+        qrows = quars[route].read()
+        n = qrows.count()
+        seen += n
+        # a quarantine holds ONLY its own destination's conversations
+        stray = qrows.join(
+            log.filter(F.col("stream_id") != stream).select("conv_id").distinct(),
+            "conv_id",
+            "left_semi",
+        ).count()
+        assert stray == 0, f"route {route} quarantine holds foreign convs"
+    assert seen == total_rejected
+
+
+def test_empty_slice_skips_without_ledger_entry(spark, tmp_table_dir):
+    log = _stamped(gen_change_log(spark, 300, n_convs=10, n_batches=1)).filter(
+        F.col("stream_id") == "s0"
+    )
+    tables = _mk_dests(spark, tmp_table_dir)
+    routes = routes_df(spark, ROUTE_CONFIGS)
+    res = apply_routed(tables, log, routes, batch_id="b0")
+    assert res["routes"]["t0"]["skipped"] is False
+    assert res["routes"]["t1"] == {"routed": 0, "skipped": True}
+    assert "b0" not in tables["t1"].committed_batch_ids()
+    # the destination stays usable: a later batch that DOES route there
+    log2 = _stamped(gen_change_log(spark, 300, n_convs=10, n_batches=1, seed=7))
+    apply_routed(tables, log2, routes, batch_id="b1")
+    assert "b1" in tables["t1"].committed_batch_ids()

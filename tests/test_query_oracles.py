@@ -57,6 +57,7 @@ SUBSET = [
     "q15_top_supplier",
     "q20_dominant_suppliers",
     "q21_waiting_supplier",
+    "cdc_routed_fanout",
 ]
 
 
