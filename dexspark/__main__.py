@@ -13,6 +13,9 @@ Subcommands:
 - ``replay``  — tail the change log (AvailableNow trigger) and apply
   every pending segment through validate → dedup → MERGE; resumable
   from the checkpoint; creates the table on first run.
+- ``replay-routed`` — tail one change log and demux it into N
+  destination tables by a JSON route config (fallback route included),
+  exactly-once per destination.
 - ``compact`` — bin-pack small files / migrate stale-schema files
   (also folds merge-on-read delta files back into base).
 - ``expire``  — expire old snapshots and vacuum unreferenced files.
@@ -105,6 +108,70 @@ def cmd_replay(args) -> int:
         compact_every=args.compact_every or None,
         compact_delta_depth=args.compact_delta_depth or None,
         mode=args.mode,
+    )
+    results = replay.run_available()
+    for r in results:
+        print(json.dumps(r, default=str))
+    return 0
+
+
+def cmd_replay_routed(args) -> int:
+    """Routed fan-out replay: one log tailed once, demuxed by a JSON
+    route config into N destination tables (≙ the reference's
+    fileconfigs.json declaring routes in config, not code). Config::
+
+        {"type_col": "stream_id",
+         "default_route": "misc",
+         "routes": [{"route": "alpha", "message_types": ["a", "b"]}],
+         "tables": {"alpha": "/lake/alpha", "misc": "/lake/misc"},
+         "quarantines": {"alpha": "/lake/q_alpha"}}   # optional
+
+    Every route (and the fallback) needs a table path; tables are
+    created on first run. The log schema must carry the type column —
+    pass it via --extra-columns unless it is a base log field."""
+    spark = _spark(args)
+    from dexspark.cdc.router import RoutedCdcStreamReplay
+    from dexspark.operators.routing import DEFAULT_ROUTE, routes_df
+
+    with open(args.routes) as fh:
+        rcfg = json.load(fh)
+    schema = _parse_datatype_string(args.payload_schema)
+    tables = {}
+    for route, path in rcfg["tables"].items():
+        if LakeTable.exists(path):
+            tables[route] = LakeTable(spark, path)
+        else:
+            tables[route] = LakeTable.create(
+                spark, path, schema, args.bucket_key, args.buckets
+            )
+    quarantines = None
+    if rcfg.get("quarantines"):
+        qschema = _parse_datatype_string(
+            f"lsn long, op string, batch_seq long, {args.payload_schema}, "
+            "reject_reason string, batch_id string"
+        )
+        quarantines = {}
+        for route, path in rcfg["quarantines"].items():
+            if LakeTable.exists(path):
+                quarantines[route] = LakeTable(spark, path)
+            else:
+                quarantines[route] = LakeTable.create(
+                    spark, path, qschema, args.bucket_key, args.buckets
+                )
+    replay = RoutedCdcStreamReplay(
+        spark,
+        tables,
+        routes_df(spark, rcfg["routes"]),
+        args.log,
+        args.checkpoint,
+        log_schema(args.extra_columns),
+        type_col=rcfg.get("type_col", "stream_id"),
+        default_route=rcfg.get("default_route", DEFAULT_ROUTE),
+        cfg=ValidationConfig(),
+        quarantines=quarantines,
+        max_files_per_trigger=args.max_files_per_trigger or None,
+        log_format=args.log_format,
+        strategy=args.strategy,
     )
     results = replay.run_available()
     for r in results:
@@ -578,6 +645,30 @@ def main(argv: list[str] | None = None) -> int:
              "created with the scd2 schema when absent)",
     )
     r.set_defaults(fn=cmd_replay)
+
+    rr = sub.add_parser(
+        "replay-routed",
+        help="tail one change log and demux it into N tables by route config",
+    )
+    rr.add_argument("--log", required=True)
+    rr.add_argument(
+        "--routes", required=True,
+        help="JSON route config: type_col, default_route, routes, "
+             "tables (route -> path), optional quarantines",
+    )
+    rr.add_argument("--checkpoint", required=True)
+    rr.add_argument("--bucket-key", default="conv_id")
+    rr.add_argument("--buckets", type=int, default=64)
+    rr.add_argument("--max-files-per-trigger", type=int, default=0)
+    rr.add_argument("--log-format", choices=["parquet", "json"], default="parquet")
+    rr.add_argument("--payload-schema", default=PAYLOAD_DDL)
+    rr.add_argument(
+        "--extra-columns",
+        default=None,
+        help='log columns beyond the base schema, e.g. "stream_id string"',
+    )
+    rr.add_argument("--strategy", choices=["cow", "mor"], default="cow")
+    rr.set_defaults(fn=cmd_replay_routed)
 
     c = sub.add_parser("compact", help="bin-pack small data files")
     c.add_argument("--table", required=True)

@@ -546,3 +546,59 @@ def test_cli_bootstrap_then_replay(spark, tmp_table_dir):
     expected = expected_final_state(log)
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_cli_replay_routed(spark, tmp_table_dir):
+    """replay-routed demuxes one log into three tables from a JSON
+    route config (fallback included), resumable from the checkpoint."""
+    import pyspark.sql.functions as F
+
+    log = gen_change_log(spark, 2000, n_convs=40, n_batches=2).withColumn(
+        "stream_id",
+        F.concat(F.lit("s"), F.pmod(F.xxhash64("conv_id"), F.lit(3)).cast("string")),
+    )
+    log_dir = os.path.join(tmp_table_dir, "log")
+    log.coalesce(2).write.parquet(log_dir)
+    cfg = {
+        "type_col": "stream_id",
+        "default_route": "misc",
+        "routes": [
+            {"route": "t0", "message_types": ["s0"]},
+            {"route": "t1", "message_types": ["s1"]},
+        ],
+        "tables": {
+            r: os.path.join(tmp_table_dir, r) for r in ("t0", "t1", "misc")
+        },
+    }
+    cfg_path = os.path.join(tmp_table_dir, "routes.json")
+    with open(cfg_path, "w") as fh:
+        json.dump(cfg, fh)
+
+    rc = main(
+        [
+            "replay-routed",
+            "--log", log_dir,
+            "--routes", cfg_path,
+            "--checkpoint", os.path.join(tmp_table_dir, "cp"),
+            "--buckets", "4",
+            "--extra-columns", "stream_id string",
+        ]
+    )
+    assert rc == 0
+    for stream, route in (("s0", "t0"), ("s1", "t1"), ("s2", "misc")):
+        exp = expected_final_state(
+            log.filter(F.col("stream_id") == stream).drop("stream_id")
+        )
+        got = LakeTable(spark, cfg["tables"][route]).read()
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
+    # checkpoint resume with nothing new: a clean no-op
+    assert main(
+        [
+            "replay-routed",
+            "--log", log_dir,
+            "--routes", cfg_path,
+            "--checkpoint", os.path.join(tmp_table_dir, "cp"),
+            "--extra-columns", "stream_id string",
+        ]
+    ) == 0
