@@ -172,6 +172,7 @@ def cmd_replay_routed(args) -> int:
         max_files_per_trigger=args.max_files_per_trigger or None,
         log_format=args.log_format,
         strategy=args.strategy,
+        concurrency=args.concurrency,
     )
     results = replay.run_available()
     for r in results:
@@ -668,6 +669,11 @@ def main(argv: list[str] | None = None) -> int:
         help='log columns beyond the base schema, e.g. "stream_id string"',
     )
     rr.add_argument("--strategy", choices=["cow", "mor"], default="cow")
+    rr.add_argument(
+        "--concurrency", type=int, default=1,
+        help="destinations applied at once per micro-batch (driver "
+             "threads; destinations never share state, so >1 is safe)",
+    )
     rr.set_defaults(fn=cmd_replay_routed)
 
     c = sub.add_parser("compact", help="bin-pack small data files")

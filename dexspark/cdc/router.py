@@ -56,6 +56,7 @@ def apply_routed(
     quarantines: dict[str, LakeTable] | None = None,
     salt_buckets: int | None = None,
     strategy: str = "cow",
+    concurrency: int = 1,
 ) -> dict[str, Any]:
     """Demux one batch into ``tables`` (route → destination) and apply
     each slice through the normal validate → dedup → merge path under
@@ -75,6 +76,13 @@ def apply_routed(
     append on (quarantine ledger, batch_id), so the second destination
     writing the same batch_id to a shared table would silently drop
     its rejects. Enforced by path.
+
+    ``concurrency`` > 1 applies that many destinations at once from
+    driver threads — safe because destinations never share state (one
+    table + one optional quarantine each, all reading slices of the
+    one persisted batch) and Spark's scheduler accepts jobs from many
+    threads; a failed destination fails the whole call, and the
+    redelivered batch no-ops on the destinations that did commit.
     """
     known = {r[ROUTE_COL] for r in routes.select(ROUTE_COL).distinct().collect()}
     needed = known | {default_route}
@@ -98,16 +106,19 @@ def apply_routed(
             for r in routed.groupBy(ROUTE_COL).count().collect()
         }
         results: dict[str, Any] = {"batch_id": batch_id, "routes": {}}
-        for route in sorted(tables):
+
+        def one(route: str) -> dict[str, Any]:
             n = counts.get(route, 0)
             if n == 0:
                 # deterministic skip: a replayed batch re-derives the
                 # same empty slice, so "no ledger entry" stays correct
-                results["routes"][route] = {"routed": 0, "skipped": True}
-                continue
-            slice_df = routed.filter(F.col(ROUTE_COL) == route).drop(
-                ROUTE_COL, type_col
-            )
+                return {"routed": 0, "skipped": True}
+            # type_col is transport metadata and is stripped — unless
+            # the destination's payload declares it (routing on a real
+            # payload column, e.g. role, must not delete that column)
+            dest_cols = {f.name for f in tables[route].schema().fields}
+            drop = [ROUTE_COL] + ([] if type_col in dest_cols else [type_col])
+            slice_df = routed.filter(F.col(ROUTE_COL) == route).drop(*drop)
             res = apply_changes(
                 tables[route],
                 slice_df,
@@ -118,7 +129,18 @@ def apply_routed(
                 strategy=strategy,
             )
             res["routed"] = n
-            results["routes"][route] = res
+            return res
+
+        order = sorted(tables)
+        if concurrency > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=concurrency) as pool:
+                for route, res in zip(order, pool.map(one, order)):
+                    results["routes"][route] = res
+        else:
+            for route in order:
+                results["routes"][route] = one(route)
         return results
     finally:
         routed.unpersist()
@@ -150,6 +172,7 @@ class RoutedCdcStreamReplay:
         batch_id_prefix: str = "route",
         log_format: str = "parquet",
         strategy: str = "cow",
+        concurrency: int = 1,
     ):
         from dexspark.streaming.replay import CdcStreamReplay
 
@@ -170,6 +193,7 @@ class RoutedCdcStreamReplay:
         self.batch_id_prefix = batch_id_prefix
         self.log_format = log_format
         self.strategy = strategy
+        self.concurrency = concurrency
         self.results: list[dict[str, Any]] = []
 
     def _foreach_batch(self, batch_df, epoch_id: int) -> None:
@@ -187,6 +211,7 @@ class RoutedCdcStreamReplay:
             cfg=self.cfg,
             quarantines=self.quarantines,
             strategy=self.strategy,
+            concurrency=self.concurrency,
         )
         res["metrics"] = {
             "epoch_id": int(epoch_id),

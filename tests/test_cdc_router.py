@@ -215,3 +215,53 @@ def test_empty_slice_skips_without_ledger_entry(spark, tmp_table_dir):
     log2 = _stamped(gen_change_log(spark, 300, n_convs=10, n_batches=1, seed=7))
     apply_routed(tables, log2, routes, batch_id="b1")
     assert "b1" in tables["t1"].committed_batch_ids()
+
+
+def test_concurrent_destinations_match_sequential(spark, tmp_table_dir):
+    """concurrency>1 fans destinations out from driver threads; the
+    result must be bit-identical to the sequential loop (destinations
+    share no state), and redelivery must still no-op everywhere."""
+    import os
+
+    log = _stamped(gen_change_log(spark, 3000, n_convs=60, n_batches=3))
+    routes = routes_df(spark, ROUTE_CONFIGS)
+    seq = _mk_dests(spark, os.path.join(tmp_table_dir, "seq"))
+    conc = _mk_dests(spark, os.path.join(tmp_table_dir, "conc"))
+    for b in (0, 1, 2):
+        batch = log.filter(F.col("batch_seq") == b)
+        apply_routed(seq, batch, routes, batch_id=f"b{b}")
+        apply_routed(conc, batch, routes, batch_id=f"b{b}", concurrency=3)
+    for r in seq:
+        got = {tuple(x) for x in conc[r].read().collect()}
+        exp = {tuple(x) for x in seq[r].read().collect()}
+        assert got == exp, f"route {r} diverged under concurrency"
+    res = apply_routed(
+        conc, log.filter(F.col("batch_seq") == 0), routes,
+        batch_id="b0", concurrency=3,
+    )
+    assert all(r.get("skipped") for r in res["routes"].values())
+
+
+def test_routing_on_payload_column_keeps_it(spark, tmp_table_dir):
+    """type_col is stripped as transport metadata UNLESS the
+    destination payload declares it — routing on a real payload column
+    (here: role) must not delete that column from the stored rows."""
+    import os
+
+    log = gen_change_log(spark, 400, n_convs=10, n_batches=1)
+    routes = routes_df(
+        spark,
+        [
+            {"route": "humans", "message_types": ["user"]},
+            {"route": "bots", "message_types": ["assistant", "tool", "system"]},
+        ],
+    )
+    tables = {
+        r: _mk_table(spark, os.path.join(tmp_table_dir, r))
+        for r in ("humans", "bots", "misc")
+    }
+    res = apply_routed(tables, log, routes, batch_id="b0", type_col="role")
+    assert res["routes"]["humans"]["routed"] > 0
+    got = tables["humans"].read()
+    assert "role" in got.columns
+    assert got.filter(F.col("role") != "user").count() == 0
