@@ -4989,13 +4989,17 @@ def cdc_export_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
     )
     out_dir = os.path.join(d, "feed")
-    batches = batch_range(log)
-    mid = (batches.start + batches.stop) // 2
-    for b in batches:
-        apply_changes(src, log.filter(F.col("batch_seq") == b), batch_id=f"e{b}")
-        if b == mid:
-            export_changes(src, out_dir, fmt="parquet",
-                           key_cols=["conv_id", "turn_idx"])
+    # Split the log at the LSN median (not batch_seq: a small SF can
+    # fit the whole log in ONE batch id, which would leave the second
+    # export with nothing to ship). Two half-log applies are valid
+    # batches in their own right, and the final state is batching-
+    # independent, so the replay oracle is unchanged.
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    mid_lsn = (int(lo) + int(hi)) // 2
+    apply_changes(src, log.filter(F.col("lsn") <= mid_lsn), batch_id="e_lo")
+    export_changes(src, out_dir, fmt="parquet",
+                   key_cols=["conv_id", "turn_idx"])
+    apply_changes(src, log.filter(F.col("lsn") > mid_lsn), batch_id="e_hi")
     export_changes(src, out_dir, fmt="json", key_cols=["conv_id", "turn_idx"])
     # producer exactly-once: nothing new at head -> no segment
     assert export_changes(src, out_dir) is None
