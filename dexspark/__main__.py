@@ -495,7 +495,9 @@ def _parse_where(spec: str):
 def cmd_delete(args) -> int:
     spark = _spark(args)
     filters = [_parse_where(w) for w in args.where]
-    res = LakeTable(spark, args.table).delete_where(filters)
+    res = LakeTable(spark, args.table).delete_where(
+        filters, strategy=args.strategy
+    )
     print(json.dumps(res, default=str))
     return 0
 
@@ -865,6 +867,12 @@ def main(argv: list[str] | None = None) -> int:
         "--where", action="append", required=True,
         help="col:op:value, repeatable (AND-ed); op in =,<,<=,>,>=; "
              "timestamps in ISO format, e.g. ts:<:2024-01-01T00:08:00",
+    )
+    dl.add_argument(
+        "--strategy", choices=["copy", "dv"], default="copy",
+        help="copy = rewrite matching files (immediate physical purge); "
+             "dv = deletion vectors, O(matched rows) commit with the "
+             "purge deferred to the next `compact`",
     )
     dl.set_defaults(fn=cmd_delete)
 

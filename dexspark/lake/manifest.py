@@ -41,6 +41,14 @@ class DataFile:
     # file's bucket-key values (see lake/bloom.py); False / absent in
     # pre-bloom manifests → file is never key-pruned (format-compatible)
     bloom: bool = False
+    # deletion vector: relative path of a parquet DIRECTORY holding
+    # (path, pos) rows — row positions of THIS file physically deleted
+    # without rewriting it (lake/dv.py; ≙ Delta deletion vectors /
+    # Iceberg positional deletes). None / absent → no deleted
+    # positions (format-compatible). ``dv_count`` = number of deleted
+    # positions recorded for this file (read planning + metrics).
+    dv: str | None = None
+    dv_count: int = 0
 
     def to_json(self) -> dict[str, Any]:
         d = {"path": self.path, "bucket": self.bucket, "schema_id": self.schema_id}
@@ -50,6 +58,9 @@ class DataFile:
             d["stats"] = self.stats
         if self.bloom:
             d["bloom"] = True
+        if self.dv is not None:
+            d["dv"] = self.dv
+            d["dv_count"] = self.dv_count
         return d
 
     @staticmethod
@@ -61,6 +72,8 @@ class DataFile:
             kind=d.get("kind", "base"),
             stats=d.get("stats", {}),
             bloom=bool(d.get("bloom", False)),
+            dv=d.get("dv"),
+            dv_count=int(d.get("dv_count", 0)),
         )
 
 

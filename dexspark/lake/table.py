@@ -40,6 +40,7 @@ from pyspark.sql.types import (
 )
 
 from dexspark.lake import bloom as lake_bloom
+from dexspark.lake import dv as lake_dv
 from dexspark.lake import manifest as mf
 from dexspark.lake import stats as lake_stats
 from dexspark.lake import zorder as lake_zorder
@@ -503,15 +504,30 @@ class LakeTable:
         return out
 
     def _scan_files(
-        self, files: list[mf.DataFile], m: mf.Manifest, current_sys: StructType
+        self,
+        files: list[mf.DataFile],
+        m: mf.Manifest,
+        current_sys: StructType,
+        with_positions: bool = False,
     ) -> DataFrame:
         """Union the given files, each group read under its writer
-        schema and projected/cast to the current schema."""
+        schema and projected/cast to the current schema.
+
+        Files carrying a deletion vector (lake/dv.py) have their
+        recorded positions anti-joined out here — EVERY consumer
+        (read, MOR resolve, merge, compact, delete, rebucket, diffs)
+        funnels through this method, so a DV'd row is gone everywhere
+        at once and compaction purges it physically just by rewriting
+        what it reads. ``with_positions=True`` keeps the per-row
+        ``(_dv_path, _dv_pos)`` identity columns for callers that need
+        to WRITE new deletion vectors (delete_where's dv strategy)."""
         by_schema: dict[int, list[str]] = {}
         for f in files:
             by_schema.setdefault(f.schema_id, []).append(
                 os.path.join(self.table_dir, f.path)
             )
+        dv_dirs = sorted({f.dv for f in files if f.dv})
+        need_pos = with_positions or bool(dv_dirs)
         sys_fields = [
             StructField(SYS_LSN, LongType(), True),
             StructField(SYS_DELETED, BooleanType(), True),
@@ -523,10 +539,36 @@ class LakeTable:
             )
             writer_sys = StructType(list(writer_schema.fields) + sys_fields)
             df = self.spark.read.schema(writer_sys).parquet(*paths)
-            parts.append(_align(df, current_sys))
+            if need_pos:
+                # attach file identity BEFORE the align projection —
+                # _metadata only resolves on the file-source relation
+                df = df.select(
+                    "*",
+                    lake_dv.relpath_expr(self.table_dir).alias(
+                        lake_dv.FP_COL
+                    ),
+                    F.col("_metadata.row_index").alias(lake_dv.POS_COL),
+                )
+            parts.append(
+                _align(
+                    df,
+                    current_sys,
+                    keep=(lake_dv.FP_COL, lake_dv.POS_COL)
+                    if need_pos
+                    else (),
+                )
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if dv_dirs:
+            out = lake_dv.anti_join_dv(
+                out,
+                lake_dv.read_dvs(self.spark, self.table_dir, dv_dirs),
+                sum(f.dv_count for f in files if f.dv),
+            )
+        if need_pos and not with_positions:
+            out = out.drop(lake_dv.FP_COL, lake_dv.POS_COL)
         return out
 
     def _resolve_mor(
@@ -730,12 +772,21 @@ class LakeTable:
                     parent = self.manifest(v.version - 1)
                 except FileNotFoundError:
                     return True
-                ppaths = {f.path for f in parent.files}
-                vpaths = {f.path for f in v.files}
+                # identity is (path, dv): a deletion-vector update
+                # keeps the path but CHANGES the file's live rows, so
+                # it must count as a data change (a path-only diff
+                # would let a replacement rebase resurrect DV-deleted
+                # rows)
+                ppaths = {(f.path, f.dv) for f in parent.files}
+                vpaths = {(f.path, f.dv) for f in v.files}
                 if any(
-                    f.bucket in buckets for f in v.files if f.path not in ppaths
+                    f.bucket in buckets
+                    for f in v.files
+                    if (f.path, f.dv) not in ppaths
                 ) or any(
-                    f.bucket in buckets for f in parent.files if f.path not in vpaths
+                    f.bucket in buckets
+                    for f in parent.files
+                    if (f.path, f.dv) not in vpaths
                 ):
                     return True
             if v.version - 1 == read_from.version:
@@ -850,11 +901,24 @@ class LakeTable:
                         "— recompute from the new head"
                     ) from None
                 if surgical:
-                    live = {f.path for f in head.files}
-                    if not removed_paths <= live:
+                    live = {f.path: f.dv for f in head.files}
+                    base_dv = {f.path: f.dv for f in read_from.files}
+                    if not removed_paths <= set(live):
                         raise CommitConflict(
                             "rebase unsafe: a concurrent commit rewrote a "
                             "file this operation was deleting from — "
+                            "recompute from the new head"
+                        ) from None
+                    if any(
+                        live[p] != base_dv.get(p) for p in removed_paths
+                    ):
+                        # the path survived but its deletion vector
+                        # moved: our output was computed from the OLD
+                        # vector, so rebasing would drop the
+                        # concurrent delete's positions
+                        raise CommitConflict(
+                            "rebase unsafe: a concurrent commit updated a "
+                            "deletion vector this operation read — "
                             "recompute from the new head"
                         ) from None
                 elif affected_buckets is not None and self._data_changed_in(
@@ -1210,6 +1274,7 @@ class LakeTable:
         self,
         filters: list[tuple[str, str, Any]],
         summary: dict[str, Any] | None = None,
+        strategy: str = "copy",
     ) -> dict[str, Any]:
         """Predicate DELETE — the retention / right-to-be-forgotten
         surface (``DELETE FROM t WHERE ts < cutoff``). Same filter
@@ -1241,12 +1306,31 @@ class LakeTable:
         merges rebase (they serialize after the delete), a concurrent
         rewrite of a candidate file forces a recompute from the new
         head. No-match deletes return ``skipped`` without committing.
+
+        ``strategy="dv"`` writes DELETION VECTORS instead of rewriting
+        files (lake/dv.py, ≙ Delta deletion vectors / Iceberg
+        positional deletes): matched rows' (file, position) pairs land
+        in a per-commit sidecar directory and the affected manifest
+        entries point at it — commit I/O is O(matched rows), not
+        O(candidate-file bytes), so a small delete against huge
+        well-clustered files stops paying a full rewrite. Reads apply
+        the vector everywhere (``_scan_files``); the payload bytes are
+        purged physically at the next ``compact()`` of the bucket
+        (DV'd buckets always compact), which is the rewrite this
+        strategy defers. Buckets with outstanding MOR deltas cannot
+        take a positional delete safely (deleting the winning version
+        would resurrect an older one), so their matches fold to base
+        exactly as in copy mode — one commit covers both. RTBF note:
+        a DV hides rows immediately but the bytes remain until
+        compaction; run ``compact()`` to complete physical erasure.
         """
         if not filters:
             raise ValueError(
                 "delete_where requires at least one filter; to clear a "
                 "table, overwrite() with an empty frame"
             )
+        if strategy not in ("copy", "dv"):
+            raise ValueError(f"unknown delete strategy {strategy!r}")
         for attempt in range(MAX_COMMIT_RETRIES + 1):
             m = self.manifest()
             current = self.schema(m.version)
@@ -1295,6 +1379,22 @@ class LakeTable:
                     **(summary or {}),
                 }
             delta_files = [f for f in m.files if f.bucket in cand_delta]
+            if strategy == "dv":
+                try:
+                    return self._delete_dv_attempt(
+                        m,
+                        current_sys,
+                        filters,
+                        cand_files,
+                        cand_delta,
+                        delta_files,
+                        summary,
+                    )
+                except CommitConflict:
+                    if attempt == MAX_COMMIT_RETRIES:
+                        raise
+                    _conflict_backoff(attempt)
+                    continue
             parts = []
             if cand_files:
                 parts.append(self._scan_files(cand_files, m, current_sys))
@@ -1363,6 +1463,150 @@ class LakeTable:
                     raise
                 _conflict_backoff(attempt)
         raise AssertionError("unreachable")
+
+    def _delete_dv_attempt(
+        self,
+        m: mf.Manifest,
+        current_sys: StructType,
+        filters: list[tuple[str, str, Any]],
+        cand_files: list[mf.DataFile],
+        cand_delta: set[int],
+        delta_files: list[mf.DataFile],
+        summary: dict[str, Any] | None,
+    ) -> dict[str, Any]:
+        """One deletion-vector delete attempt against manifest ``m``.
+
+        Clean-bucket matches become (path, pos) rows in a new DV
+        directory; MOR-delta-bucket matches fold to base (the same
+        rewrite copy mode does — positional deletes against unresolved
+        version stacks are unsafe). Raises CommitConflict for the
+        caller's retry loop."""
+        doomed = F.coalesce(
+            lake_stats.residual_condition(filters)
+            & ~F.coalesce(F.col(SYS_DELETED), F.lit(False)),
+            F.lit(False),
+        )
+        positions = None
+        if cand_files:
+            scanned = self._scan_files(
+                cand_files, m, current_sys, with_positions=True
+            )
+            positions = (
+                scanned.filter(doomed)
+                .select(
+                    F.col(lake_dv.FP_COL).alias("path"),
+                    F.col(lake_dv.POS_COL).alias("pos"),
+                )
+                .persist()
+            )
+        try:
+            new_by_path: dict[str, int] = {}
+            if positions is not None:
+                new_by_path = {
+                    r["path"]: int(r["n"])
+                    for r in positions.groupBy("path")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+            folded: DataFrame | None = None
+            matched_delta = 0
+            if cand_delta:
+                resolved = self._resolve_mor(
+                    self._scan_files(delta_files, m, current_sys),
+                    m,
+                    current_sys,
+                ).persist()
+                try:
+                    matched_delta = resolved.filter(doomed).count()
+                    if matched_delta:
+                        folded = resolved.filter(~doomed)
+                        folded_files = self._write_data(
+                            folded, m, n_buckets_hint=len(cand_delta)
+                        )
+                    else:
+                        folded_files = []
+                finally:
+                    if not matched_delta:
+                        resolved.unpersist()
+            else:
+                folded_files = []
+            matched = sum(new_by_path.values()) + matched_delta
+            if matched == 0:
+                return {
+                    "operation": "delete",
+                    "strategy": "dv",
+                    "affected_buckets": [],
+                    "matched_rows": 0,
+                    "skipped": True,
+                    **(summary or {}),
+                }
+            upd_entries: list[mf.DataFile] = []
+            removed: set[str] = set()
+            affected: set[int] = set()
+            if new_by_path:
+                token = mf.new_commit_token()
+                by_path = {f.path: f for f in cand_files}
+                upd = [by_path[p] for p in new_by_path]
+                # the new directory carries each updated file's FULL
+                # position set: prior vectors for these files fold in,
+                # so one referenced directory per file is complete and
+                # old manifests keep reading the old directories
+                all_pos = positions
+                prior_dirs = {f.dv for f in upd if f.dv}
+                if prior_dirs:
+                    old_rows = lake_dv.read_dvs(
+                        self.spark, self.table_dir, prior_dirs
+                    ).filter(F.col("path").isin(list(new_by_path)))
+                    all_pos = all_pos.unionByName(old_rows)
+                dv_rel = lake_dv.write_dv_dir(
+                    all_pos, self.table_dir, token
+                )
+                for f in upd:
+                    upd_entries.append(
+                        mf.DataFile(
+                            path=f.path,
+                            bucket=f.bucket,
+                            schema_id=f.schema_id,
+                            kind=f.kind,
+                            stats=f.stats,
+                            bloom=f.bloom,
+                            dv=dv_rel,
+                            dv_count=f.dv_count + new_by_path[f.path],
+                        )
+                    )
+                    removed.add(f.path)
+                    affected.add(f.bucket)
+            if matched_delta:
+                removed |= {f.path for f in delta_files}
+                affected |= cand_delta
+                resolved.unpersist()
+            info = {
+                "operation": "delete",
+                "strategy": "dv",
+                "filters": [
+                    [c, op, str(lake_stats._encode(v))]
+                    for c, op, v in filters
+                ],
+                "affected_buckets": sorted(affected),
+                "matched_rows": int(matched),
+                "dv_positions_added": int(sum(new_by_path.values())),
+                "dv_files_updated": len(upd_entries),
+                "files_rewritten": len(delta_files) if matched_delta else 0,
+                "files_kept": len(m.files) - len(removed),
+                **(summary or {}),
+            }
+            self._commit_delta(
+                m,
+                removed,
+                upd_entries + folded_files,
+                info,
+                affected_buckets=affected,
+                surgical=True,
+            )
+            return info
+        finally:
+            if positions is not None:
+                positions.unpersist()
 
     # --------------------------------------------------------------- rebucket
     def rebucket(
@@ -1491,9 +1735,15 @@ class LakeTable:
             # rewrite below folds deltas into plain base files and the
             # read-time resolve cost resets to zero for those buckets
             deltas = {f.bucket for f in m.files if f.kind == "delta"}
+            # deletion-vector'd buckets always compact too: the read
+            # (which applies the vector) feeds the rewrite, so the
+            # DV'd rows' bytes are PURGED here and the new entries
+            # carry no vector — this is the physical erasure a dv-
+            # strategy delete defers (lake/dv.py)
+            dvs = {f.bucket for f in m.files if f.dv}
             affected = {
                 b for b, n in per_bucket.items() if n >= min_files_per_bucket
-            } | stale | deltas
+            } | stale | deltas | dvs
             if cluster_by:
                 if zorder:
                     lake_zorder.validate_zorder_cols(
@@ -1895,10 +2145,13 @@ class LakeTable:
         if not expired:
             return {"operation": "expire_snapshots", "expired_versions": []}
         keep_paths: set[str] = set()
+        keep_dvs: set[str] = set()
         for v in avail:
             if v >= cutoff or v in tagged:
                 for f in self.manifest(v).files:
                     keep_paths.add(f.path)
+                    if f.dv:
+                        keep_dvs.add(f.dv)
         # files referenced by any live branch stay: the branch may not
         # have been published yet (its fork-point manifest itself
         # survives main expiry — it is a hard link, not a reference)
@@ -1908,10 +2161,20 @@ class LakeTable:
             for v in versions:
                 for f in mf.read_manifest(bdir, v).files:
                     keep_paths.add(f.path)
+                    if f.dv:
+                        keep_dvs.add(f.dv)
         removed_files = 0
         seen: set[str] = set()
+        seen_dvs: set[str] = set()
         for v in expired:
             for f in self.manifest(v).files:
+                if f.dv and f.dv not in keep_dvs and f.dv not in seen_dvs:
+                    # deletion-vector directory referenced only by
+                    # expired manifests
+                    seen_dvs.add(f.dv)
+                    dvp = os.path.join(self.table_dir, f.dv)
+                    if os.path.isdir(dvp):
+                        __import__("shutil").rmtree(dvp, ignore_errors=True)
                 if f.path in keep_paths or f.path in seen:
                     continue
                 seen.add(f.path)
@@ -1963,10 +2226,13 @@ class LakeTable:
                 "cannot see main's references to shared files"
             )
         referenced: set[str] = set()
+        referenced_dvs: set[str] = set()  # DV dirs — parts live inside
         for bdir, versions in self._ref_manifest_sets():
             for v in versions:
                 for f in mf.read_manifest(bdir, v).files:
                     referenced.add(f.path)
+                    if f.dv:
+                        referenced_dvs.add(f.dv)
         data_root = os.path.join(self.table_dir, mf.DATA_DIR)
         cutoff = _time.time() - older_than_seconds
         removed: list[str] = []
@@ -1984,6 +2250,11 @@ class LakeTable:
                 scanned += 1
                 rel_p = os.path.relpath(abs_p, self.table_dir)
                 if rel_p in referenced:
+                    continue
+                # a deletion-vector part is referenced through its
+                # DIRECTORY (manifests record the dir, Spark names the
+                # parts) — orphaned dv dirs fall through and age out
+                if os.path.dirname(rel_p) in referenced_dvs:
                     continue
                 try:
                     if os.path.getmtime(abs_p) > cutoff:
@@ -2070,8 +2341,11 @@ class LakeTable:
         raise AssertionError("unreachable")
 
 
-def _align(df: DataFrame, schema: StructType) -> DataFrame:
-    """Project/cast df to exactly `schema` (missing columns → NULL)."""
+def _align(
+    df: DataFrame, schema: StructType, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Project/cast df to exactly `schema` (missing columns → NULL);
+    ``keep`` columns pass through untouched after the schema fields."""
     cols = []
     have = set(df.columns)
     for f in schema.fields:
@@ -2079,4 +2353,5 @@ def _align(df: DataFrame, schema: StructType) -> DataFrame:
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    cols.extend(F.col(k) for k in keep)
     return df.select(*cols)

@@ -1070,6 +1070,68 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def cdc_retention_delete_dv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DELETE under the hard oracle (lake/dv.py, ≙
+    Delta deletion vectors / Iceberg positional deletes — engine-
+    supplied per SURVEY §2.2). Same mixed COW/MOR replay as
+    ``cdc_retention_delete``, then TWO dv-strategy deletes: the first
+    sweeps a ts range (clean buckets gain (file, position) vectors
+    with NO data-file rewrite; delta buckets fold to base in the same
+    commit), the second hits the same files so the prior vector folds
+    into the new directory. The read the oracle hashes goes through
+    the DV anti-join; the query then proves compact() purges the
+    positions physically WITHOUT changing the visible state
+    (exceptAll both ways) and returns the post-compact read — so one
+    oracle row covers the vectorized read path, the vector-union
+    path, and the purge."""
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    batches = batch_range(log)
+    mid = (batches.start + batches.stop) // 2
+    for b in batches:
+        apply_changes(
+            table, log.filter(F.col("batch_seq") == b),
+            batch_id=f"rdv{b}", strategy="cow" if b < mid else "mor",
+        )
+    import datetime as _dt
+
+    i1 = table.delete_where(
+        [("ts", "<", _dt.datetime(2024, 1, 1, 0, 6, 0))], strategy="dv"
+    )
+    assert i1["matched_rows"] > 0 and not i1.get("skipped")
+    i2 = table.delete_where([("turn_idx", "=", 9)], strategy="dv")
+    assert i2["matched_rows"] > 0
+    assert any(f.dv for f in table.manifest().files), "expected vectors"
+    pre = table.read()
+    table.compact()
+    assert not any(f.dv for f in table.manifest().files)
+    post = table.read()
+    # purge is layout-only: the visible state is bit-identical
+    assert pre.exceptAll(post).count() == 0
+    assert post.exceptAll(pre).count() == 0
+    return post
+
+
+# final replay state minus both swept predicates (ts < 00:06 ==
+# turn_idx < 6 by construction; turn_idx = 9 is the second vector)
+ORACLE_RETENTION_DELETE_DV = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM flagged WHERE reject_reason IS NULL
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM latest WHERE rn = 1 AND op <> 'D'
+  AND ts >= TIMESTAMP '2024-01-01 00:06:00'
+  AND turn_idx <> 9
+"""
+
+
 def cdc_replay_rebucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout evolution mid-ingest under the hard oracle: replay the
     first half of the log into a 4-bucket table (a table sized for
@@ -5452,6 +5514,10 @@ QUERIES: dict[str, tuple] = {
     "cdc_tag_pinned_read": (cdc_tag_pinned_read_q, ORACLE_TIME_TRAVEL),
     "lake_stats_pruned_scan": (lake_stats_pruned_scan_q, ORACLE_STATS_PRUNED),
     "cdc_retention_delete": (cdc_retention_delete_q, ORACLE_RETENTION_DELETE),
+    "cdc_retention_delete_dv": (
+        cdc_retention_delete_dv_q,
+        ORACLE_RETENTION_DELETE_DV,
+    ),
     "cdc_rtbf_delete": (cdc_rtbf_delete_q, ORACLE_RTBF_DELETE),
     "cdc_replay_rebucketed": (cdc_replay_rebucketed_q, ORACLE_REPLAY),
     "lake_clustered_scan": (lake_clustered_scan_q, ORACLE_STATS_PRUNED),
