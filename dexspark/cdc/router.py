@@ -57,6 +57,7 @@ def apply_routed(
     salt_buckets: int | None = None,
     strategy: str = "cow",
     concurrency: int = 1,
+    catalog=None,
 ) -> dict[str, Any]:
     """Demux one batch into ``tables`` (route → destination) and apply
     each slice through the normal validate → dedup → merge path under
@@ -83,6 +84,20 @@ def apply_routed(
     one persisted batch) and Spark's scheduler accepts jobs from many
     threads; a failed destination fails the whole call, and the
     redelivered batch no-ops on the destinations that did commit.
+
+    ``catalog`` (lake/catalog.py ``Catalog`` whose members are the
+    route names) upgrades per-destination exactly-once to BATCH-ATOMIC
+    CROSS-TABLE VISIBILITY: after — and only after — every destination
+    committed, ONE atomic pin-set commit advances the catalog to the
+    destinations' new heads. A consumer resolving through the catalog
+    therefore never observes a half-fanned-out batch: a crash between
+    destination commits leaves the pins at the previous consistent
+    family (destination heads have moved, pins have not), and the
+    redelivery — which no-ops the committed destinations and applies
+    the rest — republishes the pins only once the family is whole
+    again. This is the multi-table transaction boundary single-table
+    ledgers cannot give (the reason lake/catalog.py exists), applied
+    to the reference's demux topology.
     """
     known = {r[ROUTE_COL] for r in routes.select(ROUTE_COL).distinct().collect()}
     needed = known | {default_route}
@@ -141,6 +156,22 @@ def apply_routed(
         else:
             for route in order:
                 results["routes"][route] = one(route)
+        if catalog is not None:
+            # publish ONLY after every destination committed (a failed
+            # destination raised above) — the all-or-nothing visibility
+            # edge; None pins re-resolve to each member's current head.
+            # A fully-no-op redelivery moves nothing and publishes
+            # nothing (pin churn would bloat the catalog history).
+            pins = catalog.pins()
+            moved = any(
+                tables[r].current_version() != pins[r]["version"]
+                for r in order
+                if r in pins
+            )
+            if moved:
+                results["catalog_version"] = catalog.commit_with_retry(
+                    {r: None for r in order}
+                )
         return results
     finally:
         routed.unpersist()
@@ -174,6 +205,7 @@ class RoutedCdcStreamReplay:
         strategy: str = "cow",
         concurrency: int = 1,
         compact_every: int | None = None,
+        catalog=None,
     ):
         from dexspark.streaming.replay import CdcStreamReplay
 
@@ -200,6 +232,11 @@ class RoutedCdcStreamReplay:
         # needs (each destination accumulates its own delta files)
         self.compact_every = compact_every
         self._applied_since_compact = 0
+        # batch-atomic cross-table visibility: pins publish after each
+        # fully-applied micro-batch (see apply_routed's catalog note);
+        # a restart mid-fan-out leaves the previous consistent family
+        # visible until the redelivery completes it
+        self.catalog = catalog
         self.results: list[dict[str, Any]] = []
 
     def _foreach_batch(self, batch_df, epoch_id: int) -> None:
@@ -218,6 +255,7 @@ class RoutedCdcStreamReplay:
             quarantines=self.quarantines,
             strategy=self.strategy,
             concurrency=self.concurrency,
+            catalog=self.catalog,
         )
         res["metrics"] = {
             "epoch_id": int(epoch_id),

@@ -552,6 +552,103 @@ def cdc_routed_fanout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_routed_atomic_catalog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed fan-out upgraded to BATCH-ATOMIC cross-table visibility
+    (cdc/router.py ``apply_routed(catalog=...)`` × lake/catalog.py):
+    each applied batch ends with ONE atomic pin-set commit over all
+    destination tables, so a consumer joining destinations through the
+    catalog never observes a half-fanned-out batch. The query drives
+    the crash window explicitly: batch b2 is applied to ONLY the
+    alpha destination (the mid-fan-out crash — alpha's head advances,
+    the pins do not), and the catalog read is asserted UNCHANGED while
+    the direct read differs; the resumed ``apply_routed`` under the
+    same batch id then no-ops alpha via its ledger, applies the rest,
+    and republishes the pins only once the family is whole. Final
+    result = union of the per-destination CATALOG reads; oracle = the
+    global LWW replay + route CASE (identical to the plain fan-out —
+    atomicity must not change the converged state)."""
+    from dexspark.cdc.router import apply_routed
+    from dexspark.lake.catalog import Catalog
+    from dexspark.operators.routing import ROUTE_COL, route_by_config, routes_df
+
+    log = derive_log(spark, sf_dir)
+    conv_n = F.substring("conv_id", 6, 10).cast("int")
+    log = log.withColumn(
+        "stream_id",
+        F.when(
+            F.pmod(conv_n, 5) == 0,
+            F.concat(F.lit("gamma_"), F.pmod(conv_n, 3).cast("string")),
+        )
+        .when(F.pmod(conv_n, 2) == 0, F.lit("alpha"))
+        .otherwise(F.lit("beta")),
+    )
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    tables = {
+        r: LakeTable.create(
+            spark, os.path.join(d, r),
+            _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=8,
+        )
+        for r in ("alpha", "beta", "misc")
+    }
+    routes = routes_df(
+        spark,
+        [
+            {"route": "alpha", "message_types": ["alpha"]},
+            {"route": "beta", "message_types": ["beta"]},
+        ],
+    )
+    cat = Catalog.create(spark, os.path.join(d, "catalog"), tables)
+    # four LSN-quartile slices = four batches at ANY scale factor
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    step = max(1, (int(hi) - int(lo) + 4) // 4)
+    cuts = [int(lo) + i * step for i in range(5)]
+    cuts[4] = int(hi) + 1
+
+    def sl(i: int) -> DataFrame:
+        return log.filter(
+            (F.col("lsn") >= cuts[i]) & (F.col("lsn") < cuts[i + 1])
+        )
+
+    for i in (0, 1):
+        r = apply_routed(tables, sl(i), routes, batch_id=f"ac{i}",
+                         type_col="stream_id", catalog=cat)
+        assert "catalog_version" in r, r
+    consistent_v = cat.current_version()
+    pre_alpha = cat.read("alpha").count()
+
+    # -- crash window: batch ac2 lands on alpha ONLY ------------------
+    stamped = route_by_config(sl(2), routes, type_col="stream_id")
+    alpha_slice = stamped.filter(F.col(ROUTE_COL) == "alpha").drop(
+        ROUTE_COL, "stream_id"
+    )
+    apply_changes(tables["alpha"], alpha_slice, batch_id="ac2")
+    # pins unmoved: the catalog still shows the pre-batch family even
+    # though alpha's head advanced
+    assert cat.current_version() == consistent_v
+    assert cat.read("alpha").count() == pre_alpha
+    assert tables["alpha"].read().count() != pre_alpha
+
+    # -- redelivery completes the family, pins advance atomically -----
+    r2 = apply_routed(tables, sl(2), routes, batch_id="ac2",
+                      type_col="stream_id", catalog=cat)
+    assert r2["routes"]["alpha"]["skipped"], r2["routes"]["alpha"]
+    assert r2["catalog_version"] == consistent_v + 1
+    # a redelivery of the whole batch moves nothing and publishes no pin
+    r3 = apply_routed(tables, sl(2), routes, batch_id="ac2",
+                      type_col="stream_id", catalog=cat)
+    assert "catalog_version" not in r3
+    apply_routed(tables, sl(3), routes, batch_id="ac3",
+                 type_col="stream_id", catalog=cat)
+
+    out = None
+    for r in sorted(tables):
+        part = cat.read(r).withColumn("destination", F.lit(r))
+        out = part if out is None else out.unionByName(part)
+    return out.select(
+        "destination", "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
 ORACLE_ROUTED_FANOUT = f"""
 WITH {LOG_CTE}, {FLAGGED_CTE},
 latest AS (
@@ -5504,6 +5601,10 @@ QUERIES: dict[str, tuple] = {
     ),
     "cdc_replay_dual_ingest": (cdc_replay_dual_ingest_q, ORACLE_REPLAY),
     "cdc_routed_fanout": (cdc_routed_fanout_q, ORACLE_ROUTED_FANOUT),
+    "cdc_routed_atomic_catalog": (
+        cdc_routed_atomic_catalog_q,
+        ORACLE_ROUTED_FANOUT,
+    ),
     "cdc_feed_mirror": (cdc_feed_mirror_q, ORACLE_REPLAY),
     "cdc_export_roundtrip": (cdc_export_roundtrip_q, ORACLE_REPLAY),
     "catalog_consistent_read": (catalog_consistent_read_q, ORACLE_REPLAY),

@@ -309,3 +309,51 @@ def test_routed_mor_with_compaction_matches_cow(spark, tmp_table_dir):
         got = {tuple(x) for x in mor[r].read().collect()}
         exp = {tuple(x) for x in cow[r].read().collect()}
         assert got == exp, f"route {r}: MOR+compaction diverged from COW"
+
+
+def test_catalog_pins_are_batch_atomic(spark, tmp_table_dir):
+    """apply_routed(catalog=...): a consumer resolving through the
+    catalog never sees a half-fanned-out batch — pins advance only
+    after EVERY destination committed, a crash window leaves the
+    previous consistent family visible, and a fully-no-op redelivery
+    publishes no pin."""
+    import os
+
+    from dexspark.lake.catalog import Catalog
+
+    log = _stamped(gen_change_log(spark, 1500, n_convs=40, n_batches=3))
+    routes = routes_df(spark, ROUTE_CONFIGS)
+    tables = _mk_dests(spark, tmp_table_dir)
+    cat = Catalog.create(
+        spark, os.path.join(tmp_table_dir, "cat"), tables
+    )
+
+    r0 = apply_routed(
+        tables, log.filter(F.col("batch_seq") == 0), routes,
+        batch_id="b0", catalog=cat,
+    )
+    assert r0["catalog_version"] == 1
+    pre = {r: cat.read(r).count() for r in tables}
+
+    # crash window: batch b1 lands on t0 only
+    b1 = log.filter(F.col("batch_seq") == 1)
+    apply_changes(
+        tables["t0"],
+        b1.filter(F.col("stream_id") == "s0").drop("stream_id"),
+        batch_id="b1",
+    )
+    assert cat.current_version() == 1
+    assert cat.read("t0").count() == pre["t0"]  # catalog: pre-batch
+    assert tables["t0"].read().count() != pre["t0"]  # head: moved
+
+    # redelivery completes the family -> ONE atomic pin advance
+    r1 = apply_routed(tables, b1, routes, batch_id="b1", catalog=cat)
+    assert r1["routes"]["t0"]["skipped"] is True
+    assert r1["catalog_version"] == 2
+    for r in tables:
+        assert cat.read(r).count() == tables[r].read().count()
+
+    # a full redelivery moves nothing and publishes no pin
+    r2 = apply_routed(tables, b1, routes, batch_id="b1", catalog=cat)
+    assert "catalog_version" not in r2
+    assert cat.current_version() == 2
