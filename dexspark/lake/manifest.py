@@ -49,6 +49,10 @@ class DataFile:
     # positions recorded for this file (read planning + metrics).
     dv: str | None = None
     dv_count: int = 0
+    # physical row count from the parquet footer (includes tombstones
+    # and DV-hidden rows); -1 in pre-upgrade manifests = unknown.
+    # Powers metadata-only count_rows() and maintenance policy.
+    rows: int = -1
 
     def to_json(self) -> dict[str, Any]:
         d = {"path": self.path, "bucket": self.bucket, "schema_id": self.schema_id}
@@ -61,6 +65,8 @@ class DataFile:
         if self.dv is not None:
             d["dv"] = self.dv
             d["dv_count"] = self.dv_count
+        if self.rows >= 0:
+            d["rows"] = self.rows
         return d
 
     @staticmethod
@@ -74,6 +80,7 @@ class DataFile:
             bloom=bool(d.get("bloom", False)),
             dv=d.get("dv"),
             dv_count=int(d.get("dv_count", 0)),
+            rows=int(d.get("rows", -1)),
         )
 
 

@@ -83,10 +83,25 @@ def _decode(v: Any, dt: DataType) -> Any:
 
 
 def collect_file_stats(abs_path: str, schema: StructType) -> dict[str, list]:
-    """min/max per eligible column from the parquet footer (all row
-    groups folded together). Columns that are all-null in the file, or
-    whose footer lacks stats, are omitted — absent means "cannot
-    prune", never "empty"."""
+    """min/max per eligible column — see ``collect_file_meta``."""
+    return collect_file_meta(abs_path, schema)[0]
+
+
+def collect_file_meta(
+    abs_path: str, schema: StructType
+) -> tuple[dict[str, list], int]:
+    """(min/max stats, row count) from ONE parquet footer read.
+
+    Stats: per eligible column, all row groups folded together.
+    Columns that are all-null in the file, or whose footer lacks
+    stats, are omitted — absent means "cannot prune", never "empty".
+    Passing the PHYSICAL schema (with system columns) also records
+    ``_applied_lsn`` min/max (the file's LSN span) and ``_deleted``
+    min/max — ``[false, false]`` PROVES the file tombstone-free, which
+    is what lets ``count_rows()`` answer from metadata.
+
+    Row count: the footer's num_rows — physical rows, i.e. including
+    tombstones and rows a deletion vector hides."""
     import pyarrow.parquet as pq
 
     eligible = {f.name for f in schema.fields if stats_eligible(f.dataType)}
@@ -109,11 +124,14 @@ def collect_file_stats(abs_path: str, schema: StructType) -> dict[str, list]:
                 continue
             mins[name] = st.min if name not in mins else min(mins[name], st.min)
             maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
-    return {
-        k: [_encode(mins[k]), _encode(maxs[k])]
-        for k in mins
-        if k not in unbounded
-    }
+    return (
+        {
+            k: [_encode(mins[k]), _encode(maxs[k])]
+            for k in mins
+            if k not in unbounded
+        },
+        int(md.num_rows),
+    )
 
 
 def validate_filters(

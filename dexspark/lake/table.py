@@ -503,6 +503,79 @@ class LakeTable:
             )
         return out
 
+    def count_rows(
+        self, version: int | None = None, detail: bool = False
+    ) -> int | dict[str, Any]:
+        """Visible row count, answered from manifest metadata wherever
+        PROVABLE and by scanning only the remainder.
+
+        A file contributes ``rows - dv_count`` without being read when
+        its footer-derived stats prove it tombstone-free (``_deleted``
+        min/max ``[false, false]``) — deletion-vector positions only
+        ever mark live rows, so the arithmetic is exact. Files with
+        (possible) tombstones, pre-upgrade entries without a recorded
+        row count, and buckets with outstanding MOR deltas (the
+        max-LSN resolve collapses keys, changing the visible count)
+        fall back to one combined scan. Append-only corpora — the
+        training-data case where COUNT matters — therefore answer in
+        O(manifest) with zero I/O; a freshly compacted CDC table scans
+        only buckets whose files still carry tombstones.
+
+        ``detail=True`` returns ``{rows, metadata_files,
+        scanned_files}`` so callers (and tests) can see how much was
+        proved versus scanned."""
+        m = self.manifest(version)
+        current = StructType.fromJson(
+            __import__("json").loads(m.schemas[m.current_schema_id])
+        )
+        current_sys = StructType(
+            list(current.fields)
+            + [
+                StructField(SYS_LSN, LongType(), True),
+                StructField(SYS_DELETED, BooleanType(), True),
+            ]
+        )
+        delta_buckets = {f.bucket for f in m.files if f.kind == "delta"}
+        meta_total = 0
+        meta_files = 0
+        scan_files: list[mf.DataFile] = []
+        for f in m.files:
+            if f.bucket in delta_buckets:
+                continue  # resolved wholesale below
+            if f.rows >= 0 and f.stats.get(SYS_DELETED) == [False, False]:
+                meta_total += f.rows - f.dv_count
+                meta_files += 1
+            else:
+                scan_files.append(f)
+        delta_files = [f for f in m.files if f.bucket in delta_buckets]
+        scanned = 0
+        if scan_files or delta_files:
+            parts = []
+            if scan_files:
+                parts.append(self._scan_files(scan_files, m, current_sys))
+            if delta_files:
+                parts.append(
+                    self._resolve_mor(
+                        self._scan_files(delta_files, m, current_sys),
+                        m,
+                        current_sys,
+                    )
+                )
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            scanned = df.filter(
+                ~F.coalesce(F.col(SYS_DELETED), F.lit(False))
+            ).count()
+        total = meta_total + scanned
+        if detail:
+            return {
+                "rows": total,
+                "metadata_files": meta_files,
+                "scanned_files": len(scan_files) + len(delta_files),
+            }
+        return total
+
     def _scan_files(
         self,
         files: list[mf.DataFile],
@@ -678,6 +751,16 @@ class LakeTable:
         writer_schema = StructType.fromJson(
             __import__("json").loads(m.schemas[m.current_schema_id])
         )
+        # stats over the PHYSICAL schema: system columns give each file
+        # its LSN span and a tombstone-free proof (_deleted [false,
+        # false]) — what count_rows() answers from metadata with
+        writer_phys = StructType(
+            list(writer_schema.fields)
+            + [
+                StructField(SYS_LSN, LongType(), True),
+                StructField(SYS_DELETED, BooleanType(), True),
+            ]
+        )
         if os.path.isdir(out_abs):
             for entry in os.listdir(out_abs):
                 if not entry.startswith(f"{BUCKET_COL}="):
@@ -699,19 +782,21 @@ class LakeTable:
                         # hashing would tax every commit. Compaction
                         # therefore also "blooms" a table whose files
                         # were all merge-written.
+                        fstats, frows = lake_stats.collect_file_meta(
+                            fabs, writer_phys
+                        )
                         new_files.append(
                             mf.DataFile(
                                 path=os.path.join(out_rel, entry, fn),
                                 bucket=bucket,
                                 schema_id=m.current_schema_id,
                                 kind=kind,
-                                stats=lake_stats.collect_file_stats(
-                                    fabs, writer_schema
-                                ),
+                                stats=fstats,
                                 bloom=build_blooms
                                 and lake_bloom.write_for_file(
                                     fabs, m.bucket_key
                                 ),
+                                rows=frows,
                             )
                         )
         if persisted is not None:
@@ -1572,6 +1657,7 @@ class LakeTable:
                             bloom=f.bloom,
                             dv=dv_rel,
                             dv_count=f.dv_count + new_by_path[f.path],
+                            rows=f.rows,
                         )
                     )
                     removed.add(f.path)

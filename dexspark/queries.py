@@ -1229,6 +1229,53 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def lake_metadata_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT (``LakeTable.count_rows``): per-file row
+    counts + a footer-derived tombstone-free proof let an append-only
+    corpus answer COUNT(*) in O(manifest) with ZERO data I/O — the
+    Iceberg/Delta trick of serving counts from manifests, including
+    correct arithmetic over deletion vectors (rows − dv_count, exact
+    because vectors only ever mark live rows). The query loads the
+    documents corpus into a lake table, counts before and after a
+    dv-strategy delete, and asserts BOTH answers came from metadata
+    alone (``scanned_files == 0``); the oracle recomputes both counts
+    in SQL. A CDC table with tombstones falls back to scanning only
+    the unprovable files — covered by tests/test_lake_counts.py."""
+    docs = load(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "docs"),
+        _parse_datatype_string(
+            "doc_id bigint, text string, lang string, "
+            "source string, n_chars bigint"
+        ),
+        "doc_id", num_buckets=8,
+    )
+    # two appends = two file generations per bucket (count must sum
+    # across commits, not just the newest)
+    table.append(docs.filter(F.col("doc_id") % 2 == 0))
+    table.append(docs.filter(F.col("doc_id") % 2 == 1))
+    c1 = table.count_rows(detail=True)
+    assert c1["scanned_files"] == 0, c1
+    info = table.delete_where([("n_chars", "<", 300)], strategy="dv")
+    assert not info.get("skipped")
+    c2 = table.count_rows(detail=True)
+    assert c2["scanned_files"] == 0, c2
+    assert c2["rows"] == c1["rows"] - info["matched_rows"]
+    return spark.createDataFrame(
+        [(int(c1["rows"]), int(c2["rows"]))],
+        "n_before bigint, n_after bigint",
+    )
+
+
+ORACLE_METADATA_COUNT = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_before,
+       CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after
+FROM documents
+"""
+
+
 def cdc_replay_rebucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout evolution mid-ingest under the hard oracle: replay the
     first half of the log into a 4-bucket table (a table sized for
@@ -5619,6 +5666,7 @@ QUERIES: dict[str, tuple] = {
         cdc_retention_delete_dv_q,
         ORACLE_RETENTION_DELETE_DV,
     ),
+    "lake_metadata_count": (lake_metadata_count_q, ORACLE_METADATA_COUNT),
     "cdc_rtbf_delete": (cdc_rtbf_delete_q, ORACLE_RTBF_DELETE),
     "cdc_replay_rebucketed": (cdc_replay_rebucketed_q, ORACLE_REPLAY),
     "lake_clustered_scan": (lake_clustered_scan_q, ORACLE_STATS_PRUNED),
