@@ -95,6 +95,12 @@ class Manifest:
     summary: dict[str, Any] = field(default_factory=dict)
     parent: int | None = None
     properties: dict[str, str] = field(default_factory=dict)
+    # commit wall time, epoch seconds UTC; monotone non-decreasing
+    # along the version chain (the committer clamps to the parent's
+    # time, so driver clock steps backwards cannot reorder history).
+    # None in pre-upgrade manifests → invisible to as-of-timestamp
+    # resolution (read(as_of=...)), never mis-resolved.
+    committed_at: float | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -109,6 +115,11 @@ class Manifest:
                 "summary": self.summary,
                 "parent": self.parent,
                 "properties": self.properties,
+                **(
+                    {"committed_at": self.committed_at}
+                    if self.committed_at is not None
+                    else {}
+                ),
             },
             indent=1,
         )
@@ -126,6 +137,7 @@ class Manifest:
             summary=d.get("summary", {}),
             parent=d.get("parent"),
             properties=d.get("properties", {}),
+            committed_at=d.get("committed_at"),
         )
 
 
@@ -166,8 +178,28 @@ def read_manifest(table_dir: str, version: int) -> Manifest:
 def commit_manifest(table_dir: str, m: Manifest) -> None:
     """Atomically publish manifest version ``m.version``.
 
+    Stamps ``committed_at`` (epoch UTC) here — the one chokepoint
+    every commit path funnels through — clamped to the parent's stamp
+    so the chain stays monotone even if the driver clock steps
+    backwards (as-of-timestamp resolution depends on monotonicity; the
+    VERSION remains the authority on order, the timestamp is an
+    index into it).
+
     Raises FileExistsError on a lost optimistic-concurrency race.
     """
+    if m.committed_at is None:
+        import time as _time
+
+        now = _time.time()
+        if m.parent is not None:
+            try:
+                now = max(
+                    now,
+                    read_manifest(table_dir, m.parent).committed_at or 0.0,
+                )
+            except FileNotFoundError:
+                pass  # parent expired mid-flight; wall clock stands
+        m.committed_at = now
     mdir = os.path.join(table_dir, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")

@@ -383,6 +383,34 @@ class LakeTable:
         p = os.path.join(self.table_dir, f.path)
         return all(lake_bloom.file_may_contain(p, v) for v in key_vals)
 
+    def resolve_as_of(self, ts: Any) -> int:
+        """Version of the newest snapshot committed at or before
+        ``ts`` (datetime — naive means UTC, matching the session
+        timezone — or epoch seconds). ≙ Iceberg/Delta ``TIMESTAMP AS
+        OF``. Commit stamps are monotone along the chain
+        (manifest.py), so the answer is well-defined; snapshots from
+        before the stamp existed (or expired away) are simply not
+        candidates. Raises if no retained snapshot is old enough."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            epoch = ts.timestamp()
+        else:
+            epoch = float(ts)
+        best: int | None = None
+        for v in mf.available_versions(self.meta_dir):
+            m = self.manifest(v)
+            if m.committed_at is not None and m.committed_at <= epoch:
+                if best is None or v > best:
+                    best = v
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot committed at or before {ts!r}"
+            )
+        return best
+
     def read(
         self,
         version: int | None = None,
@@ -391,6 +419,7 @@ class LakeTable:
         filters: list[tuple[str, str, Any]] | None = None,
         columns: list[str] | None = None,
         tag: str | None = None,
+        as_of: Any = None,
     ) -> DataFrame:
         """Current (or time-travel) state of the table.
 
@@ -420,12 +449,16 @@ class LakeTable:
         first and filter after — compaction restores their prunability.
 
         ``tag`` — read the snapshot a named tag pins (see ``tag()``);
-        mutually exclusive with ``version``.
+        ``as_of`` — the newest snapshot committed at or before a
+        timestamp (``resolve_as_of``). ``version``/``tag``/``as_of``
+        are mutually exclusive.
         """
+        if sum(x is not None for x in (version, tag, as_of)) > 1:
+            raise ValueError("pass at most one of version=, tag=, as_of=")
         if tag is not None:
-            if version is not None:
-                raise ValueError("pass version= or tag=, not both")
             version = self.resolve_tag(tag)
+        if as_of is not None:
+            version = self.resolve_as_of(as_of)
         m = self.manifest(version)
         current = StructType.fromJson(
             __import__("json").loads(m.schemas[m.current_schema_id])

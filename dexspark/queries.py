@@ -1229,6 +1229,63 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def cdc_asof_timestamp_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp time travel under the hard oracle (``read(as_of=ts)``
+    ≙ Iceberg/Delta TIMESTAMP AS OF): replay the log in four
+    LSN-quartile batches, capture the wall clock between batches 1 and
+    2, and read as of that moment — the result must equal the replay
+    of exactly the first two quartiles, which the oracle recomputes as
+    an LSN-truncated LWW. Commit stamps are clamped monotone along the
+    snapshot chain (lake/manifest.py), so the captured instant
+    resolves deterministically even though its absolute value differs
+    every run. Also asserts the as-of read is BYTE-IDENTICAL to
+    version time travel at the resolved version."""
+    import time as _time
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    step = max(1, (int(hi) - int(lo) + 4) // 4)
+    cuts = [int(lo) + i * step for i in range(5)]
+    cuts[4] = int(hi) + 1
+    t_mid = None
+    for i in range(4):
+        sl = log.filter(
+            (F.col("lsn") >= cuts[i]) & (F.col("lsn") < cuts[i + 1])
+        )
+        apply_changes(table, sl, batch_id=f"ao{i}")
+        if i == 1:
+            t_mid = _time.time()
+    v = table.resolve_as_of(t_mid)
+    asof = table.read(as_of=t_mid)
+    assert asof.exceptAll(table.read(version=v)).count() == 0
+    return asof
+
+
+# LWW over the first two LSN quartiles only — the state the captured
+# instant pins (cut arithmetic mirrors the Python: step = max(1,
+# (hi-lo+4)//4), cut = lo + 2*step)
+ORACLE_ASOF_TIMESTAMP = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+cut AS (
+  SELECT MIN(lsn) + 2 * GREATEST(1, (MAX(lsn) - MIN(lsn) + 4) // 4)
+    AS c FROM log
+),
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM flagged
+  WHERE reject_reason IS NULL AND lsn < (SELECT c FROM cut)
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def lake_metadata_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only COUNT (``LakeTable.count_rows``): per-file row
     counts + a footer-derived tombstone-free proof let an append-only
@@ -5667,6 +5724,10 @@ QUERIES: dict[str, tuple] = {
         ORACLE_RETENTION_DELETE_DV,
     ),
     "lake_metadata_count": (lake_metadata_count_q, ORACLE_METADATA_COUNT),
+    "cdc_asof_timestamp_read": (
+        cdc_asof_timestamp_read_q,
+        ORACLE_ASOF_TIMESTAMP,
+    ),
     "cdc_rtbf_delete": (cdc_rtbf_delete_q, ORACLE_RTBF_DELETE),
     "cdc_replay_rebucketed": (cdc_replay_rebucketed_q, ORACLE_REPLAY),
     "lake_clustered_scan": (lake_clustered_scan_q, ORACLE_STATS_PRUNED),
