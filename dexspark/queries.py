@@ -4001,6 +4001,61 @@ WHERE len(list_intersect(a.s, b.s)) * 1000
 """
 
 
+def doc_dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP assembly — the transitive-closure step a real
+    dedup pipeline needs after pair generation (pairs say "a dups b";
+    curation must keep ONE of each component, so a-b + b-c keeps only
+    a). Connected components over the verified pair graph via
+    min-label propagation WITH POINTER JUMPING
+    (functions/dedup.py::connected_components): each round is two hash
+    joins + an aggregate, label chains halve per round, so convergence
+    is O(log diameter) rounds — an iterative algorithm whose per-round
+    work is plain shuffled joins, the Spark-native shape for graph
+    closure. Oracle: DuckDB recursive CTE computing min reachable id
+    over the same exactly-verified pairs."""
+    from dexspark.functions.dedup import (
+        minhash_lsh_pairs,
+        near_dup_groups,
+        ngram_jaccard,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, num_hashes=64, bands=32)
+    verified = ngram_jaccard(docs, cand)
+    pairs = verified.filter(
+        F.col("n_inter") * 1000 >= F.col("n_union") * 800
+    ).select("id_a", "id_b")
+    return near_dup_groups(docs, pairs).select(
+        "doc_id", "group_id", "group_size", "is_canonical"
+    )
+
+
+ORACLE_DEDUP_GROUPS = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1000
+        >= len(list_distinct(list_concat(a.s, b.s))) * 800
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, reach.r FROM edges e JOIN reach ON e.u = reach.id
+),
+comp AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY id)
+SELECT id AS doc_id, group_id,
+       CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT)
+         AS group_size,
+       id = group_id AS is_canonical
+FROM comp
+"""
+
+
 def doc_pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over the corpus: emails/phones are deterministically
     SEEDED from doc_id (2 of every 3 docs) so the redaction regexes
@@ -5738,6 +5793,7 @@ QUERIES: dict[str, tuple] = {
     "doc_quality_scores": (doc_quality_scores_q, ORACLE_QUALITY),
     "doc_lang_id": (doc_lang_id_q, ORACLE_LANG),
     "doc_near_dup_pairs": (doc_near_dup_pairs_q, ORACLE_NEAR_DUP),
+    "doc_dedup_groups": (doc_dedup_groups_q, ORACLE_DEDUP_GROUPS),
     "doc_near_dup_incremental": (doc_near_dup_incremental_q, ORACLE_NEAR_DUP),
     "doc_ingest_dedup_gate": (doc_ingest_dedup_gate_q, ORACLE_INGEST_GATE),
     "corpus_curation_pipeline": (corpus_curation_pipeline_q, ORACLE_CURATION),

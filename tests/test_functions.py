@@ -285,3 +285,44 @@ def test_decontaminate(spark):
     got = {r.doc_id: r for r in decontaminate(train, bench, shingle_n=3).collect()}
     assert got[1].contaminated and got[1].n_contaminated_shingles >= 2
     assert not got[2].contaminated and got[2].n_contaminated_shingles == 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 12-node path graph (worst case for plain propagation: O(n)
+    rounds) must converge within the pointer-jumping bound, and
+    disjoint components must not leak labels."""
+    from dexspark.functions.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 111)]          # 100..111
+    island = [(7, 9), (9, 3)]                              # {3, 7, 9}
+    pair = [(500, 501)]                                    # {500, 501}
+    edges = spark.createDataFrame(
+        chain + island + pair, "id_a long, id_b long"
+    )
+    got = {
+        r.id: r.group_id
+        for r in connected_components(edges, max_iterations=8).collect()
+    }
+    assert {got[i] for i in range(100, 112)} == {100}
+    assert got[3] == got[7] == got[9] == 3
+    assert got[500] == got[501] == 500
+    assert len(got) == 12 + 3 + 2  # only nodes that appear in edges
+
+
+def test_near_dup_groups_transitive_keep_one(spark):
+    """a-b + b-c must collapse to ONE canonical doc (the transitive
+    closure pairs alone cannot express)."""
+    from dexspark.functions.dedup import near_dup_groups
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 4), (0, 5)], "id_a long, id_b long"
+    )
+    rows = {r.doc_id: r for r in near_dup_groups(docs, pairs).collect()}
+    assert rows[1].group_id == rows[2].group_id == rows[4].group_id == 1
+    assert rows[1].group_size == 3
+    assert rows[1].is_canonical and not rows[2].is_canonical
+    assert rows[0].group_id == 0 and rows[0].group_size == 2
+    assert 3 not in rows  # doc in no pair is not emitted
