@@ -244,6 +244,27 @@ def cmd_tag(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    spark = _spark(args)
+    cluster = args.cluster_by.split(",") if args.cluster_by else None
+    print(
+        json.dumps(
+            LakeTable(spark, args.table).maintain(
+                compact_min_files=args.compact_min_files,
+                compact_delta_depth=args.delta_depth,
+                compact_dv_ratio=args.dv_ratio,
+                expire_keep_last=args.expire_keep_last,
+                vacuum_grace_seconds=args.vacuum_grace,
+                cluster_by=cluster,
+                zorder=args.zorder,
+                files_per_bucket=args.files_per_bucket,
+            ),
+            default=str,
+        )
+    )
+    return 0
+
+
 def cmd_vacuum_orphans(args) -> int:
     spark = _spark(args)
     print(
@@ -746,6 +767,39 @@ def main(argv: list[str] | None = None) -> int:
     tg.add_argument("--name", help="tag name (all but 'list')")
     tg.add_argument("--at-version", type=int, default=None)
     tg.set_defaults(fn=cmd_tag)
+
+    mt = sub.add_parser(
+        "maintain",
+        help="one-call metadata-driven maintenance: compact buckets "
+             "whose file count / MOR delta depth / deletion-vector "
+             "ratio crossed policy thresholds, then optionally expire "
+             "snapshots and vacuum orphans",
+    )
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--compact-min-files", type=int, default=4)
+    mt.add_argument(
+        "--delta-depth", type=int, default=4,
+        help="compact a bucket once this many MOR delta files are "
+             "outstanding (read-amplification bound)",
+    )
+    mt.add_argument(
+        "--dv-ratio", type=float, default=0.05,
+        help="compact a bucket once deletion-vector positions exceed "
+             "this fraction of its physical rows",
+    )
+    mt.add_argument(
+        "--expire-keep-last", type=int, default=None,
+        help="also expire snapshots, keeping this many (skip if unset)",
+    )
+    mt.add_argument(
+        "--vacuum-grace", type=float, default=None,
+        help="also vacuum orphans older than this many seconds "
+             "(skip if unset)",
+    )
+    mt.add_argument("--cluster-by", default=None)
+    mt.add_argument("--zorder", action="store_true")
+    mt.add_argument("--files-per-bucket", type=int, default=4)
+    mt.set_defaults(fn=cmd_maintain)
 
     vo = sub.add_parser(
         "vacuum-orphans",

@@ -1810,6 +1810,7 @@ class LakeTable:
         cluster_by: list[str] | None = None,
         files_per_bucket: int = 4,
         zorder: bool = False,
+        buckets: Iterable[int] | None = None,
     ) -> dict[str, Any]:
         """Bin-pack small files: rewrite every bucket holding at least
         ``min_files_per_bucket`` data files into one file, in one
@@ -1863,6 +1864,10 @@ class LakeTable:
             affected = {
                 b for b, n in per_bucket.items() if n >= min_files_per_bucket
             } | stale | deltas | dvs
+            if buckets is not None:
+                # explicit bucket set (maintain()'s policy engine):
+                # bypass the built-in triggers, compact exactly these
+                affected = set(buckets) & set(per_bucket)
             if cluster_by:
                 if zorder:
                     lake_zorder.validate_zorder_cols(
@@ -1874,7 +1879,10 @@ class LakeTable:
                         raise ValueError(
                             f"cluster column {c!r} not in table schema"
                         )
-                affected = set(per_bucket)  # clustering rewrites every bucket
+                if buckets is None:
+                    # clustering rewrites every bucket (that is the
+                    # point); an explicit bucket set stays scoped
+                    affected = set(per_bucket)
             if not affected:
                 return {
                     "operation": "compact",
@@ -1918,6 +1926,88 @@ class LakeTable:
                     raise
                 _conflict_backoff(attempt)
         raise AssertionError("unreachable")
+
+    def maintain(
+        self,
+        compact_min_files: int = 4,
+        compact_delta_depth: int = 4,
+        compact_dv_ratio: float = 0.05,
+        expire_keep_last: int | None = None,
+        keep_versions: set[int] | None = None,
+        vacuum_grace_seconds: float | None = None,
+        cluster_by: list[str] | None = None,
+        zorder: bool = False,
+        files_per_bucket: int = 4,
+    ) -> dict[str, Any]:
+        """One-call, metadata-driven maintenance — the scheduled
+        OPTIMIZE job a long-running ingest needs, with every decision
+        taken from the MANIFEST (zero data I/O until a rewrite is
+        actually warranted):
+
+        - **compact** a bucket when any trigger fires: file count ≥
+          ``compact_min_files`` (small-file bin-packing), outstanding
+          MOR deltas ≥ ``compact_delta_depth`` (read-amplification
+          bound — the depth/latency curve in BENCH/BASELINE_mor.md is
+          the empirical basis), deletion-vector positions ≥
+          ``compact_dv_ratio`` × physical rows (purge + read-side
+          anti-join cost), or a stale writer schema. Untriggered
+          buckets are untouched — maintenance I/O is O(degraded data).
+        - **expire** snapshots beyond ``expire_keep_last`` (skipped
+          when None); ``keep_versions`` passes catalog/consumer pins
+          through.
+        - **vacuum** orphans older than ``vacuum_grace_seconds``
+          (skipped when None — vacuum needs the grace period sized to
+          the slowest plausible in-flight writer, so it is opt-in).
+
+        Safe to run concurrently with the data plane: compaction
+        commits are content-preserving replacements that rebase or
+        recompute under the optimistic-concurrency rules, and a lost
+        race surfaces as a retry, never lost data."""
+        m = self.manifest()
+        per_bucket: dict[int, dict[str, int]] = {}
+        for f in m.files:
+            st = per_bucket.setdefault(
+                f.bucket, {"files": 0, "deltas": 0, "dv": 0, "rows": 0}
+            )
+            st["files"] += 1
+            st["deltas"] += 1 if f.kind == "delta" else 0
+            st["dv"] += f.dv_count
+            st["rows"] += max(f.rows, 0)
+        stale = {f.bucket for f in m.files if f.schema_id != m.current_schema_id}
+        triggered: dict[int, list[str]] = {}
+        for b, st in per_bucket.items():
+            why = []
+            if st["files"] >= compact_min_files:
+                why.append("files")
+            if st["deltas"] >= compact_delta_depth:
+                why.append("delta_depth")
+            if st["rows"] > 0 and st["dv"] >= compact_dv_ratio * st["rows"]:
+                why.append("dv_ratio")
+            if b in stale:
+                why.append("stale_schema")
+            if why:
+                triggered[b] = why
+        out: dict[str, Any] = {
+            "operation": "maintain",
+            "buckets_triggered": {str(b): triggered[b] for b in sorted(triggered)},
+        }
+        if triggered:
+            out["compact"] = self.compact(
+                buckets=set(triggered),
+                cluster_by=cluster_by,
+                zorder=zorder,
+                files_per_bucket=files_per_bucket,
+                summary={"maintain": True},
+            )
+        if expire_keep_last is not None:
+            out["expire"] = self.expire_snapshots(
+                keep_last=expire_keep_last, keep_versions=keep_versions
+            )
+        if vacuum_grace_seconds is not None:
+            out["vacuum"] = self.vacuum_orphans(
+                older_than_seconds=vacuum_grace_seconds
+            )
+        return out
 
     def rollback(
         self, to_version: int, summary: dict[str, Any] | None = None
