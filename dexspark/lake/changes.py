@@ -181,8 +181,16 @@ def table_changes(
     if prune_buckets:
         buckets = sorted(changed_buckets(table, from_version, to_version))
 
+    # align the old snapshot to the new schema BY FIELD ID where maps
+    # exist (manifest.py field_ids), so a rename between the versions
+    # diffs the same logical column instead of NULLing it
+    m_to = table.manifest(to_version)
+    m_from = table.manifest(from_version)
     old = _align(
-        table.read(version=from_version, buckets=buckets), new_schema
+        table.read(version=from_version, buckets=buckets),
+        new_schema,
+        src_ids=m_to.field_ids.get(m_from.current_schema_id),
+        tgt_ids=m_to.field_ids.get(m_to.current_schema_id),
     )
     new = table.read(version=to_version, buckets=buckets)
     return snapshot_diff(old, new, key_cols, payload, op_col=op_col, images=images)

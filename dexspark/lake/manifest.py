@@ -101,6 +101,13 @@ class Manifest:
     # None in pre-upgrade manifests → invisible to as-of-timestamp
     # resolution (read(as_of=...)), never mis-resolved.
     committed_at: float | None = None
+    # schema_id -> {column name -> stable field id} (≙ Iceberg field
+    # ids): reads align old files to the current schema BY ID, so
+    # RENAME is metadata-only (same id, new name) and DROP cannot be
+    # resurrected by a later same-name ADD (fresh id). {} in
+    # pre-upgrade manifests → by-name alignment, exactly the previous
+    # behavior (format-compatible).
+    field_ids: dict[int, dict[str, int]] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -118,6 +125,15 @@ class Manifest:
                 **(
                     {"committed_at": self.committed_at}
                     if self.committed_at is not None
+                    else {}
+                ),
+                **(
+                    {
+                        "field_ids": {
+                            str(k): v for k, v in self.field_ids.items()
+                        }
+                    }
+                    if self.field_ids
                     else {}
                 ),
             },
@@ -138,6 +154,10 @@ class Manifest:
             parent=d.get("parent"),
             properties=d.get("properties", {}),
             committed_at=d.get("committed_at"),
+            field_ids={
+                int(k): {n: int(i) for n, i in v.items()}
+                for k, v in d.get("field_ids", {}).items()
+            },
         )
 
 

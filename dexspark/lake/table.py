@@ -182,6 +182,12 @@ class LakeTable:
             summary={"operation": "create"},
             parent=None,
             properties=properties or {},
+            field_ids={
+                1: {
+                    name: i + 1
+                    for i, name in enumerate(schema.fieldNames())
+                }
+            },
         )
         mf.commit_manifest(table_dir, m)
         return LakeTable(spark, table_dir)
@@ -662,6 +668,8 @@ class LakeTable:
                     keep=(lake_dv.FP_COL, lake_dv.POS_COL)
                     if need_pos
                     else (),
+                    src_ids=m.field_ids.get(sid),
+                    tgt_ids=m.field_ids.get(m.current_schema_id),
                 )
             )
         out = parts[0]
@@ -844,6 +852,7 @@ class LakeTable:
         schemas: dict[int, str] | None = None,
         current_schema_id: int | None = None,
         properties: dict[str, str] | None = None,
+        field_ids: dict[int, dict[str, int]] | None = None,
     ) -> mf.Manifest:
         nxt = mf.Manifest(
             version=base.version + 1,
@@ -855,6 +864,7 @@ class LakeTable:
             summary=summary,
             parent=base.version,
             properties=properties if properties is not None else base.properties,
+            field_ids=field_ids if field_ids is not None else base.field_ids,
         )
         try:
             mf.commit_manifest(self.meta_dir, nxt)
@@ -880,7 +890,15 @@ class LakeTable:
         v = head
         while v.version > read_from.version:
             op = v.summary.get("operation")
-            if op in ("compact", "evolve_schema"):
+            if op in (
+                "compact",
+                "evolve_schema",
+                "rename_column",
+                "drop_column",
+            ):
+                # content-preserving: a bucket's ROWS are identical
+                # before and after (rename/drop are by-id metadata;
+                # the bytes in files do not move)
                 pass
             elif op == "merge" and "affected_buckets" in v.summary:
                 if set(v.summary["affected_buckets"]) & buckets:
@@ -1786,6 +1804,7 @@ class LakeTable:
                 summary=info,
                 parent=m.version,
                 properties=m.properties,
+                field_ids=m.field_ids,
             )
             try:
                 mf.commit_manifest(self.meta_dir, nxt)
@@ -2079,6 +2098,7 @@ class LakeTable:
                 summary=info,
                 parent=head.version,
                 properties=target.properties,
+                field_ids=target.field_ids,
             )
             try:
                 mf.commit_manifest(self.meta_dir, nxt)
@@ -2246,6 +2266,7 @@ class LakeTable:
             summary=info,
             parent=head.version,
             properties=bhead.properties,
+            field_ids=bhead.field_ids,
         )
         try:
             mf.commit_manifest(self.table_dir, nxt)
@@ -2532,6 +2553,25 @@ class LakeTable:
             new_sid = max(m.schemas) + 1
             schemas = dict(m.schemas)
             schemas[new_sid] = new_schema.json()
+            ids = self._seeded_field_ids(m)
+            cur_map = ids[m.current_schema_id]
+            nxt_id = (
+                max(
+                    (i for mp in ids.values() for i in mp.values()),
+                    default=0,
+                )
+                + 1
+            )
+            new_map: dict[str, int] = {}
+            for fname in new_schema.fieldNames():
+                if fname in cur_map:
+                    new_map[fname] = cur_map[fname]
+                else:
+                    # fresh id: if this name was EVER dropped before,
+                    # old files' data for it stays dead (by-id align)
+                    new_map[fname] = nxt_id
+                    nxt_id += 1
+            ids[new_sid] = new_map
             try:
                 # metadata-only: recompute on conflict is one manifest
                 # re-read + re-validate against the (possibly evolved)
@@ -2542,6 +2582,7 @@ class LakeTable:
                     {"operation": "evolve_schema", "schema_id": new_sid},
                     schemas=schemas,
                     current_schema_id=new_sid,
+                    field_ids=ids,
                 )
                 return True
             except CommitConflict:
@@ -2549,17 +2590,193 @@ class LakeTable:
                     raise
         raise AssertionError("unreachable")
 
+    def _seeded_field_ids(self, m: mf.Manifest) -> dict[int, dict[str, int]]:
+        """``field_ids`` with EVERY schema id covered. Pre-upgrade
+        schemas (written before field ids existed) are seeded by name
+        against the maps already present — valid because pre-upgrade
+        evolution was strictly add/widen, so equal names are the same
+        logical field."""
+        import json as _json
+
+        ids = {k: dict(v) for k, v in m.field_ids.items()}
+        registry: dict[str, int] = {}
+        for sid in sorted(ids):
+            registry.update(ids[sid])
+        nxt = max(registry.values(), default=0) + 1
+        for sid in sorted(m.schemas):
+            if sid in ids:
+                continue
+            mp: dict[str, int] = {}
+            for n in StructType.fromJson(
+                _json.loads(m.schemas[sid])
+            ).fieldNames():
+                if n not in registry:
+                    registry[n] = nxt
+                    nxt += 1
+                mp[n] = registry[n]
+            ids[sid] = mp
+        return ids
+
+    def _guard_key_column(self, m: mf.Manifest, name: str, verb: str) -> None:
+        keys = set(
+            (m.properties.get("merge_keys") or m.bucket_key).split(",")
+        )
+        if name == m.bucket_key or name in keys:
+            raise ValueError(
+                f"cannot {verb} {name!r}: it is the bucket/merge key "
+                "(rebucket to a different key first)"
+            )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column RENAME (≙ Iceberg rename; impossible
+        under by-name alignment). The new schema keeps the field's
+        STABLE ID, so every existing file — written under any older
+        schema — reads back under the new name with zero data I/O,
+        and time travel to pre-rename versions still shows the old
+        name. Bucket/merge keys cannot be renamed (bucket derivation
+        and MERGE targeting resolve them by name at run time).
+
+        Producer contract: a change batch aligns to the schema CURRENT
+        when its merge plans — switch upstream producers to the new
+        name at the same time as the rename (an in-flight merge that
+        planned under the old schema commits old-named files, which
+        read back renamed by id; a batch still sending the old name
+        AFTER the rename has an unknown column, which aligns to NULL
+        like any unknown batch column).
+
+        Returns the new schema id."""
+        if not new or "." in new:
+            raise ValueError(f"invalid column name {new!r}")
+        for attempt in range(MAX_COMMIT_RETRIES + 1):
+            m = self.manifest()
+            current = self.schema(m.version)
+            names = current.fieldNames()
+            if old not in names:
+                raise ValueError(f"no column {old!r} to rename")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            self._guard_key_column(m, old, "rename")
+            new_schema = StructType(
+                [
+                    StructField(
+                        new if f.name == old else f.name,
+                        f.dataType,
+                        f.nullable,
+                    )
+                    for f in current.fields
+                ]
+            )
+            ids = self._seeded_field_ids(m)
+            ids_new = {
+                (new if n == old else n): i
+                for n, i in ids[m.current_schema_id].items()
+            }
+            new_sid = max(m.schemas) + 1
+            schemas = dict(m.schemas)
+            schemas[new_sid] = new_schema.json()
+            ids[new_sid] = ids_new
+            try:
+                self._commit_next(
+                    m,
+                    m.files,
+                    {
+                        "operation": "rename_column",
+                        "from": old,
+                        "to": new,
+                        "schema_id": new_sid,
+                    },
+                    schemas=schemas,
+                    current_schema_id=new_sid,
+                    field_ids=ids,
+                )
+                return new_sid
+            except CommitConflict:
+                if attempt == MAX_COMMIT_RETRIES:
+                    raise
+                _conflict_backoff(attempt)
+        raise AssertionError("unreachable")
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only column DROP. Existing files keep the bytes
+        (time travel to pre-drop versions still reads them); current
+        reads project the field away BY ID, so a later re-ADD of the
+        same name (which gets a fresh id) reads NULL from old files
+        instead of resurrecting dropped data — the classic by-name
+        alignment bug this exists to prevent. Physical erasure of the
+        dropped column's bytes happens as files rewrite (compaction /
+        deletes); a full `compact(cluster_by=...)` forces it
+        everywhere. Returns the new schema id."""
+        for attempt in range(MAX_COMMIT_RETRIES + 1):
+            m = self.manifest()
+            current = self.schema(m.version)
+            if name not in current.fieldNames():
+                raise ValueError(f"no column {name!r} to drop")
+            if len(current.fields) == 1:
+                raise ValueError("cannot drop the only column")
+            self._guard_key_column(m, name, "drop")
+            new_schema = StructType(
+                [f for f in current.fields if f.name != name]
+            )
+            ids = self._seeded_field_ids(m)
+            ids_new = {
+                n: i
+                for n, i in ids[m.current_schema_id].items()
+                if n != name
+            }
+            new_sid = max(m.schemas) + 1
+            schemas = dict(m.schemas)
+            schemas[new_sid] = new_schema.json()
+            ids[new_sid] = ids_new
+            try:
+                self._commit_next(
+                    m,
+                    m.files,
+                    {
+                        "operation": "drop_column",
+                        "column": name,
+                        "schema_id": new_sid,
+                    },
+                    schemas=schemas,
+                    current_schema_id=new_sid,
+                    field_ids=ids,
+                )
+                return new_sid
+            except CommitConflict:
+                if attempt == MAX_COMMIT_RETRIES:
+                    raise
+                _conflict_backoff(attempt)
+        raise AssertionError("unreachable")
+
 
 def _align(
-    df: DataFrame, schema: StructType, keep: tuple[str, ...] = ()
+    df: DataFrame,
+    schema: StructType,
+    keep: tuple[str, ...] = (),
+    src_ids: dict[str, int] | None = None,
+    tgt_ids: dict[str, int] | None = None,
 ) -> DataFrame:
     """Project/cast df to exactly `schema` (missing columns → NULL);
-    ``keep`` columns pass through untouched after the schema fields."""
+    ``keep`` columns pass through untouched after the schema fields.
+
+    With BOTH field-id maps (writer schema's and target's — see
+    manifest.py ``field_ids``), a target field's source column is
+    resolved BY ID: a renamed column reads its old name from old
+    files, and a dropped-then-readded name (fresh id) reads NULL from
+    files written before the re-add instead of resurrecting the
+    dropped data. Fields absent from the maps (system columns,
+    pre-upgrade schemas) fall back to by-name — the previous
+    behavior, so tables without the maps are unaffected."""
+    inv_src = (
+        {fid: n for n, fid in src_ids.items()} if src_ids else None
+    )
     cols = []
     have = set(df.columns)
     for f in schema.fields:
-        if f.name in have:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        src = f.name
+        if inv_src is not None and tgt_ids is not None and f.name in tgt_ids:
+            src = inv_src.get(tgt_ids[f.name])  # None = not in writer
+        if src is not None and src in have:
+            cols.append(F.col(src).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     cols.extend(F.col(k) for k in keep)

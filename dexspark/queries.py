@@ -1286,6 +1286,80 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def cdc_schema_rename_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column RENAME + DROP mid-lifecycle under the hard oracle
+    (field-id alignment, lake/table.py::rename_column/drop_column —
+    the Iceberg capability by-name alignment cannot give). Replay the
+    first half, rename ``text`` → ``body`` (metadata-only: zero data
+    I/O, old files read back under the new name BY ID), replay the
+    rest with the upstream log now carrying ``body`` (validation
+    re-bound via ValidationConfig(text_col="body") so the reject set
+    is unchanged), then DROP ``tool`` and RE-ADD it — the re-added
+    column must read NULL everywhere (fresh field id: dropped data
+    stays dead; the classic by-name resurrection bug). The oracle is
+    the plain LWW replay with ``text AS body`` and ``NULL AS tool``,
+    so the hash pins rename transparency, mixed-generation reads, and
+    non-resurrection at once. MOR deltas land across the rename
+    boundary (old-name delta files resolve against new-name merges)."""
+    from dexspark.cdc.validate import ValidationConfig
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    step = max(1, (int(hi) - int(lo) + 4) // 4)
+    cuts = [int(lo) + i * step for i in range(5)]
+    cuts[4] = int(hi) + 1
+    for i in range(4):
+        sl = log.filter(
+            (F.col("lsn") >= cuts[i]) & (F.col("lsn") < cuts[i + 1])
+        )
+        if i < 2:
+            apply_changes(
+                table, sl, batch_id=f"rn{i}",
+                strategy="cow" if i == 0 else "mor",
+            )
+        else:
+            apply_changes(
+                table,
+                sl.withColumnRenamed("text", "body"),
+                batch_id=f"rn{i}",
+                cfg=ValidationConfig(text_col="body"),
+                strategy="mor" if i == 2 else "cow",
+            )
+        if i == 1:
+            table.rename_column("text", "body")
+    assert table.schema().fieldNames() == [
+        "conv_id", "turn_idx", "role", "body", "tool", "ts"
+    ]
+    table.drop_column("tool")
+    table.evolve_schema(
+        _parse_datatype_string(
+            "conv_id string, turn_idx int, role string, body string, "
+            "ts timestamp, tool string"
+        )
+    )
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "body", "tool", "ts"
+    )
+
+
+ORACLE_SCHEMA_RENAME = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM flagged WHERE reject_reason IS NULL
+)
+SELECT conv_id, turn_idx, role, text AS body,
+       CAST(NULL AS VARCHAR) AS tool, ts
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def lake_metadata_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only COUNT (``LakeTable.count_rows``): per-file row
     counts + a footer-derived tombstone-free proof let an append-only
@@ -5779,6 +5853,10 @@ QUERIES: dict[str, tuple] = {
         ORACLE_RETENTION_DELETE_DV,
     ),
     "lake_metadata_count": (lake_metadata_count_q, ORACLE_METADATA_COUNT),
+    "cdc_schema_rename_replay": (
+        cdc_schema_rename_replay_q,
+        ORACLE_SCHEMA_RENAME,
+    ),
     "cdc_asof_timestamp_read": (
         cdc_asof_timestamp_read_q,
         ORACLE_ASOF_TIMESTAMP,
