@@ -244,6 +244,16 @@ def cmd_tag(args) -> int:
     return 0
 
 
+def cmd_build_blooms(args) -> int:
+    spark = _spark(args)
+    print(
+        json.dumps(
+            LakeTable(spark, args.table).build_blooms(args.column)
+        )
+    )
+    return 0
+
+
 def cmd_maintain(args) -> int:
     spark = _spark(args)
     cluster = args.cluster_by.split(",") if args.cluster_by else None
@@ -767,6 +777,15 @@ def main(argv: list[str] | None = None) -> int:
     tg.add_argument("--name", help="tag name (all but 'list')")
     tg.add_argument("--at-version", type=int, default=None)
     tg.set_defaults(fn=cmd_tag)
+
+    bb = sub.add_parser(
+        "build-blooms",
+        help="build secondary bloom sidecars over a column so = "
+             "predicates (non-key RTBF sweeps) prune files",
+    )
+    bb.add_argument("--table", required=True)
+    bb.add_argument("--column", required=True)
+    bb.set_defaults(fn=cmd_build_blooms)
 
     mt = sub.add_parser(
         "maintain",

@@ -86,23 +86,60 @@ def might_contain(blob: bytes, value: Any) -> bool:
     return True
 
 
-def sidecar_path(data_file_abs: str) -> str:
-    return data_file_abs + SUFFIX
+def sidecar_path(data_file_abs: str, col: str | None = None) -> str:
+    """``<file>.bloom`` for the bucket key; ``<file>.<col>.bloom`` for
+    a secondary column (build_blooms — the Iceberg-puffin secondary
+    index analogue)."""
+    if col is None:
+        return data_file_abs + SUFFIX
+    return f"{data_file_abs}.{col}{SUFFIX}"
 
 
 def data_path(sidecar_abs: str) -> str:
     """Inverse of ``sidecar_path`` — keep the naming scheme in ONE
     place so a future change cannot desynchronize producers from the
-    GC sweep that pairs sidecars back to their data files."""
+    GC sweep that pairs sidecars back to their data files. Handles
+    both the key form (``x.parquet.bloom``) and the secondary form
+    (``x.parquet.<col>.bloom``)."""
     if not sidecar_abs.endswith(SUFFIX):
         raise ValueError(f"not a sidecar path: {sidecar_abs!r}")
-    return sidecar_abs[: -len(SUFFIX)]
+    base = sidecar_abs[: -len(SUFFIX)]
+    if base.endswith(".parquet"):
+        return base
+    stem = base.rpartition(".")[0]
+    if stem.endswith(".parquet"):
+        return stem
+    return base  # unknown layout: pairing fails safe (mtime rules)
 
 
-def write_for_file(data_file_abs: str, key_col: str) -> bool:
+def sidecars_for(data_file_abs: str) -> list[str]:
+    """Every existing bloom sidecar (key + secondary) of a data file —
+    the GC sweep removes these alongside the file."""
+    d = os.path.dirname(data_file_abs)
+    prefix = os.path.basename(data_file_abs) + "."
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return []
+    out = []
+    for n in names:
+        if n.endswith(SUFFIX) and (
+            n == os.path.basename(data_file_abs) + SUFFIX
+            or n.startswith(prefix)
+        ):
+            out.append(os.path.join(d, n))
+    return out
+
+
+def write_for_file(
+    data_file_abs: str, key_col: str, sidecar_col: str | None = None
+) -> bool:
     """Build + write the sidecar for one freshly-written parquet file.
     Reads ONLY the key column (columnar, local, O(file rows) but a
     single thin column — the cost Iceberg pays to build puffin blooms).
+    ``sidecar_col`` names the sidecar (the table-current column name)
+    when it differs from the file's physical column (``key_col``),
+    e.g. a secondary bloom built over files written before a rename.
     Returns False (and writes nothing) when the column is missing."""
     import pyarrow.parquet as pq
 
@@ -111,25 +148,28 @@ def write_for_file(data_file_abs: str, key_col: str) -> bool:
     except Exception:
         return False
     blob = build(col.to_pylist())
-    tmp = sidecar_path(data_file_abs) + ".tmp"
+    dest = sidecar_path(data_file_abs, sidecar_col)
+    tmp = dest + ".tmp"
     with open(tmp, "wb") as fh:
         fh.write(blob)
-    os.replace(tmp, sidecar_path(data_file_abs))
+    os.replace(tmp, dest)
     return True
 
 
-def read_sidecar(data_file_abs: str) -> bytes | None:
+def read_sidecar(data_file_abs: str, col: str | None = None) -> bytes | None:
     try:
-        with open(sidecar_path(data_file_abs), "rb") as fh:
+        with open(sidecar_path(data_file_abs, col), "rb") as fh:
             return fh.read()
     except OSError:
         return None
 
 
-def file_may_contain(data_file_abs: str, value: Any) -> bool:
+def file_may_contain(
+    data_file_abs: str, value: Any, col: str | None = None
+) -> bool:
     """Prune-time check: False only when a readable sidecar proves the
     key absent; missing sidecar → cannot prune."""
-    blob = read_sidecar(data_file_abs)
+    blob = read_sidecar(data_file_abs, col)
     if blob is None:
         return True
     return might_contain(blob, value)

@@ -49,6 +49,10 @@ class DataFile:
     # positions recorded for this file (read planning + metrics).
     dv: str | None = None
     dv_count: int = 0
+    # columns with SECONDARY bloom sidecars (<path>.<col>.bloom, see
+    # build_blooms) — named by the table-current column name at build
+    # time; [] / absent in older manifests (format-compatible)
+    bloom_cols: list[str] = field(default_factory=list)
     # physical row count from the parquet footer (includes tombstones
     # and DV-hidden rows); -1 in pre-upgrade manifests = unknown.
     # Powers metadata-only count_rows() and maintenance policy.
@@ -67,6 +71,8 @@ class DataFile:
             d["dv_count"] = self.dv_count
         if self.rows >= 0:
             d["rows"] = self.rows
+        if self.bloom_cols:
+            d["bloom_cols"] = self.bloom_cols
         return d
 
     @staticmethod
@@ -81,6 +87,7 @@ class DataFile:
             dv=d.get("dv"),
             dv_count=int(d.get("dv_count", 0)),
             rows=int(d.get("rows", -1)),
+            bloom_cols=list(d.get("bloom_cols", [])),
         )
 
 

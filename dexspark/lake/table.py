@@ -380,14 +380,122 @@ class LakeTable:
         )
         return {int(r["b"]) for r in rows}
 
-    def _bloom_keep(self, f: mf.DataFile, key_vals: list[Any]) -> bool:
-        """False only when the file's bloom sidecar PROVES every
-        conjunct's key absent is impossible — i.e. some required key is
-        definitely not in the file. No sidecar → keep."""
-        if not f.bloom or not key_vals:
-            return True
+    def _bloom_keep(
+        self,
+        f: mf.DataFile,
+        key_vals: list[Any],
+        filters: list[tuple[str, str, Any]] | None = None,
+    ) -> bool:
+        """False only when a bloom sidecar PROVES some required ``=``
+        conjunct cannot match the file — the bucket-key bloom for key
+        predicates, a secondary-column bloom (``build_blooms``) for
+        any other ``=`` conjunct on a column the file has one for. No
+        sidecar → keep (pure optimization, never changes results)."""
         p = os.path.join(self.table_dir, f.path)
-        return all(lake_bloom.file_may_contain(p, v) for v in key_vals)
+        if f.bloom and key_vals:
+            if not all(lake_bloom.file_may_contain(p, v) for v in key_vals):
+                return False
+        if f.bloom_cols and filters:
+            for c, op, v in filters:
+                if (
+                    op == "="
+                    and v is not None
+                    and c in f.bloom_cols
+                    and not lake_bloom.file_may_contain(p, v, col=c)
+                ):
+                    return False
+        return True
+
+    def build_blooms(self, column: str) -> dict[str, Any]:
+        """Build SECONDARY bloom sidecars over ``column`` for every
+        data file that lacks one — the Iceberg-puffin secondary-index
+        analogue, generalizing the automatic bucket-key blooms to any
+        column. After this, an ``=`` predicate on the column prunes
+        files the min/max stats cannot decide (strings especially):
+        the non-key RTBF sweep ``delete_where([("author", "=", X)])``
+        rewrites only the files that may hold X instead of the table.
+
+        Cost: ONE thin column read per uncovered file (driver-side,
+        O(table) the first time, O(new files) on re-runs) — the price
+        every secondary-index build pays. The manifest update is
+        surgical (paths unchanged, entries gain the column). Files
+        written before a RENAME of ``column`` are read under their
+        writer-local name (field-id mapping); a rename AFTER the
+        build orphans the sidecars' names — conservative (no pruning,
+        never wrong) until blooms are rebuilt under the new name."""
+        for attempt in range(MAX_COMMIT_RETRIES + 1):
+            m = self.manifest()
+            current = self.schema(m.version)
+            if column not in current.fieldNames():
+                raise ValueError(f"no column {column!r} to index")
+            if column == m.bucket_key:
+                raise ValueError(
+                    f"{column!r} is the bucket key — its blooms are "
+                    "built automatically at commit time"
+                )
+            fid = m.field_ids.get(m.current_schema_id, {}).get(column)
+            updated: list[mf.DataFile] = []
+            built = 0
+            for f in m.files:
+                if column in f.bloom_cols:
+                    continue
+                wname = column
+                if fid is not None and f.schema_id in m.field_ids:
+                    inv = {
+                        i: n for n, i in m.field_ids[f.schema_id].items()
+                    }
+                    wname = inv.get(fid)
+                    if wname is None:
+                        continue  # column does not exist in that schema
+                ok = lake_bloom.write_for_file(
+                    os.path.join(self.table_dir, f.path),
+                    wname,
+                    sidecar_col=column,
+                )
+                if not ok:
+                    continue
+                built += 1
+                updated.append(
+                    mf.DataFile(
+                        path=f.path,
+                        bucket=f.bucket,
+                        schema_id=f.schema_id,
+                        kind=f.kind,
+                        stats=f.stats,
+                        bloom=f.bloom,
+                        dv=f.dv,
+                        dv_count=f.dv_count,
+                        rows=f.rows,
+                        bloom_cols=f.bloom_cols + [column],
+                    )
+                )
+            if not updated:
+                return {
+                    "operation": "build_blooms",
+                    "column": column,
+                    "files_indexed": 0,
+                    "skipped": True,
+                }
+            info = {
+                "operation": "build_blooms",
+                "column": column,
+                "files_indexed": built,
+            }
+            try:
+                self._commit_delta(
+                    m,
+                    {f.path for f in updated},
+                    updated,
+                    info,
+                    affected_buckets={f.bucket for f in updated},
+                    surgical=True,
+                )
+                return info
+            except CommitConflict:
+                if attempt == MAX_COMMIT_RETRIES:
+                    raise
+                _conflict_backoff(attempt)
+        raise AssertionError("unreachable")
 
     def resolve_as_of(self, ts: Any) -> int:
         """Version of the newest snapshot committed at or before
@@ -517,7 +625,7 @@ class LakeTable:
                 f
                 for f in clean_files
                 if lake_stats.file_may_match(f.stats, filters, current)
-                and self._bloom_keep(f, key_vals)
+                and self._bloom_keep(f, key_vals, filters)
             ]
         if not res_files and not clean_files:
             out = self.spark.createDataFrame([], current_sys)
@@ -1494,14 +1602,14 @@ class LakeTable:
                 for f in scoped
                 if f.bucket not in delta_buckets
                 and lake_stats.file_may_match(f.stats, filters, current)
-                and self._bloom_keep(f, key_vals)
+                and self._bloom_keep(f, key_vals, filters)
             ]
             cand_delta = {
                 b
                 for b in delta_buckets
                 if any(
                     lake_stats.file_may_match(f.stats, filters, current)
-                    and self._bloom_keep(f, key_vals)
+                    and self._bloom_keep(f, key_vals, filters)
                     for f in scoped
                     if f.bucket == b
                 )
@@ -2412,8 +2520,7 @@ class LakeTable:
                 if os.path.exists(p):
                     os.remove(p)
                     removed_files += 1
-                sc = lake_bloom.sidecar_path(p)
-                if os.path.exists(sc):
+                for sc in lake_bloom.sidecars_for(p):
                     os.remove(sc)
         for v in expired:
             mp = mf.manifest_path(self.table_dir, v)
@@ -2493,8 +2600,7 @@ class LakeTable:
                 except OSError:
                     continue  # racing another vacuum — already gone
                 removed.append(rel_p)
-                sc = lake_bloom.sidecar_path(abs_p)
-                if os.path.exists(sc):
+                for sc in lake_bloom.sidecars_for(abs_p):
                     os.remove(sc)
                     removed_sidecars.append(
                         os.path.relpath(sc, self.table_dir)

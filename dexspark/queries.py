@@ -1286,6 +1286,58 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def cdc_rtbf_secondary_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-key right-to-be-forgotten under the hard oracle: the
+    subject identifier (``author``) is NOT the bucket key, so neither
+    bucket derivation nor min/max stats (strings) can prune —
+    ``build_blooms("author")`` builds secondary bloom sidecars (one
+    thin column read per file, the price every secondary-index build
+    pays), after which the RTBF ``delete_where([("author","=",X)])``
+    rewrites only files that may hold X. The query replays the log
+    with a derived high-cardinality author column, indexes, deletes
+    one author, asserts file surgery actually pruned (files_kept >
+    0), and returns the surviving state; the oracle recomputes the
+    LWW replay minus the subject in SQL."""
+    log = derive_log(spark, sf_dir).withColumn(
+        "author", F.concat(F.lit("a"), F.pmod(F.col("lsn"), 449).cast("string"))
+    )
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD + ", author string"),
+        "conv_id", num_buckets=16,
+    )
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    mid_lsn = (int(lo) + int(hi)) // 2
+    apply_changes(table, log.filter(F.col("lsn") <= mid_lsn), batch_id="sb_lo")
+    apply_changes(table, log.filter(F.col("lsn") > mid_lsn), batch_id="sb_hi")
+    info = table.build_blooms("author")
+    assert info["files_indexed"] > 0
+    # deterministic victim PRESENT in the final state at any SF: the
+    # max author string among live rows (the oracle computes the same)
+    victim = table.read().agg(F.max("author")).first()[0]
+    dinfo = table.delete_where([("author", "=", victim)])
+    assert dinfo["matched_rows"] > 0 and not dinfo.get("skipped")
+    assert dinfo["files_kept"] > 0, "secondary blooms pruned nothing"
+    return table.read()
+
+
+ORACLE_RTBF_SECONDARY = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+latest AS (
+  SELECT *, 'a' || CAST(lsn % 449 AS VARCHAR) AS author,
+         row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM flagged WHERE reject_reason IS NULL
+),
+live AS (
+  SELECT * FROM latest WHERE rn = 1 AND op <> 'D'
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, author
+FROM live WHERE author <> (SELECT MAX(author) FROM live)
+"""
+
+
 def cdc_schema_rename_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column RENAME + DROP mid-lifecycle under the hard oracle
     (field-id alignment, lake/table.py::rename_column/drop_column —
@@ -5856,6 +5908,10 @@ QUERIES: dict[str, tuple] = {
     "cdc_schema_rename_replay": (
         cdc_schema_rename_replay_q,
         ORACLE_SCHEMA_RENAME,
+    ),
+    "cdc_rtbf_secondary_delete": (
+        cdc_rtbf_secondary_delete_q,
+        ORACLE_RTBF_SECONDARY,
     ),
     "cdc_asof_timestamp_read": (
         cdc_asof_timestamp_read_q,

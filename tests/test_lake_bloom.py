@@ -201,3 +201,92 @@ def test_vacuum_collects_orphaned_bloom_sidecars(spark, tmp_table_dir):
     assert not os.path.exists(orphan_sc)
     assert any(p.endswith(".bloom") for p in info["removed_sidecars"])
     assert not any(p.endswith(".bloom") for p in info["removed"])
+
+
+def test_secondary_blooms_prune_non_key_lookups(spark, tmp_table_dir):
+    """build_blooms(column): = predicates on a NON-key string column
+    prune files (min/max stats never cover strings), results stay
+    exact, and the non-key RTBF delete rewrites only containing
+    files."""
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from dexspark.lake.table import LakeTable
+
+    sch = _parse_datatype_string("k string, author string, v long")
+    t = LakeTable.create(
+        spark, tmp_table_dir, sch, bucket_key="k", num_buckets=2
+    )
+    # 4 appends x 2 buckets = 8 files; authors partitioned by slice so
+    # each author lives in exactly one append generation
+    for c in range(4):
+        t.append(
+            spark.createDataFrame(
+                [(f"k{c}_{i}", f"author{c}", i) for i in range(50)], sch
+            )
+        )
+    info = t.build_blooms("author")
+    assert info["files_indexed"] == 8
+    m = t.manifest()
+    assert all(f.bloom_cols == ["author"] for f in m.files)
+    # re-run is a no-op (all covered)
+    assert t.build_blooms("author")["skipped"]
+
+    # read with the secondary = filter: exact result
+    got = t.read(filters=[("author", "=", "author2")]).count()
+    assert got == 50
+    # the pruning itself: candidate selection keeps only files whose
+    # bloom may contain author2 (2 of 8 — one per bucket)
+    key_vals = []
+    kept = [
+        f
+        for f in m.files
+        if t._bloom_keep(f, key_vals, [("author", "=", "author2")])
+    ]
+    assert len(kept) == 2
+
+    # non-key RTBF delete: only containing files rewrite
+    dinfo = t.delete_where([("author", "=", "author1")])
+    assert dinfo["matched_rows"] == 50
+    assert dinfo["files_rewritten"] == 2 and dinfo["files_kept"] == 6
+    assert t.read().count() == 150
+
+    # guards
+    import pytest
+
+    with pytest.raises(ValueError, match="bucket key"):
+        t.build_blooms("k")
+    with pytest.raises(ValueError, match="no column"):
+        t.build_blooms("ghost")
+
+
+def test_secondary_blooms_survive_gc_and_clean_up(spark, tmp_table_dir):
+    import glob
+    import os
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from dexspark.lake.table import LakeTable
+
+    sch = _parse_datatype_string("k string, author string, v long")
+    t = LakeTable.create(
+        spark, tmp_table_dir, sch, bucket_key="k", num_buckets=2
+    )
+    t.append(
+        spark.createDataFrame(
+            [(f"k{i}", f"a{i}", i) for i in range(20)], sch
+        )
+    )
+    t.build_blooms("author")
+    pat = os.path.join(tmp_table_dir, "data", "*", "*", "*.author.bloom")
+    assert glob.glob(pat)
+    # vacuum keeps sidecars of referenced files
+    t.vacuum_orphans(older_than_seconds=0)
+    assert glob.glob(pat)
+    # a rewrite (compact forces it) + expiry removes the stale ones
+    t.compact(min_files_per_bucket=1)
+    t.expire_snapshots(keep_last=1)
+    assert not glob.glob(pat)
+    assert t.read().count() == 20
