@@ -618,12 +618,29 @@ def cmd_status(args) -> int:
     spark = _spark(args)
     t = LakeTable(spark, args.table)
     m = t.manifest()
+    counts = t.count_rows(detail=True)  # metadata where provable
+    import datetime as _dt
+
     print(
         json.dumps(
             {
                 "version": m.version,
-                "rows": t.read().count(),
+                "committed_at": (
+                    _dt.datetime.fromtimestamp(
+                        m.committed_at, _dt.timezone.utc
+                    ).isoformat()
+                    if m.committed_at
+                    else None
+                ),
+                "rows": counts["rows"],
+                "rows_from_metadata_files": counts["metadata_files"],
+                "rows_scanned_files": counts["scanned_files"],
                 "files": len(m.files),
+                "delta_files": sum(1 for f in m.files if f.kind == "delta"),
+                "dv_positions": sum(f.dv_count for f in m.files),
+                "bloom_cols": sorted(
+                    {c for f in m.files for c in f.bloom_cols}
+                ),
                 "num_buckets": m.num_buckets,
                 "bucket_key": m.bucket_key,
                 "schema": t.schema().simpleString(),

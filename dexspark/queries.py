@@ -1286,6 +1286,67 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def cdc_row_provenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance from the lineage metrics table: every live
+    row is attributed to the BATCH whose applied-LSN range (recorded
+    per bucket in the commit summary, lineage_df) contains the row's
+    ``_applied_lsn`` — metadata the merge wrote atomically WITH the
+    data, so attribution can never disagree with table contents. The
+    join is row-side trivial: lineage is O(batches × buckets) and
+    broadcast; the row side is one scan with its system column. The
+    oracle recomputes the winner's batch id arithmetically
+    (batch_seq = lsn div BATCH — the generator's contract), proving
+    the recorded ranges attribute every row exactly."""
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    for b in batch_range(log):
+        apply_changes(
+            table, log.filter(F.col("batch_seq") == b), batch_id=f"pv{b}"
+        )
+    lin = table.lineage_df().select(
+        "batch_id", "bucket", "start_lsn", "end_lsn"
+    )
+    state = (
+        table.read(include_system=True)
+        .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        .drop("_deleted")
+    )
+    m = table.manifest()
+    state = state.withColumn(
+        "_b", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(m.num_buckets)).cast("int")
+    )
+    return (
+        state.join(
+            F.broadcast(lin),
+            (state["_b"] == lin["bucket"])
+            & (state["_applied_lsn"] >= lin["start_lsn"])
+            & (state["_applied_lsn"] <= lin["end_lsn"]),
+            "left",
+        )
+        .select(
+            "conv_id", "turn_idx",
+            F.col("batch_id").alias("written_by"),
+        )
+    )
+
+
+ORACLE_ROW_PROVENANCE = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM flagged WHERE reject_reason IS NULL
+)
+SELECT conv_id, turn_idx,
+       'pv' || CAST(lsn // {BATCH} AS VARCHAR) AS written_by
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def cdc_rtbf_secondary_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-key right-to-be-forgotten under the hard oracle: the
     subject identifier (``author``) is NOT the bucket key, so neither
@@ -5913,6 +5974,7 @@ QUERIES: dict[str, tuple] = {
         cdc_rtbf_secondary_delete_q,
         ORACLE_RTBF_SECONDARY,
     ),
+    "cdc_row_provenance": (cdc_row_provenance_q, ORACLE_ROW_PROVENANCE),
     "cdc_asof_timestamp_read": (
         cdc_asof_timestamp_read_q,
         ORACLE_ASOF_TIMESTAMP,
