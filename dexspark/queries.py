@@ -4679,6 +4679,51 @@ FROM r WHERE rank <= 5
 """
 
 
+def emb_quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8-quantized exact top-k (functions/similarity.py::
+    quantized_topk) — the memory-bound scale path: packed int8 binary
+    vectors (4× smaller than float32) scored by an integer GEMM per
+    Arrow batch with batch-local top-k before the shuffle. The fixed
+    symmetric quantizer (clip ±1, scale 127, floor(x+0.5)) is a pure
+    function, and integer dot products are order-independent, so the
+    oracle reproduces every score BIT-FOR-BIT — an exactness claim a
+    float reduction could not make."""
+    from dexspark.functions.similarity import quantized_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return quantized_topk(emb, queries, dim=EMB_DIM, k=5)
+
+
+_QUANT_SQL = """
+CAST(list_transform(CAST(embedding AS DOUBLE[]),
+     x -> floor(greatest(-1.0, least(1.0, x)) * 127.0 + 0.5))
+  AS BIGINT[])
+"""
+
+ORACLE_QUANTIZED_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {_QUANT_SQL} AS qv
+  FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id, {_QUANT_SQL} AS cv FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                               CAST(c.cv AS DOUBLE[])) AS BIGINT) AS score
+  FROM c, q WHERE c.vec_id <> q.query_id
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, score
+FROM r WHERE rank <= 5
+"""
+
+
 def emb_ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dexspark.functions.similarity import ann_lsh_topk
 
@@ -5999,6 +6044,7 @@ QUERIES: dict[str, tuple] = {
     "doc_decontaminate": (doc_decontaminate_q, ORACLE_DECONTAMINATE),
     "doc_fingerprint_groups": (doc_fingerprint_groups_q, ORACLE_FP_GROUPS),
     "emb_cosine_topk": (emb_cosine_topk_q, ORACLE_COSINE_TOPK),
+    "emb_quantized_topk": (emb_quantized_topk_q, ORACLE_QUANTIZED_TOPK),
     "emb_ann_lsh_topk": (emb_ann_lsh_topk_q, ORACLE_ANN_TOPK),
     "emb_ann_multiband_topk": (emb_ann_multiband_topk_q, _ann_multiband_oracle_sql()),
     "emb_ivf_topk": (emb_ivf_topk_q, _ivf_oracle_sql()),

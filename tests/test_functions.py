@@ -326,3 +326,39 @@ def test_near_dup_groups_transitive_keep_one(spark):
     assert rows[1].is_canonical and not rows[2].is_canonical
     assert rows[0].group_id == 0 and rows[0].group_size == 2
     assert 3 not in rows  # doc in no pair is not emitted
+
+
+def test_quantized_topk_recall_and_packing(spark):
+    """int8-quantized exact top-k: byte-packed storage is 1 byte/dim,
+    and on well-separated vectors the quantized ranking agrees with
+    the exact float ranking (quantization noise << separation)."""
+    import numpy as np
+
+    from dexspark.functions.similarity import cosine_topk, quantized_topk
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    base = rng.uniform(-1, 1, size=(10, dim))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(4):  # 4 tight copies per cluster
+            rows.append(
+                (vid, (b + rng.uniform(-0.01, 0.01, dim)).tolist())
+            )
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id % 4 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = quantized_topk(emb, queries, dim=dim, k=3)
+    exact = cosine_topk(emb, queries, k=3)
+    g = {(r.query_id, r.rank): r.neighbor_id for r in got.collect()}
+    e = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    # same cluster members in the top-3 for every query (set-equal per
+    # query; within-cluster order may differ under quantization noise)
+    for q in range(0, 40, 4):
+        gs = {g[(q, r)] for r in (1, 2, 3)}
+        es = {e[(q, r)] for r in (1, 2, 3)}
+        assert gs == es, (q, gs, es)
+        assert gs == {q + 1, q + 2, q + 3} | {q} - {q}
