@@ -168,3 +168,83 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     usable as a global exact-dup key at 100 TB."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn(out_col, F.xxhash64(norm))
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    max_repeats: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level PARAGRAPH dedup — the boilerplate-removal pass
+    (CCNet / RefinedWeb style): a paragraph appearing in more than
+    ``max_repeats`` documents across the corpus (cookie banners,
+    nav/footer text, subscribe prompts) is dropped from EVERY
+    document; document-unique prose survives with paragraph order
+    preserved. This is dedup at sub-document granularity — exact-dup
+    and near-dup passes cannot remove a boilerplate line embedded in
+    otherwise unique pages.
+
+    Scale shape: split + posexplode (codegen), ONE map-combined count
+    shuffle keyed by the paragraph's xxhash64 (64-bit key + the text
+    itself never wider than a paragraph), a broadcast-eligible join
+    of the hot-paragraph set (paragraphs with count > max_repeats are
+    FEW by Zipf — the whole point), and a per-doc reassembly
+    aggregate bounded by paragraphs-per-document. Returns
+    (id_col, text_clean, n_paras_kept, n_paras_dropped)."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n\n")).alias(
+            "_pos", "_para"
+        ),
+    )
+    # distinct docs per paragraph, not raw occurrences: a paragraph
+    # repeated WITHIN one quirky document is repetition_stats'
+    # business, not corpus boilerplate
+    hot = (
+        paras.groupBy(F.xxhash64("_para").alias("_ph"))
+        .agg(F.count_distinct(F.col(id_col)).alias("_docs"))
+        .filter(F.col("_docs") > max_repeats)
+        .select("_ph")
+    )
+    kept = paras.join(
+        F.broadcast(hot),
+        F.xxhash64(F.col("_para")) == F.col("_ph"),
+        "left_anti",
+    )
+    out = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_para"))
+                    ),
+                    lambda s: s["_para"],
+                ),
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_paras_kept"),
+        )
+    )
+    totals = paras.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_total")
+    )
+    return (
+        df.select(id_col)
+        .join(out, id_col, "left")
+        .join(totals, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_paras_kept", F.lit(0))
+            .cast("long")
+            .alias("n_paras_kept"),
+            (
+                F.coalesce("_n_total", F.lit(0))
+                - F.coalesce("n_paras_kept", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_paras_dropped"),
+        )
+    )

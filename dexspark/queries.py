@@ -4243,6 +4243,88 @@ FROM comp
 """
 
 
+def doc_boilerplate_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PARAGRAPH dedup (functions/text.py::
+    remove_boilerplate — the CCNet/RefinedWeb boilerplate pass):
+    paragraphs appearing in more than ``max_repeats`` documents
+    (seeded cookie banners / subscribe prompts, deterministic from
+    doc_id so the oracle reproduces them) are dropped from every
+    document; per-doc unique paragraphs survive in order. Dedup at
+    sub-document granularity — the case exact/near-dup passes cannot
+    touch. One count shuffle on the paragraph hash + a broadcast
+    anti-join of the (few, by Zipf) hot paragraphs."""
+    from dexspark.functions.text import remove_boilerplate
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    nl2 = "\n\n"
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(
+                F.pmod(did, 5) == 0,
+                F.lit("Cookie notice: we use cookies" + nl2),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.pmod(did, 3) != 0,
+                F.lit(nl2 + "Subscribe to our newsletter today"),
+            ).otherwise(F.lit("")),
+            F.lit(nl2 + "ref "),
+            did.cast("string"),
+        ),
+    )
+    return remove_boilerplate(seeded, max_repeats=4).select(
+        "doc_id", "text_clean", "n_paras_kept", "n_paras_dropped"
+    )
+
+
+ORACLE_BOILERPLATE = """
+WITH seeded AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0
+         THEN 'Cookie notice: we use cookies' || chr(10) || chr(10)
+         ELSE '' END
+    || text
+    || CASE WHEN doc_id % 3 <> 0
+            THEN chr(10) || chr(10) || 'Subscribe to our newsletter today'
+            ELSE '' END
+    || chr(10) || chr(10) || 'ref ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, ps[i] AS para, i AS pos
+  FROM (SELECT doc_id,
+               string_split(text, chr(10) || chr(10)) AS ps
+        FROM seeded),
+       UNNEST(generate_series(1, len(ps))) AS t(i)
+),
+hot AS (
+  SELECT para FROM (
+    SELECT para, COUNT(DISTINCT doc_id) AS d FROM paras GROUP BY para
+  ) WHERE d > 4
+),
+kept AS (
+  SELECT * FROM paras WHERE para NOT IN (SELECT para FROM hot)
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_clean,
+         COUNT(*) AS n_paras_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n FROM paras GROUP BY doc_id)
+SELECT s.doc_id,
+       COALESCE(agg.text_clean, '') AS text_clean,
+       CAST(COALESCE(agg.n_paras_kept, 0) AS BIGINT) AS n_paras_kept,
+       CAST(COALESCE(tot.n, 0) - COALESCE(agg.n_paras_kept, 0) AS BIGINT)
+         AS n_paras_dropped
+FROM seeded s
+LEFT JOIN agg ON s.doc_id = agg.doc_id
+LEFT JOIN tot ON s.doc_id = tot.doc_id
+"""
+
+
 def doc_pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over the corpus: emails/phones are deterministically
     SEEDED from doc_id (2 of every 3 docs) so the redaction regexes
@@ -6035,6 +6117,10 @@ QUERIES: dict[str, tuple] = {
     "doc_lang_id": (doc_lang_id_q, ORACLE_LANG),
     "doc_near_dup_pairs": (doc_near_dup_pairs_q, ORACLE_NEAR_DUP),
     "doc_dedup_groups": (doc_dedup_groups_q, ORACLE_DEDUP_GROUPS),
+    "doc_boilerplate_removal": (
+        doc_boilerplate_removal_q,
+        ORACLE_BOILERPLATE,
+    ),
     "doc_near_dup_incremental": (doc_near_dup_incremental_q, ORACLE_NEAR_DUP),
     "doc_ingest_dedup_gate": (doc_ingest_dedup_gate_q, ORACLE_INGEST_GATE),
     "corpus_curation_pipeline": (corpus_curation_pipeline_q, ORACLE_CURATION),

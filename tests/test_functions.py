@@ -362,3 +362,27 @@ def test_quantized_topk_recall_and_packing(spark):
         es = {e[(q, r)] for r in (1, 2, 3)}
         assert gs == es, (q, gs, es)
         assert gs == {q + 1, q + 2, q + 3} | {q} - {q}
+
+
+def test_remove_boilerplate_semantics(spark):
+    from dexspark.functions.text import remove_boilerplate
+
+    boiler = "SUBSCRIBE NOW"
+    rows = [
+        (i, f"unique prose {i}\n\n{boiler}\n\nalso unique {i}")
+        for i in range(6)
+    ] + [(100, "no boiler here"), (101, boiler)]  # doc that is ONLY boiler
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_boilerplate(docs, max_repeats=4).collect()}
+    assert out[0].text_clean == "unique prose 0\n\nalso unique 0"
+    assert out[0].n_paras_kept == 2 and out[0].n_paras_dropped == 1
+    assert out[100].text_clean == "no boiler here"
+    assert out[100].n_paras_dropped == 0
+    # a doc reduced to nothing still comes back (empty, all dropped)
+    assert out[101].text_clean == "" and out[101].n_paras_dropped == 1
+    # within-doc repetition below the cross-doc threshold survives
+    rep = spark.createDataFrame(
+        [(1, "x\n\nx\n\nx\n\nx\n\nx")], "doc_id long, text string"
+    )
+    r = remove_boilerplate(rep, max_repeats=4).collect()[0]
+    assert r.n_paras_kept == 5  # 5 copies but only 1 distinct doc
