@@ -57,6 +57,7 @@ class CdcStreamReplay:
         strategy: str = "cow",
         views: list[Any] | None = None,
         mode: str = "scd1",
+        maintain_policy: dict[str, Any] | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -117,6 +118,18 @@ class CdcStreamReplay:
         if mode == "scd2" and (strategy != "cow" or salt_buckets):
             raise ValueError("scd2 mode supports neither 'mor' nor salting")
         self.mode = mode
+        # kwargs for LakeTable.maintain(), evaluated after every
+        # applied micro-batch — the POLICY form of the two legacy
+        # knobs above (file-count + delta-depth + dv-ratio + stale-
+        # schema triggers, optional expiry/vacuum, all decided from
+        # the manifest with zero data I/O). Subsumes compact_every /
+        # compact_delta_depth; passing it alongside them raises.
+        if maintain_policy is not None and (compact_every or compact_delta_depth):
+            raise ValueError(
+                "maintain_policy subsumes compact_every/"
+                "compact_delta_depth — pass one or the other"
+            )
+        self.maintain_policy = maintain_policy
         self._applied_since_compact = 0
         self.results: list[dict[str, Any]] = []
 
@@ -192,6 +205,17 @@ class CdcStreamReplay:
             # still refresh: a crash BETWEEN the table commit and the
             # view refresh leaves the view one batch behind — the
             # replayed (skipped) batch is where it catches up
+            self._refresh_views()
+            return
+        if self.maintain_policy is not None:
+            info = self.table.maintain(**self.maintain_policy)
+            if (
+                info["buckets_triggered"]
+                or "expire" in info
+                or "vacuum" in info
+            ):
+                info["trigger"] = "policy"
+                self.results.append(info)
             self._refresh_views()
             return
         if self.compact_delta_depth and (

@@ -377,3 +377,43 @@ def test_stream_replay_scd2_mode_rejects_mor_and_salt(spark, tmp_table_dir):
             spark, history, "x", os.path.join(tmp_table_dir, "cp2"),
             _parse_datatype_string(LOG_SCHEMA), mode="scd2", strategy="mor",
         )
+
+
+def test_stream_replay_maintain_policy(spark, tmp_table_dir):
+    """maintain_policy: the one-call policy engine rides the stream —
+    MOR delta depth triggers fold-downs mid-run, final state exact,
+    and the legacy knobs are refused alongside it."""
+    import pytest
+
+    log = gen_change_log(spark, 2000, n_convs=30, n_batches=6)
+    table, log_dir, _ = _setup(spark, tmp_table_dir)
+    log.repartition(6, F.col("batch_seq")).write.partitionBy(
+        "batch_seq"
+    ).parquet(log_dir, mode="append")
+    replay = CdcStreamReplay(
+        spark, table, log_dir + "/*", os.path.join(tmp_table_dir, "cp_m"),
+        _parse_datatype_string(LOG_SCHEMA), max_files_per_trigger=1,
+        strategy="mor",
+        maintain_policy={
+            "compact_min_files": 99,
+            "compact_delta_depth": 2,
+        },
+    )
+    replay.run_available()
+    fired = [r for r in replay.results if r.get("trigger") == "policy"]
+    assert fired and any(
+        "delta_depth" in w
+        for r in fired
+        for w in r["buckets_triggered"].values()
+    )
+    expected = expected_final_state(log)
+    got = table.read()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+    with pytest.raises(ValueError, match="subsumes"):
+        CdcStreamReplay(
+            spark, table, log_dir, os.path.join(tmp_table_dir, "cp_x"),
+            _parse_datatype_string(LOG_SCHEMA),
+            compact_every=2, maintain_policy={},
+        )
