@@ -4325,6 +4325,140 @@ LEFT JOIN tot ON s.doc_id = tot.doc_id
 """
 
 
+def corpus_curation_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-generation curation COMPOSITION under one oracle, built
+    from this round's sub-document + graph operators: seeded corpus →
+    boilerplate-paragraph removal (cleaned text feeds everything
+    downstream) → exact dedup on the CLEANED text (min-id keeper) →
+    near-dup candidate pairs + exact-Jaccard verify on the cleaned
+    text → connected-component closure keeping only canonical docs
+    (a-b-c chains collapse to one) → deterministic split assignment.
+    Each stage is the operator its standalone query checks; this pins
+    their composition — the value hash covers the surviving ids,
+    cleaned sizes, and split labels end to end."""
+    from dexspark.functions.dedup import (
+        minhash_lsh_pairs,
+        near_dup_groups,
+        ngram_jaccard,
+    )
+    from dexspark.functions.sampling import split_assign
+    from dexspark.functions.text import remove_boilerplate
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    nl2 = "\n\n"
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(
+                F.pmod(did, 5) == 0,
+                F.lit("Cookie notice: we use cookies" + nl2),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.pmod(did, 3) != 0,
+                F.lit(nl2 + "Subscribe to our newsletter today"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    clean = remove_boilerplate(seeded, max_repeats=4).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    keepers = clean.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    s1 = clean.join(keepers.select("doc_id"), "doc_id")
+    cand = minhash_lsh_pairs(s1, num_hashes=64, bands=32)
+    pairs = (
+        ngram_jaccard(s1, cand)
+        .filter(F.col("n_inter") * 1000 >= F.col("n_union") * 800)
+        .select("id_a", "id_b")
+    )
+    noncanon = near_dup_groups(s1, pairs).filter(
+        ~F.col("is_canonical")
+    ).select("doc_id")
+    s2 = s1.join(noncanon, "doc_id", "left_anti")
+    return split_assign(s2, "doc_id", _SPLIT_FRACTIONS).select(
+        "doc_id",
+        F.length("text").cast("long").alias("clean_chars"),
+        "split",
+    )
+
+
+def _oracle_curation_v2() -> str:
+    from dexspark.functions.sampling import split_thresholds
+
+    t1, t2 = split_thresholds(_SPLIT_FRACTIONS)
+    return f"""
+WITH RECURSIVE seeded AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0
+         THEN 'Cookie notice: we use cookies' || chr(10) || chr(10)
+         ELSE '' END
+    || text
+    || CASE WHEN doc_id % 3 <> 0
+            THEN chr(10) || chr(10) || 'Subscribe to our newsletter today'
+            ELSE '' END AS text
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, ps[i] AS para, i AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+        FROM seeded),
+       UNNEST(generate_series(1, len(ps))) AS t(i)
+),
+hotp AS (
+  SELECT para FROM (
+    SELECT para, COUNT(DISTINCT doc_id) AS d FROM paras GROUP BY para
+  ) WHERE d > 4
+),
+keptp AS (SELECT * FROM paras WHERE para NOT IN (SELECT para FROM hotp)),
+cleanagg AS (
+  SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+  FROM keptp GROUP BY doc_id
+),
+clean AS (
+  SELECT s.doc_id, COALESCE(cleanagg.text, '') AS text
+  FROM seeded s LEFT JOIN cleanagg ON s.doc_id = cleanagg.doc_id
+),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY text),
+s1 AS (SELECT c.* FROM clean c JOIN keepers k ON c.doc_id = k.doc_id),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i+1:i+3], ' ')
+                        for i in range(0, len(words)-2)]) AS s
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)),
+                                           '\\s+', ' ', 'g'), ' ') AS words
+        FROM s1)
+),
+prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1000
+        >= len(list_distinct(list_concat(a.s, b.s))) * 800
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM prs
+  UNION SELECT id_b, id_a FROM prs
+),
+reach(id, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, reach.r FROM edges e JOIN reach ON e.u = reach.id
+),
+comp AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY id),
+noncanon AS (SELECT id FROM comp WHERE id <> group_id)
+SELECT doc_id, CAST(len(text) AS BIGINT) AS clean_chars,
+       CASE WHEN CAST(('0x' || substr(md5('split-v1'
+                 || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) < {t1}
+            THEN 'train'
+            WHEN CAST(('0x' || substr(md5('split-v1'
+                 || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) < {t2}
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM s1 WHERE doc_id NOT IN (SELECT id FROM noncanon)
+"""
+
+
 def doc_pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over the corpus: emails/phones are deterministically
     SEEDED from doc_id (2 of every 3 docs) so the redaction regexes
@@ -6121,6 +6255,7 @@ QUERIES: dict[str, tuple] = {
         doc_boilerplate_removal_q,
         ORACLE_BOILERPLATE,
     ),
+    "corpus_curation_v2": (corpus_curation_v2_q, _oracle_curation_v2()),
     "doc_near_dup_incremental": (doc_near_dup_incremental_q, ORACLE_NEAR_DUP),
     "doc_ingest_dedup_gate": (doc_ingest_dedup_gate_q, ORACLE_INGEST_GATE),
     "corpus_curation_pipeline": (corpus_curation_pipeline_q, ORACLE_CURATION),
