@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import tarfile
 import zipfile
 import zlib
 from collections.abc import Iterator
@@ -39,6 +40,10 @@ REASON_COL = "reject_reason"
 
 _ZIP_MAGIC = b"PK\x03\x04"
 _GZIP_MAGIC = b"\x1f\x8b"
+# POSIX ustar magic at offset 257 — plain (uncompressed) tar; .tar.gz
+# reaches here through the gzip branch's recursion
+_TAR_MAGIC_OFFSET = 257
+_TAR_MAGIC = (b"ustar\x00", b"ustar ")
 
 
 def _expand(name: str, payload: bytes, depth: int, max_depth: int):
@@ -71,6 +76,27 @@ def _expand(name: str, payload: bytes, depth: int, max_depth: int):
                         f"{name}/{info.filename}", inner, depth + 1, max_depth
                     )
         except (zipfile.BadZipFile, RuntimeError, zlib.error, OSError, EOFError):
+            yield name, None, "bad_archive"
+        return
+    if (
+        len(payload) > _TAR_MAGIC_OFFSET + 6
+        and bytes(payload[_TAR_MAGIC_OFFSET : _TAR_MAGIC_OFFSET + 6])
+        in _TAR_MAGIC
+    ):
+        if depth >= max_depth:
+            yield name, None, "max_archive_depth"
+            return
+        try:
+            with tarfile.open(fileobj=io.BytesIO(payload), mode="r:") as tf:
+                for info in tf.getmembers():
+                    if not info.isfile():
+                        continue  # dirs/symlinks/devices are not leaves
+                    fh = tf.extractfile(info)
+                    inner = fh.read() if fh is not None else None
+                    yield from _expand(
+                        f"{name}/{info.name}", inner, depth + 1, max_depth
+                    )
+        except (tarfile.TarError, zlib.error, OSError, EOFError):
             yield name, None, "bad_archive"
         return
     if head[:2] == _GZIP_MAGIC:

@@ -160,3 +160,60 @@ def test_leaf_at_max_depth_passes_through():
     deeper = _zip({"l3": nested})
     got2 = list(_expand("root.zip", deeper, 0, 3))
     assert got2 == [("root.zip/l3/l2/l1", None, "max_archive_depth")]
+
+
+def test_tar_and_tar_gz_expand(spark):
+    """tar and tar.gz payloads expand to their file leaves (dirs and
+    symlinks skipped); a zip nested inside a tar recurses; truncated
+    tar rejects."""
+    import gzip
+    import io
+    import tarfile
+    import zipfile
+
+    def make_tar(entries, extra=None):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            d = tarfile.TarInfo("subdir")
+            d.type = tarfile.DIRTYPE
+            tf.addfile(d)
+            for name, data in entries:
+                ti = tarfile.TarInfo(name)
+                ti.size = len(data)
+                tf.addfile(ti, io.BytesIO(data))
+            if extra is not None:
+                ti = tarfile.TarInfo(extra[0])
+                ti.size = len(extra[1])
+                tf.addfile(ti, io.BytesIO(extra[1]))
+        return buf.getvalue()
+
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("inner.txt", b"deep")
+    tar_plain = make_tar(
+        [("a.txt", b"alpha"), ("subdir/b.txt", b"beta")],
+        extra=("n.zip", zbuf.getvalue()),
+    )
+    tar_gz = gzip.compress(make_tar([("c.txt", b"gamma")]))
+    df = spark.createDataFrame(
+        [
+            ("t.tar", bytearray(tar_plain)),
+            ("t.tar.gz", bytearray(tar_gz)),
+            ("trunc.tar", bytearray(tar_plain[:400])),
+        ],
+        "name string, payload binary",
+    )
+    from dexspark.operators.decompress import unpack_archives
+
+    rows = {
+        r.entry_path: (bytes(r.entry_bytes) if r.entry_bytes else None,
+                       r.reject_reason)
+        for r in unpack_archives(df).collect()
+    }
+    assert rows["t.tar/a.txt"] == (b"alpha", None)
+    assert rows["t.tar/subdir/b.txt"] == (b"beta", None)
+    assert rows["t.tar/n.zip/inner.txt"] == (b"deep", None)
+    # the gzip layer strips .gz before recursing (existing convention)
+    assert rows["t.tar/c.txt"] == (b"gamma", None)
+    assert rows["trunc.tar"][1] == "bad_archive"
+    assert not any(p.endswith("/subdir") for p in rows)
