@@ -199,7 +199,13 @@ def cmd_compact(args) -> int:
 
 def cmd_expire(args) -> int:
     spark = _spark(args)
-    print(json.dumps(LakeTable(spark, args.table).expire_snapshots(args.keep_last)))
+    print(
+        json.dumps(
+            LakeTable(spark, args.table).expire_snapshots(
+                args.keep_last, older_than_seconds=args.older_than
+            )
+        )
+    )
     return 0
 
 
@@ -752,6 +758,12 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("expire", help="expire snapshots + vacuum")
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=10)
+    e.add_argument(
+        "--older-than", type=float, default=None,
+        help="age floor in seconds: snapshots younger than this "
+             "survive even beyond --keep-last (production retention: "
+             "'expire older than 7 days, keep at least N')",
+    )
     e.set_defaults(fn=cmd_expire)
 
     rb = sub.add_parser(

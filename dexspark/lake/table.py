@@ -2456,7 +2456,10 @@ class LakeTable:
             yield bdir, mf.available_versions(bdir)
 
     def expire_snapshots(
-        self, keep_last: int = 1, keep_versions: set[int] | None = None
+        self,
+        keep_last: int = 1,
+        keep_versions: set[int] | None = None,
+        older_than_seconds: float | None = None,
     ) -> dict[str, Any]:
         """Vacuum: delete manifests older than the last ``keep_last``
         versions and any data file referenced only by them. Time travel
@@ -2467,7 +2470,17 @@ class LakeTable:
         never touched. Tagged versions are always retained;
         ``keep_versions`` adds external pins with the same protection —
         lake/catalog.py's ``protected_versions()`` feeds it so a
-        cross-table catalog pin keeps its snapshot readable."""
+        cross-table catalog pin keeps its snapshot readable.
+
+        ``older_than_seconds`` adds an AGE floor (the production
+        retention rule: "expire history older than 7 days, keep at
+        least keep_last regardless"): a snapshot younger than the
+        horizon survives even beyond ``keep_last``, so a reader that
+        planned against a recent snapshot keeps its files for at
+        least the horizon. Snapshots without a commit stamp
+        (pre-upgrade manifests) cannot prove their age and are KEPT
+        under an age policy — expire them with a pure keep_last call.
+        """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         if self.branch is not None:
@@ -2480,12 +2493,23 @@ class LakeTable:
         avail = mf.available_versions(self.table_dir)
         tagged = set(self.list_tags().values()) | set(keep_versions or ())
         expired = [v for v in avail if v < cutoff and v not in tagged]
+        if older_than_seconds is not None:
+            import time as _time
+
+            horizon = _time.time() - older_than_seconds
+            old_enough = []
+            for v in expired:
+                ts = self.manifest(v).committed_at
+                if ts is not None and ts < horizon:
+                    old_enough.append(v)
+            expired = old_enough
         if not expired:
             return {"operation": "expire_snapshots", "expired_versions": []}
+        expired_set = set(expired)
         keep_paths: set[str] = set()
         keep_dvs: set[str] = set()
         for v in avail:
-            if v >= cutoff or v in tagged:
+            if v not in expired_set:
                 for f in self.manifest(v).files:
                     keep_paths.add(f.path)
                     if f.dv:
@@ -2533,7 +2557,7 @@ class LakeTable:
         }
 
     def vacuum_orphans(
-        self, older_than_seconds: float = 24 * 3600
+        self, older_than_seconds: float = 24 * 3600, dry_run: bool = False
     ) -> dict[str, Any]:
         """Remove data files referenced by NO retained manifest.
 
@@ -2596,12 +2620,14 @@ class LakeTable:
                 try:
                     if os.path.getmtime(abs_p) > cutoff:
                         continue  # possibly an in-flight commit
-                    os.remove(abs_p)
+                    if not dry_run:
+                        os.remove(abs_p)
                 except OSError:
                     continue  # racing another vacuum — already gone
                 removed.append(rel_p)
                 for sc in lake_bloom.sidecars_for(abs_p):
-                    os.remove(sc)
+                    if not dry_run:
+                        os.remove(sc)
                     removed_sidecars.append(
                         os.path.relpath(sc, self.table_dir)
                     )
@@ -2612,7 +2638,8 @@ class LakeTable:
             if not os.path.exists(lake_bloom.data_path(abs_sc)):
                 try:
                     if os.path.getmtime(abs_sc) <= cutoff:
-                        os.remove(abs_sc)
+                        if not dry_run:
+                            os.remove(abs_sc)
                         removed_sidecars.append(
                             os.path.relpath(abs_sc, self.table_dir)
                         )
@@ -2620,6 +2647,8 @@ class LakeTable:
                     pass
         # empty commit-token directories left behind by removed orphans
         for dirpath, dirs, names in list(os.walk(data_root, topdown=False)):
+            if dry_run:
+                break
             if dirpath != data_root and not dirs and not names:
                 try:
                     os.rmdir(dirpath)
@@ -2631,6 +2660,7 @@ class LakeTable:
             "removed_files": len(removed),
             "removed": sorted(removed),
             "removed_sidecars": sorted(removed_sidecars),
+            **({"dry_run": True} if dry_run else {}),
         }
 
     # ------------------------------------------------------- schema evolution

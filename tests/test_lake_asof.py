@@ -79,3 +79,46 @@ def test_selector_exclusivity(spark, tmp_table_dir):
     _append(t, spark, 0, 5)
     with pytest.raises(ValueError, match="at most one"):
         t.read(version=1, as_of=time.time())
+
+
+def test_age_floor_expiry(spark, tmp_table_dir):
+    """expire_snapshots(older_than_seconds=...): snapshots younger
+    than the horizon survive beyond keep_last; old ones expire; the
+    pure keep_last path is unchanged."""
+    t = LakeTable.create(
+        spark, tmp_table_dir, SCHEMA, bucket_key="k", num_buckets=2
+    )
+    for c in range(4):
+        _append(t, spark, c * 5, (c + 1) * 5)
+    # everything is seconds old -> a 1-hour age floor expires nothing
+    r = t.expire_snapshots(keep_last=1, older_than_seconds=3600)
+    assert r["expired_versions"] == []
+    assert t.read(version=2).count() == 5  # history intact
+    # age floor of 0 behaves like pure keep_last
+    r = t.expire_snapshots(keep_last=1, older_than_seconds=0)
+    assert len(r["expired_versions"]) == 4
+    assert t.read().count() == 20
+
+
+def test_vacuum_dry_run(spark, tmp_table_dir):
+    import os
+    import time
+
+    t = LakeTable.create(
+        spark, tmp_table_dir, SCHEMA, bucket_key="k", num_buckets=2
+    )
+    _append(t, spark, 0, 10)
+    orphan = os.path.join(
+        tmp_table_dir, "data", "deadbeefcafe0000", "part-x.parquet"
+    )
+    os.makedirs(os.path.dirname(orphan))
+    with open(orphan, "wb") as fh:
+        fh.write(b"x")
+    old = time.time() - 7 * 24 * 3600
+    os.utime(orphan, (old, old))
+    r = t.vacuum_orphans(dry_run=True)
+    assert r["dry_run"] and any("deadbeef" in p for p in r["removed"])
+    assert os.path.exists(orphan)  # nothing actually deleted
+    r2 = t.vacuum_orphans()
+    assert r2["removed"] == r["removed"]
+    assert not os.path.exists(orphan)
