@@ -213,3 +213,36 @@ def test_log_gap_audit_no_global_single_partition_window(spark):
     assert re.search(r"Window .*lead\(lsn", plan), plan
     spanned = re.findall(r"hashpartitioning\(_span", plan)
     assert spanned, "span windows lost their parallel partitioning"
+
+
+@needs_data
+def test_boilerplate_hot_set_broadcasts(spark):
+    """remove_boilerplate's hot-paragraph anti-join must broadcast the
+    (Zipf-few) hot side — the paragraph stream is never shuffled to
+    check membership."""
+    plan = plan_of(spark, "doc_boilerplate_removal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the left-anti membership probe is a broadcast hash join
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", plan) or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    ), plan
+
+
+@needs_data
+def test_dedup_groups_no_cartesian(spark):
+    """Connected components: every propagation round is hash joins —
+    no cartesian/BNLJ anywhere in the final plan."""
+    plan = plan_of(spark, "doc_dedup_groups")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+@needs_data
+def test_quantized_topk_single_exchange_of_topk_rows(spark):
+    """quantized_topk must shuffle only the batch-local top-k rows
+    (the window's partitioning exchange), never join corpus x queries:
+    no join node at all — queries ride the udf closure."""
+    plan = plan_of(spark, "emb_quantized_topk")
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
