@@ -333,6 +333,36 @@ def cdc_wap_publish_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+def cdc_replay_debezium_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-envelope ingestion (≙ the reference's third-party wire
+    format at the ingest boundary, EventSchema.kt:4-10 — parse only the
+    fields we care about): the derived log is shipped as real Debezium
+    JSON envelopes (before/after images, op codes c/u/d, source.lsn,
+    epoch-micros timestamps; deletes carry a KEY-ONLY before image as
+    under REPLICA IDENTITY DEFAULT), landed as text segments, parsed
+    back by a single from_json projection (sources/debezium.py — no
+    UDF, no shuffle), and replayed. Key-only deletes are lossless by
+    construction here: a D event contributes only (key, lsn) to the
+    LWW merge and validation never rejects deletes, so the final state
+    must equal the plain-parquet replay oracle byte-for-byte."""
+    from dexspark.sources.debezium import read_debezium, to_debezium
+
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    log_dir = os.path.join(d, "dbzlog")
+    to_debezium(log).repartition(8).write.text(log_dir)
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    relog = read_debezium(spark, log_dir).withColumn(
+        "batch_seq", F.expr(f"lsn div {BATCH}")
+    )
+    for b in batch_range(relog):
+        apply_changes(table, relog.filter(F.col("batch_seq") == b), batch_id=f"z{b}")
+    return table.read()
+
+
 def cdc_replay_gzip_log_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-segment ingestion (≙ FnDecompressor.kt:38-139 for the
     transport case): the change log lands as gzip'd JSON-lines segments
@@ -6192,6 +6222,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_stream_replay_final_state": (cdc_stream_replay_final_state, ORACLE_REPLAY),
     "cdc_schema_evolution_replay": (cdc_schema_evolution_replay, ORACLE_EVOLUTION),
     "cdc_replay_gzip_log": (cdc_replay_gzip_log_q, ORACLE_REPLAY),
+    "cdc_replay_debezium": (cdc_replay_debezium_q, ORACLE_REPLAY),
     "cdc_scd2_history": (cdc_scd2_history_q, ORACLE_SCD2),
     "cdc_stream_scd2_history": (cdc_stream_scd2_history_q, ORACLE_SCD2),
     "cdc_scd2_asof": (cdc_scd2_asof_q, ORACLE_SCD2_ASOF),
