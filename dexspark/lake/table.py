@@ -1513,6 +1513,31 @@ class LakeTable:
         )
         return info
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        when_matched: list = (),
+        when_not_matched: list = (),
+        when_not_matched_by_source: list = (),
+        lsn: int = 0,
+        summary: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """General ANSI MERGE INTO: ordered conditional clauses
+        (WHEN MATCHED UPDATE/DELETE, WHEN NOT MATCHED INSERT, WHEN NOT
+        MATCHED BY SOURCE UPDATE/DELETE) with SQL expressions over the
+        ``t``/``s`` aliases — the user-facing statement next to the
+        CDC hot path ``merge()``. See lake/merge_into.py."""
+        from dexspark.lake.merge_into import merge_into as _mi
+
+        return _mi(
+            self, source, key_cols,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            when_not_matched_by_source=when_not_matched_by_source,
+            lsn=lsn, summary=summary,
+        )
+
     # ---------------------------------------------------------------- delete
     def delete_where(
         self,

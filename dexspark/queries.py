@@ -1015,6 +1015,98 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+ORACLE_MERGE_INTO = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+mid AS (SELECT (MIN(batch_seq) + MAX(batch_seq) + 1) // 2 AS m FROM log),
+tgt AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM flagged
+    WHERE reject_reason IS NULL AND batch_seq < (SELECT m FROM mid)
+  ) WHERE rn = 1 AND op <> 'D'
+),
+src AS (
+  SELECT conv_id, turn_idx, bool_or(op = 'D') AS has_delete,
+         'p' || CAST(MAX(lsn) AS VARCHAR) AS stext
+  FROM log WHERE batch_seq >= (SELECT m FROM mid)
+  GROUP BY conv_id, turn_idx
+),
+merged AS (
+  SELECT COALESCE(t.conv_id, s.conv_id) AS conv_id,
+         COALESCE(t.turn_idx, s.turn_idx) AS turn_idx,
+         CASE WHEN t.conv_id IS NOT NULL AND s.conv_id IS NOT NULL THEN
+                CASE WHEN s.has_delete THEN 'drop' ELSE 'upd' END
+              WHEN s.conv_id IS NOT NULL THEN
+                CASE WHEN NOT s.has_delete THEN 'ins' ELSE 'drop' END
+              ELSE CASE WHEN t.turn_idx >= 12 THEN 'drop' ELSE 'stale' END
+         END AS act,
+         t.role AS trole, t.text AS ttext, t.tool AS ttool, t.ts AS tts,
+         s.stext AS stext
+  FROM tgt t FULL OUTER JOIN src s
+    ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+)
+SELECT conv_id, turn_idx,
+  CASE WHEN act = 'ins' THEN 'assistant' ELSE trole END AS role,
+  CASE WHEN act IN ('upd', 'ins') THEN stext
+       WHEN act = 'stale' THEN ttext || ' [stale]'
+       ELSE ttext END AS text,
+  CASE WHEN act = 'ins' THEN CAST(NULL AS VARCHAR) ELSE ttool END AS tool,
+  CASE WHEN act = 'ins' THEN TIMESTAMP '2024-01-02 00:00:00' ELSE tts END AS ts
+FROM merged WHERE act <> 'drop'
+"""
+
+
+def lake_merge_into_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ANSI MERGE INTO surface (lake/merge_into.py — the Delta /
+    Iceberg user statement, next to the CDC hot path): half the log is
+    replayed to build the target, the rest is aggregated into a keyed
+    source set, then ONE merge statement exercises every clause family
+    in order — WHEN MATCHED AND s.has_delete DELETE, WHEN MATCHED
+    UPDATE SET text, WHEN NOT MATCHED AND NOT s.has_delete INSERT
+    (tombstoned keys count as NOT matched, so an insert replaces the
+    tombstone), WHEN NOT MATCHED BY SOURCE AND t.turn_idx >= 12 DELETE,
+    WHEN NOT MATCHED BY SOURCE UPDATE (stale marker). The oracle is the
+    literal FULL OUTER JOIN + first-match CASE mirror."""
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    batches = batch_range(log)
+    mid = (batches.start + batches.stop) // 2
+    for b in range(batches.start, mid):
+        apply_changes(table, log.filter(F.col("batch_seq") == b), batch_id=f"mi{b}")
+    src = (
+        log.filter(F.col("batch_seq") >= mid)
+        .groupBy("conv_id", "turn_idx")
+        .agg(
+            F.expr("bool_or(op = 'D')").alias("has_delete"),
+            F.concat(F.lit("p"), F.max("lsn").cast("string")).alias("stext"),
+        )
+    )
+    table.merge_into(
+        src, ["conv_id", "turn_idx"],
+        when_matched=[
+            ("delete", "s.has_delete", None),
+            ("update", None, {"text": "s.stext"}),
+        ],
+        when_not_matched=[
+            ("insert", "NOT s.has_delete", {
+                "role": "'assistant'", "text": "s.stext",
+                "ts": "timestamp'2024-01-02 00:00:00'",
+            }),
+        ],
+        when_not_matched_by_source=[
+            ("delete", "t.turn_idx >= 12", None),
+            ("update", None, {"text": "concat(t.text, ' [stale]')"}),
+        ],
+        lsn=10**9,
+    )
+    return table.read()
+
+
 def lake_stats_pruned_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest min/max data skipping (Iceberg/Delta file-stats
     analogue, lake/stats.py): events land as 8 hourly append commits —
@@ -6251,6 +6343,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_stream_replay_mor": (cdc_stream_replay_mor_q, ORACLE_REPLAY),
     "cdc_time_travel": (cdc_time_travel_q, ORACLE_TIME_TRAVEL),
     "cdc_tag_pinned_read": (cdc_tag_pinned_read_q, ORACLE_TIME_TRAVEL),
+    "lake_merge_into": (lake_merge_into_q, ORACLE_MERGE_INTO),
     "lake_stats_pruned_scan": (lake_stats_pruned_scan_q, ORACLE_STATS_PRUNED),
     "cdc_retention_delete": (cdc_retention_delete_q, ORACLE_RETENTION_DELETE),
     "cdc_retention_delete_dv": (
