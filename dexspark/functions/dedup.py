@@ -470,3 +470,92 @@ def near_dup_groups(
         .alias("group_size"),
         (F.col("id") == F.col("group_id")).alias("is_canonical"),
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    min_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring span dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr
+    pass): every token that lies inside some ``min_len``-token window
+    whose exact token sequence occurs MORE THAN ONCE in the corpus
+    (within- or cross-document, all occurrences counted) is removed;
+    the survivors are re-joined in order. Because any duplicated
+    substring of >= min_len tokens is the union of its duplicated
+    min_len-windows, this removes precisely the maximal duplicated
+    spans — the memorization-prone verbatim repeats exact-dup,
+    near-dup, and paragraph passes all miss (a quote spanning a
+    paragraph break, a template sentence inside unique prose).
+
+    Scale shape: tokens explode once into (pos, gram-hash) pairs
+    (bounded by corpus token count), ONE map-combined count shuffle
+    on the 64-bit gram hash, one hash join of grams against the
+    duplicated-gram set (NOT broadcast — duplicated grams are
+    O(duplicated text), unbounded by Zipf), then a per-doc
+    reassembly aggregate bounded by tokens-per-document. The cover
+    mask is per-doc array work (codegen HOFs, no extra shuffle);
+    worst case O(tokens x covered-windows) per document. The 64-bit
+    hash stands in for the gram (collision odds ~n^2/2^64, the
+    same trade remove_boilerplate makes). Returns (id_col,
+    text_clean, n_tokens_kept, n_tokens_dropped)."""
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be >= 2")
+    sep = "\x1f"  # tokens are whitespace-split, so \x1f never occurs
+    toks = df.select(
+        F.col(id_col),
+        F.when(
+            F.length(F.trim(F.col(text_col))) == 0,
+            F.array().cast("array<string>"),
+        )
+        .otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .alias("_ts"),
+    )
+    grams = (
+        toks.filter(F.size("_ts") >= L)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_ts") - L),
+                    lambda i: F.struct(
+                        i.alias("_pos"),
+                        F.xxhash64(
+                            F.concat_ws(sep, F.slice("_ts", i + 1, L))
+                        ).alias("_gh"),
+                    ),
+                )
+            ).alias("_g"),
+        )
+        .select(F.col(id_col), F.col("_g._pos").alias("_pos"),
+                F.col("_g._gh").alias("_gh"))
+    )
+    dup = (
+        grams.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("_gh")
+    )
+    cov = (
+        grams.join(dup, "_gh")
+        .groupBy(id_col)
+        .agg(F.collect_set("_pos").alias("_starts"))
+    )
+    joined = toks.join(cov, id_col, "left")
+    starts = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    covered = F.array_distinct(
+        F.flatten(F.transform(starts, lambda s: F.sequence(s, s + L - 1)))
+    )
+    indexed = F.transform(
+        F.col("_ts"), lambda t, i: F.struct(t.alias("_t"), i.alias("_i"))
+    )
+    kept = F.filter(indexed, lambda x: ~F.array_contains(covered, x["_i"]))
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.transform(kept, lambda x: x["_t"])).alias("text_clean"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        (F.size("_ts") - F.size(kept)).cast("long").alias("n_tokens_dropped"),
+    )

@@ -4365,6 +4365,82 @@ FROM comp
 """
 
 
+def doc_span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (functions/dedup.py::dedup_spans —
+    Lee et al. 2021 ExactSubstr): tokens inside any 8-token window
+    whose exact sequence occurs more than once in the corpus are
+    removed — the verbatim-repeat pass exact/near/paragraph dedup all
+    miss. A >=11-token promo sentence is seeded into every fourth
+    document (plus a per-doc unique tail so docs stay distinct), and
+    the natural corpus contributes its own repeats; the oracle runs
+    the identical gram/cover/reassembly algebra in SQL."""
+    from dexspark.functions.dedup import dedup_spans
+
+    docs = load(spark, sf_dir, "documents")
+    promo = (
+        "limited time offer enjoy free shipping on every order placed today"
+    )
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod(F.col("doc_id"), 4) == 1, F.lit(" " + promo)
+            ).otherwise(F.lit("")),
+            F.lit(" uniq"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return dedup_spans(seeded, min_len=8).select(
+        "doc_id", "text_clean", "n_tokens_kept", "n_tokens_dropped"
+    )
+
+
+ORACLE_SPAN_DEDUP = """
+WITH seeded AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 4 = 1
+            THEN ' limited time offer enjoy free shipping on every order placed today'
+            ELSE '' END
+    || ' uniq' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+  FROM seeded
+),
+grams AS (
+  SELECT doc_id, i, array_to_string(ts[i:i+7], chr(31)) AS gram
+  FROM toks, UNNEST(generate_series(1, len(ts) - 7)) AS t(i)
+),
+dup AS (
+  SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM grams GROUP BY gram)
+  WHERE c >= 2
+),
+cov AS (
+  SELECT DISTINCT doc_id, j
+  FROM grams, UNNEST(generate_series(i, i + 7)) AS u(j)
+  WHERE gram IN (SELECT gram FROM dup)
+),
+kept AS (
+  SELECT x.doc_id,
+         string_agg(x.tok, ' ' ORDER BY x.p) AS text_clean,
+         COUNT(*) AS kept_n
+  FROM (SELECT doc_id, ts[p] AS tok, p
+        FROM toks, UNNEST(generate_series(1, len(ts))) AS g(p)) x
+  LEFT JOIN cov c ON c.doc_id = x.doc_id AND c.j = x.p
+  WHERE c.doc_id IS NULL
+  GROUP BY x.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(k.text_clean, '') AS text_clean,
+       CAST(COALESCE(k.kept_n, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(len(t.ts) - COALESCE(k.kept_n, 0) AS BIGINT) AS n_tokens_dropped
+FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+"""
+
+
 def doc_boilerplate_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level PARAGRAPH dedup (functions/text.py::
     remove_boilerplate — the CCNet/RefinedWeb boilerplate pass):
@@ -6375,6 +6451,7 @@ QUERIES: dict[str, tuple] = {
     "doc_lang_id": (doc_lang_id_q, ORACLE_LANG),
     "doc_near_dup_pairs": (doc_near_dup_pairs_q, ORACLE_NEAR_DUP),
     "doc_dedup_groups": (doc_dedup_groups_q, ORACLE_DEDUP_GROUPS),
+    "doc_span_dedup": (doc_span_dedup_q, ORACLE_SPAN_DEDUP),
     "doc_boilerplate_removal": (
         doc_boilerplate_removal_q,
         ORACLE_BOILERPLATE,

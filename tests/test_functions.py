@@ -386,3 +386,57 @@ def test_remove_boilerplate_semantics(spark):
     )
     r = remove_boilerplate(rep, max_repeats=4).collect()[0]
     assert r.n_paras_kept == 5  # 5 copies but only 1 distinct doc
+
+
+def test_dedup_spans_exact_substr(spark):
+    from dexspark.functions.dedup import dedup_spans
+
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    rows = [
+        # shared span mid-document, unique prose around it
+        (1, f"alpha bravo {shared} charlie delta"),
+        (2, f"echo foxtrot golf {shared} hotel"),
+        # doc shorter than the window: untouched even though it
+        # repeats doc 4's text prefix
+        (3, "one two three"),
+        (4, "one two three india juliet"),
+        # whole-doc verbatim duplicates: everything removed
+        (5, shared),
+        (6, shared),
+    ]
+    out = {
+        r.doc_id: r
+        for r in dedup_spans(
+            spark.createDataFrame(rows, "doc_id int, text string"), min_len=8
+        ).collect()
+    }
+    assert out[1].text_clean == "alpha bravo charlie delta"
+    assert out[2].text_clean == "echo foxtrot golf hotel"
+    assert out[1].n_tokens_dropped == 8 and out[2].n_tokens_dropped == 8
+    assert out[3].text_clean == "one two three" and out[3].n_tokens_dropped == 0
+    assert out[4].n_tokens_dropped == 0
+    assert out[5].text_clean == "" and out[5].n_tokens_kept == 0
+    assert out[6].text_clean == ""
+
+
+def test_dedup_spans_overlap_and_within_doc(spark):
+    from dexspark.functions.dedup import dedup_spans
+
+    # a 10-token duplicated run: overlapping 8-grams must merge into
+    # ONE maximal removed span, not leave boundary tokens behind
+    run = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    rows = [
+        (1, f"pre {run} post"),
+        (2, f"{run} tail2"),
+        # within-document repetition also counts as duplication
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 mid w1 w2 w3 w4 w5 w6 w7 w8 end3"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in dedup_spans(
+            spark.createDataFrame(rows, "doc_id int, text string"), min_len=8
+        ).collect()
+    }
+    assert out[1].text_clean == "pre post" and out[1].n_tokens_dropped == 10
+    assert out[2].text_clean == "tail2"
+    assert out[3].text_clean == "mid end3" and out[3].n_tokens_dropped == 16
