@@ -620,6 +620,27 @@ def cmd_audit(args) -> int:
     return 1 if hard else 0
 
 
+def cmd_constraint(args) -> int:
+    """Declare / drop / list CHECK constraints (≙ Delta ALTER TABLE
+    ADD CONSTRAINT, DLT expectations — lake/constraints.py)."""
+    spark = _spark(args)
+    t = LakeTable(spark, args.table)
+    if args.action == "add":
+        if not args.name or not args.expr:
+            raise SystemExit("constraint add needs --name and --expr")
+        info = t.add_constraint(
+            args.name, args.expr, on_violation=args.on_violation
+        )
+        print(json.dumps(info))
+    elif args.action == "drop":
+        if not args.name:
+            raise SystemExit("constraint drop needs --name")
+        print(json.dumps(t.drop_constraint(args.name)))
+    else:
+        print(json.dumps(t.constraints()))
+    return 0
+
+
 def cmd_status(args) -> int:
     spark = _spark(args)
     t = LakeTable(spark, args.table)
@@ -650,6 +671,7 @@ def cmd_status(args) -> int:
                 "num_buckets": m.num_buckets,
                 "bucket_key": m.bucket_key,
                 "schema": t.schema().simpleString(),
+                "constraints": t.constraints(),
                 "committed_batches": sorted(map(str, t.committed_batch_ids())),
             }
         )
@@ -1012,6 +1034,21 @@ def main(argv: list[str] | None = None) -> int:
     au.add_argument("--expect-max", type=int, default=None)
     au.add_argument("--max-findings", type=int, default=1000)
     au.set_defaults(fn=cmd_audit)
+
+    ct = sub.add_parser(
+        "constraint",
+        help="declare/drop/list CHECK constraints on a table",
+    )
+    ct.add_argument("action", choices=["add", "drop", "list"])
+    ct.add_argument("--table", required=True)
+    ct.add_argument("--name", default=None)
+    ct.add_argument("--expr", default=None, help="SQL CHECK predicate")
+    ct.add_argument(
+        "--on-violation", choices=["fail", "drop"], default="fail",
+        help="fail = hard invariant on every write; drop = expectation "
+             "the CDC pipeline quarantines on",
+    )
+    ct.set_defaults(fn=cmd_constraint)
 
     s = sub.add_parser("status", help="print table status")
     s.add_argument("--table", required=True)

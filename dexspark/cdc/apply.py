@@ -18,6 +18,7 @@ from pyspark.sql.types import StructType
 
 from dexspark.cdc.dedup import dedupe_latest
 from dexspark.cdc.validate import REASON_COL, REASONS, ValidationConfig, flag_events
+from dexspark.lake import constraints as lake_ct
 from dexspark.lake.table import LakeTable
 
 META_COLS = ("lsn", "op", "batch_seq", REASON_COL)
@@ -81,20 +82,44 @@ def apply_changes(
 
     maybe_evolve_schema(table, events)
 
+    # table-declared CHECK constraints join the validation stage
+    # (lake/constraints.py): "drop"-mode expectations extend the reject
+    # reason chain (quarantined + counted like any validation reject);
+    # "fail"-mode invariants ride the same Observation and abort the
+    # batch BEFORE anything commits. merge() skips its own check when
+    # given bucket_stats — this pass is the enforcement point.
+    defs = table.constraints()
+    drop_defs = {n: d for n, d in defs.items() if d["on_violation"] == "drop"}
+    fail_defs = {n: d for n, d in defs.items() if d["on_violation"] == "fail"}
+    is_del = F.col(cfg.op_col) == F.lit(cfg.delete_op)
+    reasons = REASONS + tuple(lake_ct.REASON_PREFIX + n for n in drop_defs)
+
     # one full compute of the validation stage, shared by both sides;
     # reject metrics ride the first job over it via Observation instead
     # of paying a dedicated count job per batch (driver round-trips are
     # the serial cost micro-batch throughput is most sensitive to)
     obs = Observation()
+    flagged = flag_events(events, cfg)
+    if drop_defs:
+        flagged = flagged.withColumn(
+            REASON_COL,
+            F.coalesce(
+                F.col(REASON_COL),
+                lake_ct.drop_mode_reason(drop_defs, skip=is_del),
+            ),
+        )
+    fail_aggs = lake_ct.violation_count_aggs(
+        fail_defs, skip=is_del | F.col(REASON_COL).isNotNull()
+    )
     flagged = (
-        flag_events(events, cfg)
-        .observe(
+        flagged.observe(
             obs,
             F.count(F.col(REASON_COL)).alias("_rejected"),
             *[
                 F.count(F.when(F.col(REASON_COL) == r, 1)).alias(r)
-                for r in REASONS
+                for r in reasons
             ],
+            *fail_aggs,
         )
         .persist()
     )
@@ -131,7 +156,10 @@ def apply_changes(
             metrics = obs.get
             n_rejected = int(metrics["_rejected"])
             rejected_by_reason = {
-                r: int(metrics[r]) for r in REASONS if metrics[r]
+                r: int(metrics[r]) for r in reasons if metrics[r]
+            }
+            fail_counts = {
+                n: int(metrics["_cviol_" + n] or 0) for n in fail_defs
             }
         except Exception:
             # all-invalid batch: AQE's empty-relation propagation
@@ -145,6 +173,21 @@ def apply_changes(
             }
             n_rejected = sum(counts.values())
             rejected_by_reason = counts
+            fail_counts = {}
+            if fail_defs:
+                row = flagged.filter(
+                    ~(is_del | F.col(REASON_COL).isNotNull())
+                ).agg(*fail_aggs).first()
+                fail_counts = {
+                    n: int(row["_cviol_" + n] or 0) for n in fail_defs
+                }
+        # a "fail"-mode invariant violation aborts the whole batch
+        # atomically — before the quarantine append, before the merge
+        # (the orchestrator's retry redelivers it; ≙ the reference's
+        # failed-step stop, FnOrchestrator.kt:95-111)
+        lake_ct.raise_if_violated(
+            fail_counts, f"apply_changes batch {batch_id}"
+        )
         partitions = [
             {
                 "bucket": int(r["bucket"]),

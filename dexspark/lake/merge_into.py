@@ -230,7 +230,19 @@ def _attempt(table, source, key_cols, wm, wnm, wnmbs, lsn, summary):
         (F.col("_action") == "keep")
         | F.col("_action").endswith("_update")
         | is_insert
-    ).select(*out_cols)
+    ).select(*out_cols, is_write.alias("_written"))
+
+    # "fail"-mode CHECK constraints bind to every writer, including the
+    # user MERGE statement: enforce on the rows the statement writes
+    # (updated/inserted) — carried-over rows satisfied them at their own
+    # write time. One aggregate job on this cold path; nothing commits
+    # on violation.
+    table._check_constraints_job(
+        kept.filter(F.col("_written")),
+        m,
+        f"merge_into {table.table_dir}",
+    )
+    kept = kept.drop("_written")
 
     current_sys = StructType(
         list(current.fields)

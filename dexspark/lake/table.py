@@ -25,6 +25,7 @@ batch whose batch_id is already in a committed summary is a no-op.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Iterable
 
@@ -40,6 +41,7 @@ from pyspark.sql.types import (
 )
 
 from dexspark.lake import bloom as lake_bloom
+from dexspark.lake import constraints as lake_ct
 from dexspark.lake import dv as lake_dv
 from dexspark.lake import manifest as mf
 from dexspark.lake import stats as lake_stats
@@ -1180,7 +1182,9 @@ class LakeTable:
         for attempt in range(MAX_COMMIT_RETRIES + 1):
             m = self.manifest()
             current = self.schema()
-            new_files = self._write_data(_align(df, current), m)
+            src = _align(df, current)
+            self._check_constraints_job(src, m, f"append to {self.table_dir}")
+            new_files = self._write_data(src, m)
             try:
                 # purely additive: always rebasable — the only conflict
                 # that surfaces here is a concurrent rebucket, which
@@ -1198,7 +1202,9 @@ class LakeTable:
     def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> None:
         m = self.manifest()
         current = self.schema()
-        new_files = self._write_data(_align(df, current), m)
+        src = _align(df, current)
+        self._check_constraints_job(src, m, f"overwrite of {self.table_dir}")
+        new_files = self._write_data(src, m)
         info = {"operation": "overwrite", **(summary or {})}
         base = m
         for attempt in range(MAX_COMMIT_RETRIES + 1):
@@ -1303,11 +1309,41 @@ class LakeTable:
         if own_persist:
             changes = changes.persist()
         persisted = changes  # `changes` may be re-projected on layout drift
+
+        # "fail"-mode CHECK constraints ride the per-bucket stats pass
+        # below — zero extra jobs on the hot path. Callers that supply
+        # precomputed bucket_stats (the CDC apply pipeline) enforce
+        # upstream inside their own validation pass instead.
+        fail_defs = self._fail_constraint_defs(m0)
+        viol_aggs = (
+            lake_ct.violation_count_aggs(
+                fail_defs, skip=(F.col(op_col) == F.lit(delete_value))
+            )
+            if fail_defs
+            else []
+        )
+
+        def _stats_pass(df: DataFrame) -> dict[int, int]:
+            rows = (
+                df.groupBy(BUCKET_COL)
+                .agg(F.count(F.lit(1)).alias("count"), *viol_aggs)
+                .collect()
+            )
+            if viol_aggs:
+                lake_ct.raise_if_violated(
+                    {
+                        n: sum(int(r["_cviol_" + n] or 0) for r in rows)
+                        for n in fail_defs
+                    },
+                    f"merge into {self.table_dir}",
+                )
+            return {int(r[BUCKET_COL]): int(r["count"]) for r in rows}
+
         try:
             if bucket_stats is None:
-                # one job: affected buckets + batch size
-                stats = changes.groupBy(BUCKET_COL).count().collect()
-                bucket_stats = {int(r[BUCKET_COL]): int(r["count"]) for r in stats}
+                # one job: affected buckets + batch size (+ constraint
+                # enforcement when CHECK constraints are declared)
+                bucket_stats = _stats_pass(changes)
             affected = set(bucket_stats)
             n_changes = int(sum(bucket_stats.values()))
             batch_id = (summary or {}).get("batch_id")
@@ -1324,10 +1360,7 @@ class LakeTable:
                     changes = changes.withColumn(
                         BUCKET_COL, self._bucket_expr(m)
                     )
-                    stats = changes.groupBy(BUCKET_COL).count().collect()
-                    bucket_stats = {
-                        int(r[BUCKET_COL]): int(r["count"]) for r in stats
-                    }
+                    bucket_stats = _stats_pass(changes)
                     affected = set(bucket_stats)
                     cur_layout = m.num_buckets
                     summary = _drop_stale_partitions(summary)
@@ -2787,6 +2820,135 @@ class LakeTable:
                 f"cannot {verb} {name!r}: it is the bucket/merge key "
                 "(rebucket to a different key first)"
             )
+
+    # ------------------------------------------------------- constraints
+    def constraints(self) -> dict[str, dict]:
+        """Declared CHECK constraints: {name: {"expr", "on_violation"}}
+        (name-sorted). See dexspark.lake.constraints."""
+        return lake_ct.defs_from_properties(self.manifest().properties)
+
+    def add_constraint(
+        self, name: str, expr: str, on_violation: str = "fail"
+    ) -> dict[str, Any]:
+        """Declare a CHECK constraint (≙ Delta ``ALTER TABLE ... ADD
+        CONSTRAINT`` / DLT expectations — see lake/constraints.py).
+
+        ``on_violation="fail"`` validates EXISTING rows first (one
+        scan) and then hard-blocks every future write that would
+        introduce a violating row; ``"drop"`` is a forward-looking
+        expectation the CDC pipeline quarantines on (existing rows are
+        not scanned — DLT semantics). The commit is metadata-only.
+
+        Race-safe by construction: any concurrent data commit between
+        the validation scan and our metadata commit takes the version
+        slot we target, so ``_commit_next`` conflicts and the retry
+        re-validates against the new head — a "fail" constraint that
+        lands is therefore a proof over the state it landed on."""
+        lake_ct.validate_name(name)
+        if on_violation not in lake_ct.MODES:
+            raise ValueError(
+                f"on_violation must be one of {lake_ct.MODES}, "
+                f"got {on_violation!r}"
+            )
+        key = lake_ct.PREFIX + name
+        for attempt in range(MAX_COMMIT_RETRIES + 1):
+            m = self.manifest()
+            if key in m.properties:
+                raise ValueError(f"constraint {name!r} already exists")
+            # analysis check: the predicate must resolve against the
+            # current schema and be castable to boolean (loud failure
+            # now beats a broken write path later)
+            probe = self.spark.createDataFrame([], self.schema(m.version))
+            probe.select(lake_ct.is_violated(expr))
+            n_checked = None
+            if on_violation == "fail":
+                row = (
+                    self.read(version=m.version)
+                    .agg(
+                        F.sum(
+                            F.when(lake_ct.is_violated(expr), 1).otherwise(0)
+                        ).alias("_bad"),
+                        F.count(F.lit(1)).alias("_n"),
+                    )
+                    .first()
+                )
+                n_checked = int(row["_n"])
+                lake_ct.raise_if_violated(
+                    {name: int(row["_bad"] or 0)},
+                    f"add_constraint on {self.table_dir}",
+                )
+            props = dict(m.properties)
+            props[key] = json.dumps(
+                {"expr": expr, "on_violation": on_violation}
+            )
+            try:
+                self._commit_next(
+                    m,
+                    m.files,
+                    {
+                        "operation": "add_constraint",
+                        "constraint": name,
+                        "on_violation": on_violation,
+                    },
+                    properties=props,
+                )
+                return {
+                    "name": name,
+                    "expr": expr,
+                    "on_violation": on_violation,
+                    "validated_rows": n_checked,
+                }
+            except CommitConflict:
+                if attempt == MAX_COMMIT_RETRIES:
+                    raise
+                _conflict_backoff(attempt)
+        raise AssertionError("unreachable")
+
+    def drop_constraint(self, name: str) -> dict[str, Any]:
+        """Remove a CHECK constraint (metadata-only commit). Time
+        travel to earlier versions still shows it — constraints are
+        versioned with the manifest like everything else."""
+        key = lake_ct.PREFIX + name
+        for attempt in range(MAX_COMMIT_RETRIES + 1):
+            m = self.manifest()
+            if key not in m.properties:
+                raise ValueError(f"no constraint {name!r}")
+            props = {k: v for k, v in m.properties.items() if k != key}
+            try:
+                self._commit_next(
+                    m,
+                    m.files,
+                    {"operation": "drop_constraint", "constraint": name},
+                    properties=props,
+                )
+                return {"name": name, "dropped": True}
+            except CommitConflict:
+                if attempt == MAX_COMMIT_RETRIES:
+                    raise
+                _conflict_backoff(attempt)
+        raise AssertionError("unreachable")
+
+    def _fail_constraint_defs(self, m: mf.Manifest) -> dict[str, dict]:
+        return {
+            n: d
+            for n, d in lake_ct.defs_from_properties(m.properties).items()
+            if d["on_violation"] == "fail"
+        }
+
+    def _check_constraints_job(
+        self, df: DataFrame, m: mf.Manifest, context: str
+    ) -> None:
+        """Dedicated one-aggregate enforcement job for the cold write
+        paths (append / overwrite / MERGE INTO). The CDC hot path never
+        runs this — merge() rides its existing per-bucket stats pass
+        and apply_changes rides its validation Observation instead."""
+        defs = self._fail_constraint_defs(m)
+        if not defs:
+            return
+        row = df.agg(*lake_ct.violation_count_aggs(defs)).first()
+        lake_ct.raise_if_violated(
+            {n: int(row["_cviol_" + n] or 0) for n in defs}, context
+        )
 
     def rename_column(self, old: str, new: str) -> int:
         """Metadata-only column RENAME (≙ Iceberg rename; impossible

@@ -1914,6 +1914,64 @@ FROM f WHERE reject_reason IS NOT NULL
 """
 
 
+def cdc_replay_constrained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-declared CHECK constraints under the hard oracle
+    (lake/constraints.py — ≙ Delta ADD CONSTRAINT / DLT expectations;
+    the reference's per-record rules, FnCSVValidationGeneric.kt:30-48,
+    promoted from pipeline config to TABLE metadata so every writer
+    sees them). A full replay with two constraints live:
+
+    - ``turn_cap`` (drop-mode expectation): ``turn_idx < 14`` — every
+      non-delete event for turns 14/15 is quarantined with reason
+      ``constraint:turn_cap`` by the apply pipeline's validation pass
+      (riding the same Observation; zero extra jobs), so those keys
+      exist in the final state only if a delete tombstoned them.
+    - ``turn_floor`` (fail-mode invariant): ``turn_idx >= 0`` — holds
+      for the whole log; proves a live hard invariant costs the hot
+      path nothing and blocks nothing when satisfied.
+
+    The oracle appends the constraint to the validator's reason chain
+    (validation reasons bind first — a bad_role row that also breaks
+    the cap reports bad_role in both engines) and replays LWW."""
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    table.add_constraint("turn_cap", "turn_idx < 14", on_violation="drop")
+    table.add_constraint("turn_floor", "turn_idx >= 0", on_violation="fail")
+    for b in batch_range(log):
+        apply_changes(
+            table, log.filter(F.col("batch_seq") == b), batch_id=f"b{b}"
+        )
+    return table.read()
+
+
+ORACLE_REPLAY_CONSTRAINED = f"""
+WITH {LOG_CTE},
+flagged AS (
+  SELECT *,
+    CASE WHEN op = 'D' THEN NULL
+         WHEN role NOT IN ('user', 'assistant', 'system', 'tool')
+           THEN 'bad_role'
+         WHEN role = 'tool' AND (tool IS NULL OR trim(tool) = '')
+           THEN 'missing_tool'
+         WHEN text IS NULL OR trim(text) = '' THEN 'malformed_text'
+         WHEN NOT (turn_idx < 14) THEN 'constraint:turn_cap'
+         END AS reject_reason
+  FROM log
+),
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM flagged WHERE reject_reason IS NULL
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def cdc_lineage_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-batch lineage after a real replay: applied (post-dedup) rows,
     rejected rows, lsn range — read back from the committed manifest
@@ -6477,6 +6535,10 @@ QUERIES: dict[str, tuple] = {
     "cdc_dedup_latest": (cdc_dedup_latest_q, ORACLE_DEDUP),
     "conv_assembly": (conv_assembly_q, ORACLE_CONV_ASSEMBLY),
     "cdc_validate_rejects": (cdc_validate_rejects_q, ORACLE_REJECTS),
+    "cdc_replay_constrained": (
+        cdc_replay_constrained_q,
+        ORACLE_REPLAY_CONSTRAINED,
+    ),
     "cdc_validate_ts_monotonic": (
         cdc_validate_ts_monotonic_q,
         ORACLE_TS_MONOTONIC,

@@ -602,3 +602,46 @@ def test_cli_replay_routed(spark, tmp_table_dir):
             "--extra-columns", "stream_id string",
         ]
     ) == 0
+
+
+def test_cli_constraint_lifecycle(spark, tmp_table_dir, capsys):
+    """`dexspark constraint add/list/drop`: declaration round-trips via
+    the CLI and a fail-mode constraint actually blocks a violating
+    write."""
+    import pytest
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from dexspark.lake.constraints import ConstraintViolation
+
+    d = os.path.join(tmp_table_dir, "ct")
+    schema = StructType(
+        [StructField("k", StringType()), StructField("n", IntegerType())]
+    )
+    t = LakeTable.create(spark, d, schema, bucket_key="k", num_buckets=2)
+    t.append(spark.createDataFrame([("a", 1)], schema))
+
+    assert main(
+        ["constraint", "add", "--table", d, "--name", "n_pos",
+         "--expr", "n > 0"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["validated_rows"] == 1
+
+    assert main(["constraint", "list", "--table", d]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"n_pos": {"expr": "n > 0", "on_violation": "fail"}}
+
+    with pytest.raises(ConstraintViolation):
+        t.append(spark.createDataFrame([("b", -1)], schema))
+
+    assert main(["constraint", "drop", "--table", d, "--name", "n_pos"]) == 0
+    t.append(spark.createDataFrame([("b", -1)], schema))
+    assert t.read().count() == 2
+
+    # status surfaces declared constraints
+    main(["constraint", "add", "--table", d, "--name", "k_nn",
+          "--expr", "k IS NOT NULL", "--on-violation", "drop"])
+    capsys.readouterr()
+    assert main(["status", "--table", d]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "k_nn" in out["constraints"]
