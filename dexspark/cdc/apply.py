@@ -70,8 +70,14 @@ def apply_changes(
     quarantine: LakeTable | None = None,
     salt_buckets: int | None = None,
     strategy: str = "cow",
+    extra_summary: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """Validate → dedup → merge one batch. Idempotent on batch_id.
+
+    ``extra_summary``: caller metadata folded into the merge commit's
+    summary (e.g. the snapshot watermark a snapshot-derived batch was
+    cut at — cdc/snapshot.py reads it back to enforce feed order);
+    reserved keys (batch_id/partitions/rejected/...) win.
 
     ``strategy`` selects the merge mode: "cow" rewrites affected
     buckets (cheap reads), "mor" appends delta files (O(batch) writes,
@@ -222,6 +228,7 @@ def apply_changes(
             bucket_stats={int(r["bucket"]): int(r["applied"]) for r in lineage_rows},
             bucket_stats_layout=m.num_buckets,
             summary={
+                **(extra_summary or {}),
                 "batch_id": batch_id,
                 "partitions": partitions,
                 "rejected": n_rejected,

@@ -6323,6 +6323,52 @@ def cdc_bootstrap_then_tail_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+def cdc_snapshot_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-derived CDC under the hard oracle (DLT's APPLY CHANGES
+    FROM SNAPSHOT — cdc/snapshot.py; ≙ the reference's file-drop wire
+    format, RouteIngestedFile.kt:44-66: upstream delivers COMPLETE
+    artifacts, deriving the delta is the consumer's job): the source's
+    valid LWW state is cut at successive batch-aligned watermarks and
+    each cut is ingested as a FULL snapshot — the engine diffs it
+    against the table's current state into I/U/D events (keys that
+    vanished between cuts become derived deletes) and replays them
+    through the normal validate → dedup → merge pipeline, each
+    snapshot one exactly-once batch at its watermark LSN. The
+    remaining log then tails in as ordinary batches (lsn > last
+    watermark). Final state must equal a full from-scratch replay
+    (ORACLE_REPLAY) — snapshot bootstrap, multi-snapshot diffing, and
+    the snapshot→tail handoff all under one value hash."""
+    from dexspark.cdc.dedup import dedupe_latest
+    from dexspark.cdc.snapshot import apply_snapshot
+    from dexspark.cdc.validate import REASON_COL, flag_events
+
+    log = derive_log(spark, sf_dir)
+    batches = batch_range(log)
+    n = len(batches)
+    keys = ["conv_id", "turn_idx"]
+    payload = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    # batch-aligned cuts so the tail never overlaps a watermark
+    cuts = sorted({max(1, n // 4), max(1, n // 2), max(1, 3 * n // 4)})
+    for cut_b in cuts:
+        w = cut_b * BATCH - 1
+        pre = flag_events(log.filter(F.col("lsn") <= w))
+        latest = dedupe_latest(pre.filter(F.col(REASON_COL).isNull()), keys)
+        snapshot = latest.filter(F.col("op") != "D").select(*payload)
+        apply_snapshot(table, snapshot, snapshot_lsn=w)
+    for b in batches:
+        if b >= cuts[-1]:
+            apply_changes(
+                table, log.filter(F.col("batch_seq") == b), batch_id=f"b{b}"
+            )
+    return table.read()
+
+
 def cdc_log_gap_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-log continuity audit under the hard oracle: the derived
     log is deterministically corrupted — every lsn % 97 == 0 segment
@@ -6546,6 +6592,7 @@ QUERIES: dict[str, tuple] = {
     "cdc_lineage_batches": (cdc_lineage_batches_q, ORACLE_LINEAGE),
     "cdc_log_gap_audit": (cdc_log_gap_audit_q, ORACLE_LOG_GAP_AUDIT),
     "cdc_bootstrap_then_tail": (cdc_bootstrap_then_tail_q, ORACLE_REPLAY),
+    "cdc_snapshot_ingest": (cdc_snapshot_ingest_q, ORACLE_REPLAY),
     "cdc_quarantine_reprocess": (
         cdc_quarantine_reprocess_q,
         ORACLE_QUARANTINE_REPROCESS,

@@ -1,0 +1,222 @@
+"""Snapshot-derived CDC (cdc/snapshot.py): I/U/D derivation from full
+snapshots, LSN-gated convergence (stale snapshots no-op), exactly-once
+redelivery, validation/quarantine integration, schema evolution, and
+composition with a later binlog tail."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from dexspark.cdc.apply import apply_changes
+from dexspark.cdc.snapshot import apply_snapshot, snapshot_changes
+from dexspark.cdc.validate import ValidationConfig
+from dexspark.lake.table import LakeTable
+
+SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+CFG = ValidationConfig(
+    tool_col="_none", ts_col="_none", check_ts_monotonic=False
+)
+
+
+def _mk(spark, d):
+    return LakeTable.create(spark, d, SCHEMA, "conv_id", num_buckets=4)
+
+
+def _snap(spark, rows, schema=SCHEMA):
+    return spark.createDataFrame(rows, schema)
+
+
+def _state(t):
+    return {
+        (r.conv_id, r.turn_idx): (r.role, r.text) for r in t.read().collect()
+    }
+
+
+def test_first_snapshot_is_all_inserts(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    s1 = _snap(spark, [("c1", 0, "user", "a"), ("c1", 1, "assistant", "b")])
+    res = apply_snapshot(t, s1, snapshot_lsn=10, cfg=CFG)
+    assert res["applied"] == 2 and res["snapshot_lsn"] == 10
+    assert _state(t) == {
+        ("c1", 0): ("user", "a"),
+        ("c1", 1): ("assistant", "b"),
+    }
+
+
+def test_diff_derives_iud_and_skips_unchanged(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    apply_snapshot(
+        t,
+        _snap(
+            spark,
+            [
+                ("c1", 0, "user", "a"),
+                ("c1", 1, "assistant", "b"),
+                ("c2", 0, "user", "c"),
+            ],
+        ),
+        snapshot_lsn=10,
+        cfg=CFG,
+    )
+    # next snapshot: c1/0 changed, c1/1 unchanged, c2/0 gone, c3/0 new
+    s2 = _snap(
+        spark, [("c1", 0, "user", "a2"), ("c1", 1, "assistant", "b"),
+                ("c3", 0, "user", "d")]
+    )
+    ev = snapshot_changes(t, s2, 20, ["conv_id", "turn_idx"])
+    got = {(r.conv_id, r.turn_idx): r.op for r in ev.collect()}
+    assert got == {("c1", 0): "U", ("c2", 0): "D", ("c3", 0): "I"}
+    assert ev.filter(F.col("lsn") != 20).count() == 0
+
+    res = apply_snapshot(t, s2, snapshot_lsn=20, cfg=CFG)
+    # only changed keys flow into the merge — unchanged c1/1 not rewritten
+    assert res["applied"] == 3
+    assert _state(t) == {
+        ("c1", 0): ("user", "a2"),
+        ("c1", 1): ("assistant", "b"),
+        ("c3", 0): ("user", "d"),
+    }
+
+
+def test_redelivery_skips_before_diff(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    s1 = _snap(spark, [("c1", 0, "user", "a")])
+    apply_snapshot(t, s1, snapshot_lsn=10, cfg=CFG)
+    v = t.current_version()
+    res = apply_snapshot(t, s1, snapshot_lsn=10, cfg=CFG)
+    assert res["skipped"] and t.current_version() == v
+
+
+def test_stale_snapshot_refused(spark, tmp_table_dir):
+    """A late-arriving OLD snapshot must be refused outright: the LSN
+    gate protects existing rows, but a derived INSERT for a key the
+    table never saw (e.g. created only after this snapshot was cut)
+    has nothing to lose against and would resurrect superseded
+    state."""
+    t = _mk(spark, tmp_table_dir)
+    apply_snapshot(
+        t, _snap(spark, [("c1", 0, "user", "new"), ("c2", 0, "user", "x")]),
+        snapshot_lsn=100, cfg=CFG,
+    )
+    before = _state(t)
+    stale = _snap(spark, [("c1", 0, "user", "old"), ("c9", 0, "user", "y")])
+    with pytest.raises(ValueError, match="out-of-order snapshot"):
+        apply_snapshot(t, stale, snapshot_lsn=50, cfg=CFG)
+    # equal watermark under a NEW batch id is out-of-order too (the
+    # default batch id would hit the exactly-once ledger first — the
+    # redelivery path, which skips; that is the correct precedence)
+    with pytest.raises(ValueError, match="out-of-order snapshot"):
+        apply_snapshot(t, stale, snapshot_lsn=100, batch_id="s2", cfg=CFG)
+    assert apply_snapshot(t, stale, snapshot_lsn=100, cfg=CFG)["skipped"]
+    assert _state(t) == before
+
+
+def test_duplicate_key_snapshot_raises(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    dup = _snap(spark, [("c1", 0, "user", "a"), ("c1", 0, "user", "b")])
+    with pytest.raises(ValueError, match="multiple rows"):
+        apply_snapshot(t, dup, snapshot_lsn=10, cfg=CFG)
+
+
+def test_partial_snapshot_refused(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    apply_snapshot(
+        t, _snap(spark, [("c1", 0, "user", "a")]), snapshot_lsn=10, cfg=CFG
+    )
+    narrow = spark.createDataFrame(
+        [("c1", 0, "user")],
+        StructType(list(SCHEMA.fields[:3])),
+    )
+    with pytest.raises(ValueError, match="does not cover"):
+        apply_snapshot(t, narrow, snapshot_lsn=20, cfg=CFG)
+    with pytest.raises(ValueError, match="reserved CDC column"):
+        snapshot_changes(
+            t,
+            _snap(spark, [("c1", 0, "user", "a")]).withColumn(
+                "op", F.lit("I")
+            ),
+            30,
+            ["conv_id", "turn_idx"],
+        )
+
+
+def test_invalid_new_image_quarantined_keeps_old(spark, tmp_table_dir, tmp_path):
+    t = _mk(spark, tmp_table_dir)
+    q_schema = StructType(
+        list(SCHEMA.fields)
+        + [
+            StructField("op", StringType()),
+            StructField("lsn", LongType()),
+            StructField("reject_reason", StringType()),
+            StructField("batch_id", StringType()),
+        ]
+    )
+    q = LakeTable.create(spark, str(tmp_path / "q"), q_schema, "conv_id", 2)
+    apply_snapshot(
+        t, _snap(spark, [("c1", 0, "user", "good")]),
+        snapshot_lsn=10, cfg=CFG, quarantine=q,
+    )
+    # new snapshot corrupts c1/0's role and adds a valid row
+    s2 = _snap(spark, [("c1", 0, "alien", "bad"), ("c2", 0, "user", "ok")])
+    res = apply_snapshot(t, s2, snapshot_lsn=20, cfg=CFG, quarantine=q)
+    assert res["rejected_by_reason"] == {"bad_role": 1}
+    assert _state(t) == {
+        ("c1", 0): ("user", "good"),  # old image kept
+        ("c2", 0): ("user", "ok"),
+    }
+    assert [
+        (r.conv_id, r.reject_reason) for r in q.read().collect()
+    ] == [("c1", "bad_role")]
+
+
+def test_snapshot_schema_evolution(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    apply_snapshot(
+        t, _snap(spark, [("c1", 0, "user", "a")]), snapshot_lsn=10, cfg=CFG
+    )
+    wide = StructType(list(SCHEMA.fields) + [StructField("model", StringType())])
+    s2 = spark.createDataFrame(
+        [("c1", 0, "user", "a", "m1"), ("c2", 0, "user", "b", "m2")], wide
+    )
+    res = apply_snapshot(t, s2, snapshot_lsn=20, cfg=CFG)
+    # c1/0's image CHANGED (gained model=m1) → re-emitted as U
+    assert res["applied"] == 2
+    got = {
+        (r.conv_id, r.turn_idx): r.model for r in t.read().collect()
+    }
+    assert got == {("c1", 0): "m1", ("c2", 0): "m2"}
+
+
+def test_snapshot_then_tail_composes(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    apply_snapshot(
+        t,
+        _snap(spark, [("c1", 0, "user", "a"), ("c2", 0, "user", "b")]),
+        snapshot_lsn=100,
+        cfg=CFG,
+    )
+    tail = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "a-new", "U", 150),
+            ("c2", 0, None, None, "D", 160),
+            ("c1", 0, "user", "a-stale", "U", 90),  # pre-snapshot redelivery
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "op string, lsn long",
+    )
+    apply_changes(t, tail, batch_id="t1", cfg=CFG)
+    assert _state(t) == {("c1", 0): ("user", "a-new")}
