@@ -581,6 +581,44 @@ def cmd_bootstrap(args) -> int:
     return 0
 
 
+def cmd_ingest_snapshot(args) -> int:
+    """Snapshot-feed entry (cdc/snapshot.py): ingest one FULL snapshot
+    delivered by a source that cannot emit a change log — diffed
+    against the table's current state into I/U/D events and applied as
+    one exactly-once batch at the snapshot's watermark LSN. Run once
+    per delivered snapshot, in feed order (out-of-order deliveries are
+    refused). Creates the table on first use."""
+    from dexspark.cdc.snapshot import apply_snapshot
+
+    spark = _spark(args)
+    schema = _parse_datatype_string(args.payload_schema)
+    if LakeTable.exists(args.table):
+        table = LakeTable(spark, args.table)
+    else:
+        table = LakeTable.create(
+            spark, args.table, schema,
+            bucket_key=args.bucket_key, num_buckets=args.buckets,
+        )
+    reader = spark.read.schema(schema)
+    snapshot = (
+        reader.parquet(args.snapshot)
+        if args.format == "parquet"
+        else reader.json(args.snapshot)
+    )
+    quarantine = (
+        LakeTable(spark, args.quarantine) if args.quarantine else None
+    )
+    info = apply_snapshot(
+        table, snapshot,
+        snapshot_lsn=args.watermark,
+        batch_id=args.batch_id,
+        quarantine=quarantine,
+        strategy=args.strategy,
+    )
+    print(json.dumps(info, default=str))
+    return 0
+
+
 def cmd_audit(args) -> int:
     """Continuity audit — exit 1 on HARD findings (same-LSN payload
     conflicts in the log, overlapping batch ranges in the lineage),
@@ -1023,6 +1061,27 @@ def main(argv: list[str] | None = None) -> int:
     bs.add_argument("--buckets", type=int, default=64)
     bs.add_argument("--batch-id", default="bootstrap")
     bs.set_defaults(fn=cmd_bootstrap)
+
+    isnap = sub.add_parser(
+        "ingest-snapshot",
+        help="ingest one full snapshot from a snapshot-only source "
+             "(diffed into I/U/D against current state; run per "
+             "delivery, in feed order)",
+    )
+    isnap.add_argument("--table", required=True)
+    isnap.add_argument("--snapshot", required=True, help="snapshot data dir")
+    isnap.add_argument(
+        "--watermark", type=int, required=True,
+        help="the snapshot's position in the feed's total order",
+    )
+    isnap.add_argument("--format", choices=["parquet", "json"], default="parquet")
+    isnap.add_argument("--payload-schema", default=PAYLOAD_DDL)
+    isnap.add_argument("--bucket-key", default="conv_id")
+    isnap.add_argument("--buckets", type=int, default=64)
+    isnap.add_argument("--batch-id", default=None)
+    isnap.add_argument("--quarantine", default=None)
+    isnap.add_argument("--strategy", choices=["cow", "mor"], default="cow")
+    isnap.set_defaults(fn=cmd_ingest_snapshot)
 
     au = sub.add_parser(
         "audit", help="continuity audit over a change log and/or table lineage"

@@ -1,7 +1,7 @@
 """Snapshot-derived CDC (cdc/snapshot.py): I/U/D derivation from full
-snapshots, LSN-gated convergence (stale snapshots no-op), exactly-once
-redelivery, validation/quarantine integration, schema evolution, and
-composition with a later binlog tail."""
+snapshots, feed-order enforcement (stale snapshots refused), exactly-
+once redelivery, validation/quarantine integration, schema evolution,
+composition with a later binlog tail, and the CLI entry."""
 
 import pyspark.sql.functions as F
 import pytest
@@ -220,3 +220,36 @@ def test_snapshot_then_tail_composes(spark, tmp_table_dir):
     )
     apply_changes(t, tail, batch_id="t1", cfg=CFG)
     assert _state(t) == {("c1", 0): ("user", "a-new")}
+
+
+def test_cli_ingest_snapshot(spark, tmp_table_dir, tmp_path, capsys):
+    """`dexspark ingest-snapshot`: two snapshot deliveries end-to-end
+    through the CLI — create-on-first-use, diff-derived U/D on the
+    second delivery, out-of-order refusal."""
+    import json
+
+    from dexspark.__main__ import main
+
+    ddl = "conv_id string, turn_idx int, role string, text string"
+    s1 = str(tmp_path / "s1")
+    s2 = str(tmp_path / "s2")
+    _snap(spark, [("c1", 0, "user", "a"), ("c2", 0, "user", "b")]).write.parquet(s1)
+    _snap(spark, [("c1", 0, "user", "a2")]).write.parquet(s2)
+    tdir = str(tmp_path / "t")
+    base = ["ingest-snapshot", "--table", tdir, "--payload-schema", ddl,
+            "--buckets", "4"]
+
+    assert main(base + ["--snapshot", s1, "--watermark", "10"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["applied"] == 2
+
+    assert main(base + ["--snapshot", s2, "--watermark", "20"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["applied"] == 2  # U for c1/0 + derived D for c2/0
+
+    t = LakeTable(spark, tdir)
+    assert _state(t) == {("c1", 0): ("user", "a2")}
+
+    with pytest.raises(ValueError, match="out-of-order snapshot"):
+        main(base + ["--snapshot", s1, "--watermark", "15",
+                     "--batch-id", "late"])
