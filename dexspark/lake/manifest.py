@@ -3,17 +3,38 @@
 Layout on disk::
 
     <table_dir>/
-      _manifests/v00000001.json     # one JSON per committed snapshot
+      _manifests/v00000001.json     # one JSON (root) per snapshot
+      _manifests/segments/seg-<sha1>.json   # format-2 file-list shards
       data/<commit-token>/_bucket=<i>/part-*.parquet
 
 A manifest is immutable once committed. Commit protocol: write the JSON
 to a temp name, then ``os.link`` it to its final ``v{N}.json`` name —
 link(2) fails with EEXIST if another writer won the race, giving
 optimistic-concurrency semantics with no external lock service.
+
+Format 2 — segmented file lists (≙ Iceberg's manifest-list → manifest
+indirection): a snapshot of a 100 TB table references ~10^6 data
+files, and a streaming ingest commits every few seconds — inlining the
+full file list (format 1) makes every commit serialize and fsync
+O(table) JSON for an O(batch) change. Once a snapshot crosses
+``SEGMENT_THRESHOLD`` files, the commit instead writes one
+CONTENT-ADDRESSED shard per bucket (``seg-<sha1-of-content>.json``)
+and the root stores only ``{bucket: shard}`` pointers: a merge that
+touched 5 of 1024 buckets writes 5 small shards + a ~50 KB root, and
+every untouched bucket's shard is REUSED by pointer — the link(2)
+create-if-absent makes identical content from any writer converge on
+one file, so reuse needs no coordination and no knowledge of the
+parent. Readers materialize ``files`` transparently; everything above
+this module sees the same ``Manifest``. Shards unreferenced by any
+retained root (expired history, losers of commit races) are swept by
+``gc_segments`` with an mtime grace for in-flight commits (shards land
+before their root link). Format 1 stays the small-table fast path and
+remains fully readable.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import uuid
@@ -21,7 +42,13 @@ from dataclasses import dataclass, field
 from typing import Any
 
 MANIFEST_DIR = "_manifests"
+SEGMENT_DIR = "segments"  # under MANIFEST_DIR
 DATA_DIR = "data"
+
+# inline the file list below this many files (format 1: one readable
+# JSON, no indirection); segment per bucket at or above it. Module
+# level so tests/benches can tune it.
+SEGMENT_THRESHOLD = 512
 
 
 @dataclass
@@ -115,6 +142,13 @@ class Manifest:
     # pre-upgrade manifests → by-name alignment, exactly the previous
     # behavior (format-compatible).
     field_ids: dict[int, dict[str, int]] = field(default_factory=dict)
+    # runtime-only (never serialized): bucket -> shard name this
+    # manifest's file list was read from (format 2). commit_manifest
+    # uses it to reuse an untouched bucket's shard WITHOUT
+    # re-serializing or re-hashing it — the carried-over DataFile
+    # objects are identity-equal to the base manifest's, so an `is`
+    # sweep proves the bucket unchanged in O(files) pointer compares.
+    segment_names: dict[int, str] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -172,6 +206,112 @@ def manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, MANIFEST_DIR, f"v{version:08d}.json")
 
 
+def segment_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, MANIFEST_DIR, SEGMENT_DIR)
+
+
+def _segment_content(files: list[DataFile]) -> bytes:
+    """Canonical shard bytes: entries sorted by path, compact JSON —
+    byte-identical content from any writer hashes to the same name."""
+    return json.dumps(
+        [f.to_json() for f in sorted(files, key=lambda f: f.path)],
+        separators=(",", ":"),
+        sort_keys=True,
+    ).encode()
+
+
+def _write_segment(table_dir: str, content: bytes) -> str:
+    """Publish one content-addressed shard; returns its file name.
+    Idempotent: an existing shard with this content is reused as-is
+    (same bytes by construction — sha1 names the content)."""
+    name = f"seg-{hashlib.sha1(content).hexdigest()}.json"
+    sdir = segment_dir(table_dir)
+    final = os.path.join(sdir, name)
+    if os.path.exists(final):
+        return name
+    os.makedirs(sdir, exist_ok=True)
+    tmp = os.path.join(sdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "wb") as fh:
+        fh.write(content)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        pass  # concurrent writer published identical content
+    finally:
+        os.unlink(tmp)
+    return name
+
+
+def _root_dict(m: Manifest) -> dict[str, Any]:
+    """Manifest fields minus the file list (shared by both formats)."""
+    return {
+        "version": m.version,
+        "current_schema_id": m.current_schema_id,
+        "schemas": {str(k): v for k, v in m.schemas.items()},
+        "bucket_key": m.bucket_key,
+        "num_buckets": m.num_buckets,
+        "summary": m.summary,
+        "parent": m.parent,
+        "properties": m.properties,
+        **(
+            {"committed_at": m.committed_at}
+            if m.committed_at is not None
+            else {}
+        ),
+        **(
+            {"field_ids": {str(k): v for k, v in m.field_ids.items()}}
+            if m.field_ids
+            else {}
+        ),
+    }
+
+
+def root_segment_names(table_dir: str, version: int) -> list[str]:
+    """Shard names a committed root references ([] for format 1) —
+    the unit create_branch hard-links and gc_segments retains."""
+    with open(manifest_path(table_dir, version)) as fh:
+        d = json.load(fh)
+    return sorted(set(d.get("segments", {}).values()))
+
+
+def gc_segments(
+    table_dir: str, grace_seconds: float = 3600.0
+) -> list[str]:
+    """Remove shards referenced by NO root in this manifest dir.
+
+    ``grace_seconds`` protects in-flight commits (shards are published
+    BEFORE their root link lands) — only shards whose mtime is older
+    than the grace are removed. Branch dirs are independent: their
+    shard entries are hard links, so removing main's directory entry
+    never breaks a branch reader. Returns removed names."""
+    import time as _time
+
+    sdir = segment_dir(table_dir)
+    if not os.path.isdir(sdir):
+        return []
+    referenced: set[str] = set()
+    for v in available_versions(table_dir):
+        try:
+            referenced.update(root_segment_names(table_dir, v))
+        except FileNotFoundError:
+            continue  # expired between listing and read
+    cutoff = _time.time() - grace_seconds
+    removed = []
+    for name in os.listdir(sdir):
+        if not name.startswith("seg-") or name in referenced:
+            continue
+        p = os.path.join(sdir, name)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                os.remove(p)
+                removed.append(name)
+        except FileNotFoundError:
+            continue
+    return removed
+
+
 def latest_version(table_dir: str) -> int | None:
     mdir = os.path.join(table_dir, MANIFEST_DIR)
     if not os.path.isdir(mdir):
@@ -197,13 +337,60 @@ def available_versions(table_dir: str) -> list[int]:
     )
 
 
+# (dir, version) -> (root stat signature, parsed Manifest). Committed
+# manifests are IMMUTABLE (write-once via link(2)), so a parsed object
+# can be served forever; the stat signature is a belt-and-braces guard
+# and the stat doubles as the existence check (an expired version must
+# keep raising FileNotFoundError). Callers treat Manifest objects as
+# immutable — every mutation site in the engine copies first (verified;
+# keep it that way: the cache shares one object among all readers).
+# Bounded FIFO: at 10^6 files a Manifest is ~hundreds of MB of Python
+# objects, so only a handful are kept.
+_READ_CACHE: dict[tuple[str, int], tuple[tuple[int, int], Manifest]] = {}
+_READ_CACHE_MAX = 8
+
+
 def read_manifest(table_dir: str, version: int) -> Manifest:
+    key = (os.path.abspath(table_dir), version)
+    st = os.stat(manifest_path(table_dir, version))  # FileNotFoundError
+    sig = (st.st_mtime_ns, st.st_size)
+    hit = _READ_CACHE.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
     with open(manifest_path(table_dir, version)) as fh:
-        return Manifest.from_json(fh.read())
+        s = fh.read()
+    d = json.loads(s)
+    if "segments" not in d:
+        m = Manifest.from_json(s)
+    else:
+        # format 2: materialize the file list from the per-bucket
+        # shards (deterministic order: bucket, then path)
+        files: list[DataFile] = []
+        sdir = segment_dir(table_dir)
+        for bucket in sorted(d["segments"], key=int):
+            with open(os.path.join(sdir, d["segments"][bucket])) as fh:
+                files.extend(DataFile.from_json(e) for e in json.load(fh))
+        d["files"] = []
+        m = Manifest.from_json(json.dumps(d))
+        m.files = files
+        m.segment_names = {int(b): n for b, n in d["segments"].items()}
+    while len(_READ_CACHE) >= _READ_CACHE_MAX:
+        _READ_CACHE.pop(next(iter(_READ_CACHE)))
+    _READ_CACHE[key] = (sig, m)
+    return m
 
 
-def commit_manifest(table_dir: str, m: Manifest) -> None:
+def commit_manifest(
+    table_dir: str, m: Manifest, base: Manifest | None = None
+) -> None:
     """Atomically publish manifest version ``m.version``.
+
+    ``base``: the manifest the commit was computed FROM (same dir).
+    When both are format 2, buckets whose file lists carry over the
+    base's DataFile objects unchanged reuse the base's shard names
+    outright — the steady-state commit then serializes and hashes only
+    the touched buckets, making commit CPU as well as commit I/O
+    O(changed buckets), not O(table files).
 
     Stamps ``committed_at`` (epoch UTC) here — the one chokepoint
     every commit path funnels through — clamped to the parent's stamp
@@ -220,18 +407,55 @@ def commit_manifest(table_dir: str, m: Manifest) -> None:
         now = _time.time()
         if m.parent is not None:
             try:
-                now = max(
-                    now,
-                    read_manifest(table_dir, m.parent).committed_at or 0.0,
-                )
+                # root-only read: the clamp needs one scalar, not the
+                # parent's (possibly 10^6-entry) file list
+                with open(manifest_path(table_dir, m.parent)) as fh:
+                    now = max(now, json.load(fh).get("committed_at") or 0.0)
             except FileNotFoundError:
                 pass  # parent expired mid-flight; wall clock stands
         m.committed_at = now
     mdir = os.path.join(table_dir, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
+    if len(m.files) >= SEGMENT_THRESHOLD:
+        # format 2: per-bucket content-addressed shards; an unchanged
+        # bucket's shard already exists and costs one stat(2)
+        by_bucket: dict[int, list[DataFile]] = {}
+        for f in m.files:
+            by_bucket.setdefault(f.bucket, []).append(f)
+        base_by_bucket: dict[int, list[DataFile]] = {}
+        if base is not None and base.segment_names:
+            for f in base.files:
+                base_by_bucket.setdefault(f.bucket, []).append(f)
+        sdir = segment_dir(table_dir)
+
+        def shard(b: int, fs: list[DataFile]) -> str:
+            memo = base.segment_names.get(b) if base is not None else None
+            if memo is not None:
+                bfs = base_by_bucket.get(b, [])
+                if (
+                    len(bfs) == len(fs)
+                    and all(a is c for a, c in zip(bfs, fs))
+                    and os.path.exists(os.path.join(sdir, memo))
+                ):
+                    return memo
+            return _write_segment(table_dir, _segment_content(fs))
+
+        segs = {str(b): shard(b, fs) for b, fs in by_bucket.items()}
+        m.segment_names = {b: segs[str(b)] for b in by_bucket}
+        body = json.dumps(
+            {
+                "format_version": 2,
+                **_root_dict(m),
+                "segments": segs,
+                "file_count": len(m.files),
+            },
+            indent=1,
+        )
+    else:
+        body = m.to_json()
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
-        fh.write(m.to_json())
+        fh.write(body)
         fh.flush()
         os.fsync(fh.fileno())
     final = manifest_path(table_dir, m.version)
@@ -239,6 +463,15 @@ def commit_manifest(table_dir: str, m: Manifest) -> None:
         os.link(tmp, final)  # atomic create-if-absent
     finally:
         os.unlink(tmp)
+    # seed the read cache: the committer (a streaming loop) is about to
+    # re-read its own head — serve the object it already holds
+    st = os.stat(final)
+    while len(_READ_CACHE) >= _READ_CACHE_MAX:
+        _READ_CACHE.pop(next(iter(_READ_CACHE)))
+    _READ_CACHE[(os.path.abspath(table_dir), m.version)] = (
+        (st.st_mtime_ns, st.st_size),
+        m,
+    )
 
 
 def new_commit_token() -> str:

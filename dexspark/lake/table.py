@@ -977,7 +977,7 @@ class LakeTable:
             field_ids=field_ids if field_ids is not None else base.field_ids,
         )
         try:
-            mf.commit_manifest(self.meta_dir, nxt)
+            mf.commit_manifest(self.meta_dir, nxt, base=base)
         except FileExistsError as e:  # lost the race
             raise CommitConflict(
                 f"version {nxt.version} already committed at {self.meta_dir}"
@@ -2319,6 +2319,21 @@ class LakeTable:
             mf.manifest_path(self.table_dir, head),
             mf.manifest_path(bdir, head),
         )
+        # a format-2 root references file-list shards by name: hard-link
+        # them into the branch's own segments dir so the branch stays
+        # readable after main expires/GCs the fork-point version (hard
+        # links survive removal of main's directory entry)
+        seg_names = mf.root_segment_names(self.table_dir, head)
+        if seg_names:
+            os.makedirs(mf.segment_dir(bdir), exist_ok=True)
+            for s in seg_names:
+                try:
+                    os.link(
+                        os.path.join(mf.segment_dir(self.table_dir), s),
+                        os.path.join(mf.segment_dir(bdir), s),
+                    )
+                except FileExistsError:
+                    pass
         return LakeTable(self.spark, self.table_dir, branch=name)
 
     def branch_table(self, name: str) -> "LakeTable":
@@ -2608,10 +2623,15 @@ class LakeTable:
             mp = mf.manifest_path(self.table_dir, v)
             if os.path.exists(mp):
                 os.remove(mp)
+        # file-list shards referenced only by the removed roots (plus
+        # orphans from lost commit races); mtime grace covers in-flight
+        # commits whose root link has not landed yet
+        removed_segments = mf.gc_segments(self.table_dir)
         return {
             "operation": "expire_snapshots",
             "expired_versions": expired,
             "removed_files": removed_files,
+            "removed_segments": len(removed_segments),
         }
 
     def vacuum_orphans(
