@@ -587,9 +587,16 @@ def cmd_ingest_snapshot(args) -> int:
     against the table's current state into I/U/D events and applied as
     one exactly-once batch at the snapshot's watermark LSN. Run once
     per delivered snapshot, in feed order (out-of-order deliveries are
-    refused). Creates the table on first use."""
-    from dexspark.cdc.snapshot import apply_snapshot
+    refused), or point --feed at a snapshot-<lsn>/ drop zone to catch
+    up on every pending delivery. Creates the table on first use."""
+    from dexspark.cdc.snapshot import apply_snapshot, ingest_snapshot_feed
 
+    if (args.feed is None) == (args.snapshot is None):
+        raise SystemExit(
+            "pass exactly one of --snapshot/--watermark or --feed"
+        )
+    if args.snapshot is not None and args.watermark is None:
+        raise SystemExit("--snapshot needs --watermark")
     spark = _spark(args)
     schema = _parse_datatype_string(args.payload_schema)
     if LakeTable.exists(args.table):
@@ -599,22 +606,28 @@ def cmd_ingest_snapshot(args) -> int:
             spark, args.table, schema,
             bucket_key=args.bucket_key, num_buckets=args.buckets,
         )
-    reader = spark.read.schema(schema)
-    snapshot = (
-        reader.parquet(args.snapshot)
-        if args.format == "parquet"
-        else reader.json(args.snapshot)
-    )
     quarantine = (
         LakeTable(spark, args.quarantine) if args.quarantine else None
     )
-    info = apply_snapshot(
-        table, snapshot,
-        snapshot_lsn=args.watermark,
-        batch_id=args.batch_id,
-        quarantine=quarantine,
-        strategy=args.strategy,
-    )
+    if args.feed is not None:
+        info = ingest_snapshot_feed(
+            table, args.feed, fmt=args.format,
+            quarantine=quarantine, strategy=args.strategy,
+        )
+    else:
+        reader = spark.read.schema(schema)
+        snapshot = (
+            reader.parquet(args.snapshot)
+            if args.format == "parquet"
+            else reader.json(args.snapshot)
+        )
+        info = apply_snapshot(
+            table, snapshot,
+            snapshot_lsn=args.watermark,
+            batch_id=args.batch_id,
+            quarantine=quarantine,
+            strategy=args.strategy,
+        )
     print(json.dumps(info, default=str))
     return 0
 
@@ -1069,10 +1082,15 @@ def main(argv: list[str] | None = None) -> int:
              "delivery, in feed order)",
     )
     isnap.add_argument("--table", required=True)
-    isnap.add_argument("--snapshot", required=True, help="snapshot data dir")
+    isnap.add_argument("--snapshot", default=None, help="snapshot data dir")
     isnap.add_argument(
-        "--watermark", type=int, required=True,
+        "--watermark", type=int, default=None,
         help="the snapshot's position in the feed's total order",
+    )
+    isnap.add_argument(
+        "--feed", default=None,
+        help="drop-zone dir of snapshot-<lsn>/ deliveries — catch up "
+             "on every pending one in order",
     )
     isnap.add_argument("--format", choices=["parquet", "json"], default="parquet")
     isnap.add_argument("--payload-schema", default=PAYLOAD_DDL)

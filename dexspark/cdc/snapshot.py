@@ -204,3 +204,64 @@ def apply_snapshot(
     )
     res["snapshot_lsn"] = int(snapshot_lsn)
     return res
+
+
+def ingest_snapshot_feed(
+    table: LakeTable,
+    feed_dir: str,
+    fmt: str = "parquet",
+    cfg: ValidationConfig | None = None,
+    quarantine: LakeTable | None = None,
+    strategy: str = "cow",
+) -> list[dict[str, Any]]:
+    """Catch up on a DIRECTORY of delivered snapshots — the poll loop a
+    snapshot-shaped source actually needs (≙ the reference's
+    blob-container drop zone, RouteIngestedFile.kt:44-52: producers
+    land whole artifacts in a bucket; the consumer discovers and
+    processes them in order).
+
+    Layout: ``<feed_dir>/snapshot-<lsn>/`` — one parquet (or JSON
+    lines) dataset per delivery, the directory name carrying the feed
+    position. Deliveries at-or-below the table's last applied snapshot
+    watermark are skipped (already superseded); the rest apply in lsn
+    order via ``apply_snapshot``, each exactly-once, so the loop is
+    crash-safe: re-running after a failure resumes at the first
+    unapplied delivery. Returns one result dict per applied snapshot.
+
+    Listing is driver-side O(deliveries) directory names — never data;
+    a malformed entry name is an error (a typo'd delivery silently
+    skipped would diverge the mirror forever)."""
+    import os as _os
+    import re as _re
+
+    cfg = cfg or ValidationConfig()
+    entries = []
+    for name in _os.listdir(feed_dir):
+        if name.startswith((".", "_")):
+            continue  # in-flight producer temp / metadata
+        g = _re.fullmatch(r"snapshot-(\d+)", name)
+        if not g:
+            raise ValueError(
+                f"unrecognized feed entry {name!r} in {feed_dir} "
+                "(expected snapshot-<lsn>)"
+            )
+        entries.append((int(g.group(1)), _os.path.join(feed_dir, name)))
+    entries.sort()
+    done = last_snapshot_lsn(table)
+    results = []
+    for lsn, path in entries:
+        if done is not None and lsn <= done:
+            continue
+        if fmt == "parquet":
+            # self-describing: a delivery carrying NEW columns keeps
+            # them (schema evolution flows through apply_snapshot)
+            snap = table.spark.read.parquet(path)
+        else:
+            snap = table.spark.read.schema(table.schema()).json(path)
+        results.append(
+            apply_snapshot(
+                table, snap, lsn,
+                cfg=cfg, quarantine=quarantine, strategy=strategy,
+            )
+        )
+    return results

@@ -253,3 +253,64 @@ def test_cli_ingest_snapshot(spark, tmp_table_dir, tmp_path, capsys):
     with pytest.raises(ValueError, match="out-of-order snapshot"):
         main(base + ["--snapshot", s1, "--watermark", "15",
                      "--batch-id", "late"])
+
+
+def test_ingest_snapshot_feed(spark, tmp_table_dir, tmp_path):
+    """Feed catch-up: pending deliveries apply in order, superseded and
+    already-applied ones skip, re-run is a no-op, malformed entry
+    names fail loudly, evolution flows through parquet deliveries."""
+    from dexspark.cdc.snapshot import ingest_snapshot_feed
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "_producer_tmp").mkdir()  # ignored
+    _snap(spark, [("c1", 0, "user", "a")]).write.parquet(
+        str(feed / "snapshot-10")
+    )
+    _snap(spark, [("c1", 0, "user", "a2"), ("c2", 0, "user", "b")]).write.parquet(
+        str(feed / "snapshot-20")
+    )
+    t = _mk(spark, tmp_table_dir)
+    res = ingest_snapshot_feed(t, str(feed), cfg=CFG)
+    assert [r["snapshot_lsn"] for r in res] == [10, 20]
+    assert _state(t) == {("c1", 0): ("user", "a2"), ("c2", 0): ("user", "b")}
+
+    assert ingest_snapshot_feed(t, str(feed), cfg=CFG) == []  # no-op
+
+    # a new delivery (with a new column) catches up incrementally
+    import pyspark.sql.functions as F
+
+    _snap(spark, [("c2", 0, "user", "b2")]).withColumn(
+        "model", F.lit("m1")
+    ).write.parquet(str(feed / "snapshot-30"))
+    res = ingest_snapshot_feed(t, str(feed), cfg=CFG)
+    assert [r["snapshot_lsn"] for r in res] == [30]
+    rows = {(r.conv_id, r.turn_idx): r.model for r in t.read().collect()}
+    assert rows == {("c2", 0): "m1"}  # c1/0 absent from snapshot-30 -> D
+
+    (feed / "snapshot_bad").mkdir()
+    with pytest.raises(ValueError, match="unrecognized feed entry"):
+        ingest_snapshot_feed(t, str(feed), cfg=CFG)
+
+
+def test_cli_ingest_snapshot_feed(spark, tmp_path, capsys):
+    import json as _json
+
+    from dexspark.__main__ import main
+
+    ddl = "conv_id string, turn_idx int, role string, text string"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _snap(spark, [("c1", 0, "user", "a")]).write.parquet(
+        str(feed / "snapshot-5")
+    )
+    tdir = str(tmp_path / "t")
+    assert main(
+        ["ingest-snapshot", "--table", tdir, "--payload-schema", ddl,
+         "--buckets", "4", "--feed", str(feed)]
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [r["snapshot_lsn"] for r in out] == [5]
+    with pytest.raises(SystemExit):
+        main(["ingest-snapshot", "--table", tdir, "--feed", str(feed),
+              "--snapshot", "x", "--watermark", "9"])
