@@ -248,3 +248,67 @@ def remove_boilerplate(
             .alias("n_paras_dropped"),
         )
     )
+
+
+def corpus_familiarity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-familiarity quality score — the integer-exact cousin of
+    CCNet's LM-perplexity filter: a document whose word bigrams are
+    common across the corpus reads like the corpus (fluent, on-
+    distribution); one full of rare bigrams is boilerplate-mangled,
+    gibberish, or wrong-language. Instead of a smoothed log-probability
+    (transcendental floats whose sum is engine- and order-dependent),
+    each bigram contributes ``bit_length(corpus_count)`` — an exact
+    integer ≈ log2(count) — so scores are bit-identical in any engine
+    and under any aggregation order, hash-checkable like the engine's
+    other scaled-integer metrics.
+
+    Returns one row per input document: ``(id_col, n_bigrams:long,
+    fam_sum:long, fam_avg_x1000:long)`` — documents with fewer than two
+    tokens score 0. Plan shape: one explode + map-combined count
+    shuffle on the bigram, one hash join of doc-bigrams to the count
+    table (O(distinct bigrams) — NOT broadcast: Zipf or not, the
+    distinct set grows with the corpus), one per-doc aggregate. All
+    codegen expressions; no UDF.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # persisted: the exploded frame feeds BOTH the corpus count pass
+    # and the per-doc scoring join (left to Spark's LRU eviction, the
+    # same lifetime rule as the near-dup signature persist)
+    ex = df.select(F.col(id_col), F.explode(bigrams).alias("_bg")).persist()
+    counts = ex.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c"))
+    fam = (
+        ex.join(counts, "_bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.length(F.expr("bin(_c)"))).alias("_fs"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(fam, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("_fs", F.lit(0)).cast("long").alias("fam_sum"),
+            F.coalesce(
+                F.expr("_fs * 1000 div _n"), F.lit(0)
+            ).cast("long").alias("fam_avg_x1000"),
+        )
+    )

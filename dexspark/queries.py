@@ -4769,6 +4769,43 @@ FROM seeded
 """
 
 
+def doc_familiarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-familiarity scoring (functions/text.py::corpus_
+    familiarity) — the integer-exact cousin of CCNet's LM-perplexity
+    quality filter: per-doc sum/mean of bit_length(corpus bigram
+    count). Cross-doc signal (unlike doc_repetition_stats' within-doc
+    one): the corpus count table is built and joined back in the same
+    pass."""
+    from dexspark.functions.text import corpus_familiarity
+
+    docs = load(spark, sf_dir, "documents")
+    return corpus_familiarity(docs, id_col="doc_id", text_col="text")
+
+
+ORACLE_FAMILIARITY = """
+WITH toks AS (
+  SELECT doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+    unnest([array_to_string(w[i+1:i+2], ' ') for i in range(0, len(w)-1)]) AS bg
+  FROM toks WHERE len(w) >= 2 AND w[1] <> ''
+), cnt AS (
+  SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg
+), fam AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(length(bin(c))) AS BIGINT) AS fs
+  FROM bg JOIN cnt USING (bg) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(n, 0) AS n_bigrams,
+  COALESCE(fs, 0) AS fam_sum,
+  COALESCE(fs * 1000 // n, 0) AS fam_avg_x1000
+FROM documents d LEFT JOIN fam USING (doc_id)
+"""
+
+
 def doc_repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (duplicate-bigram fraction, Gopher-
     style quality signal). Expression-only — the n-gram array never
@@ -6567,6 +6604,7 @@ QUERIES: dict[str, tuple] = {
     "doc_simhash_near_dups": (doc_simhash_near_dups_q, ORACLE_SIMHASH),
     "doc_pii_redact": (doc_pii_redact_q, _pii_oracle_sql()),
     "doc_repetition_stats": (doc_repetition_stats_q, ORACLE_REPETITION),
+    "doc_familiarity": (doc_familiarity_q, ORACLE_FAMILIARITY),
     "doc_decontaminate": (doc_decontaminate_q, ORACLE_DECONTAMINATE),
     "doc_fingerprint_groups": (doc_fingerprint_groups_q, ORACLE_FP_GROUPS),
     "emb_cosine_topk": (emb_cosine_topk_q, ORACLE_COSINE_TOPK),

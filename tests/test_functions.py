@@ -440,3 +440,25 @@ def test_dedup_spans_overlap_and_within_doc(spark):
     assert out[1].text_clean == "pre post" and out[1].n_tokens_dropped == 10
     assert out[2].text_clean == "tail2"
     assert out[3].text_clean == "mid end3" and out[3].n_tokens_dropped == 16
+
+
+def test_corpus_familiarity_exact(spark):
+    """Hand-computed bit-length scores: common bigrams score higher;
+    <2-token and empty docs emit zero rows-of-score but stay present."""
+    from dexspark.functions.text import corpus_familiarity
+
+    docs = spark.createDataFrame(
+        [("d1", "a b A  b"), ("d2", "a b"), ("d3", "x"), ("d4", " ")],
+        "doc_id string, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.fam_sum, r.fam_avg_x1000)
+        for r in corpus_familiarity(docs).collect()
+    }
+    # counts: "a b" x3 (bit_len 2), "b a" x1 (bit_len 1)
+    assert got == {
+        "d1": (3, 5, 1666),
+        "d2": (1, 2, 2000),
+        "d3": (0, 0, 0),
+        "d4": (0, 0, 0),
+    }
