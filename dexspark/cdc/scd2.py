@@ -202,8 +202,13 @@ def apply_changes_scd2(
     cfg: ValidationConfig | None = None,
     quarantine: LakeTable | None = None,
     broadcast_threshold: int = 2_000_000,
+    extra_summary: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """Validate → rebuild touched keys' interval chains → merge.
+
+    ``extra_summary``: caller metadata folded into the merge commit's
+    summary (the snapshot watermark for snapshot-derived batches —
+    cdc/snapshot.py); reserved keys win.
 
     ``history`` must have been created with ``scd2_schema(payload)``
     and bucketed on a key column. Idempotent on ``batch_id`` (ledger
@@ -338,6 +343,7 @@ def apply_changes_scd2(
             lsn_col=None,  # rebuilt rows replace wholesale (LWW);
             # commutativity lives in the rebuild, not the gate
             summary={
+                **(extra_summary or {}),
                 "batch_id": batch_id,
                 "events": n_events,
                 "rejected": n_rejected,

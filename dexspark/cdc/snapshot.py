@@ -80,6 +80,7 @@ def snapshot_changes(
     key_cols: Iterable[str],
     op_col: str = "op",
     lsn_col: str = "lsn",
+    current: DataFrame | None = None,
 ) -> DataFrame:
     """Diff ``snapshot`` (the source's complete state at
     ``snapshot_lsn``) against the table's CURRENT live state into
@@ -92,7 +93,11 @@ def snapshot_changes(
     schema evolution and flow through ``apply_changes`` as usual, with
     the diff treating the table's missing column as NULL (so rows that
     only gained the new column re-emit as U — correct: their image
-    changed)."""
+    changed).
+
+    ``current`` overrides the state diffed against (default
+    ``table.read()``) — the SCD2 wrapper passes the history's open
+    versions."""
     key_cols = list(key_cols)
     payload = list(snapshot.columns)
     for c in (op_col, lsn_col):
@@ -105,7 +110,7 @@ def snapshot_changes(
     if missing_keys:
         raise ValueError(f"snapshot lacks key columns {missing_keys}")
 
-    old = table.read()
+    old = table.read() if current is None else current
     not_covered = [c for c in old.columns if c not in payload]
     if not_covered:
         raise ValueError(
@@ -265,3 +270,88 @@ def ingest_snapshot_feed(
             )
         )
     return results
+
+
+def apply_snapshot_scd2(
+    history: LakeTable,
+    snapshot: DataFrame,
+    snapshot_lsn: int,
+    batch_id: str | None = None,
+    key_cols: Iterable[str] | None = None,
+    cfg: ValidationConfig | None = None,
+    quarantine: LakeTable | None = None,
+    check_unique: bool = True,
+) -> dict[str, Any]:
+    """SCD Type-2 history from a snapshot feed (DLT's ``APPLY CHANGES
+    FROM SNAPSHOT ... STORED AS SCD TYPE 2``): diff the delivered
+    snapshot against the history's OPEN versions and replay the
+    derived I/U/D events through ``apply_changes_scd2`` — each
+    snapshot becomes one exactly-once batch whose watermark LSN opens
+    and closes validity intervals, so the history records EVERY image
+    the feed ever delivered with ``[delivered_at, replaced_at)``
+    interval semantics at snapshot cadence (the finest granularity a
+    snapshot-shaped source can support).
+
+    Same contracts as ``apply_snapshot``: feed order enforced via the
+    watermark in the commit summary, keyed uniqueness checked, partial
+    snapshots refused, unchanged rows never touch the merge. A key
+    absent from a delivery closes its open version with
+    ``closed_by_delete``; reappearing later opens a fresh version."""
+    from dexspark.cdc.scd2 import SCD2_COLS, apply_changes_scd2, scd2_view
+
+    cfg = cfg or ValidationConfig()
+    key_cols = list(key_cols or cfg.key_cols)
+    if batch_id is None:
+        batch_id = f"snapshot-{int(snapshot_lsn)}"
+    if batch_id in history.committed_batch_ids():
+        return {
+            "batch_id": batch_id,
+            "skipped": True,
+            "reason": "already_committed",
+        }
+    prev = last_snapshot_lsn(history)
+    if prev is not None and int(snapshot_lsn) <= prev:
+        raise ValueError(
+            f"out-of-order snapshot: lsn {snapshot_lsn} <= last applied "
+            f"snapshot watermark {prev} — snapshots must be presented "
+            "in feed order"
+        )
+    if check_unique:
+        dup = (
+            snapshot.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .select(*key_cols)
+            .first()
+        )
+        if dup is not None:
+            raise ValueError(
+                f"snapshot has multiple rows for key {tuple(dup)}"
+            )
+    payload = [
+        f.name for f in history.schema().fields if f.name not in SCD2_COLS
+    ]
+    current = (
+        scd2_view(history.read())
+        .filter(F.col("is_current"))
+        .select(*payload)
+    )
+    events = snapshot_changes(
+        history,
+        snapshot,
+        snapshot_lsn,
+        key_cols,
+        op_col=cfg.op_col,
+        lsn_col=cfg.lsn_col,
+        current=current,
+    )
+    res = apply_changes_scd2(
+        history,
+        events,
+        batch_id=batch_id,
+        cfg=cfg,
+        quarantine=quarantine,
+        extra_summary={SUMMARY_KEY: int(snapshot_lsn)},
+    )
+    res["snapshot_lsn"] = int(snapshot_lsn)
+    return res

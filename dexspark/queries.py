@@ -6406,6 +6406,97 @@ def cdc_snapshot_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+def cdc_scd2_from_snapshots_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history from a snapshot feed (DLT's APPLY CHANGES FROM
+    SNAPSHOT ... STORED AS SCD TYPE 2 — cdc/snapshot.py::
+    apply_snapshot_scd2): the source's valid LWW state cut at the same
+    batch-aligned watermarks as cdc_snapshot_ingest, each delivery
+    diffed against the history's OPEN versions and applied as one
+    exactly-once SCD2 batch. The history must record every image the
+    feed delivered with snapshot-cadence validity intervals: a changed
+    image closes at the replacing delivery's watermark, a vanished key
+    closes with closed_by_delete, a reappearing key opens fresh, an
+    unchanged image stays open across deliveries. The oracle rebuilds
+    the same interval algebra from a cuts × keys observation grid
+    (LAG for change/appearance detection, LEAD for interval ends)."""
+    from dexspark.cdc.dedup import dedupe_latest
+    from dexspark.cdc.scd2 import scd2_schema
+    from dexspark.cdc.snapshot import apply_snapshot_scd2
+    from dexspark.cdc.validate import REASON_COL, flag_events
+
+    log = derive_log(spark, sf_dir)
+    n = len(batch_range(log))
+    keys = ["conv_id", "turn_idx"]
+    payload = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    history = LakeTable.create(
+        spark, os.path.join(d, "transcripts_hist"),
+        scd2_schema(_parse_datatype_string(PAYLOAD)), "conv_id",
+        num_buckets=16,
+    )
+    cuts = sorted({max(1, n // 4), max(1, n // 2), max(1, 3 * n // 4)})
+    for cut_b in cuts:
+        w = cut_b * BATCH - 1
+        pre = flag_events(log.filter(F.col("lsn") <= w))
+        latest = dedupe_latest(pre.filter(F.col(REASON_COL).isNull()), keys)
+        snapshot = latest.filter(F.col("op") != "D").select(*payload)
+        apply_snapshot_scd2(history, snapshot, snapshot_lsn=w)
+    return history.read()
+
+
+ORACLE_SCD2_FROM_SNAPSHOTS = f"""
+WITH {LOG_CTE}, {FLAGGED_CTE},
+nb AS (SELECT MAX(lsn) // {BATCH} + 1 AS n FROM log),
+cuts AS (
+  SELECT DISTINCT GREATEST(1, x) * {BATCH} - 1 AS w
+  FROM (SELECT unnest([n // 4, n // 2, (3 * n) // 4]) AS x FROM nb)
+),
+latest AS (
+  SELECT c.w, f.*, row_number() OVER (
+      PARTITION BY c.w, f.conv_id, f.turn_idx ORDER BY f.lsn DESC) AS rn
+  FROM cuts c JOIN flagged f ON f.lsn <= c.w AND f.reject_reason IS NULL
+),
+states AS (
+  SELECT w, conv_id, turn_idx, role, text, tool, ts
+  FROM latest WHERE rn = 1 AND op <> 'D'
+),
+grid AS (
+  SELECT k.conv_id, k.turn_idx, c.w
+  FROM (SELECT DISTINCT conv_id, turn_idx FROM states) k CROSS JOIN cuts c
+),
+obs AS (
+  SELECT g.conv_id, g.turn_idx, g.w, s.w IS NOT NULL AS present,
+    struct_pack(role := s.role, text := s.text,
+                tool := s.tool, ts := s.ts) AS img
+  FROM grid g LEFT JOIN states s
+    ON s.conv_id = g.conv_id AND s.turn_idx = g.turn_idx AND s.w = g.w
+),
+ev AS (
+  SELECT *, COALESCE(LAG(present) OVER k, FALSE) AS p_prev,
+         LAG(img) OVER k AS img_prev
+  FROM obs WINDOW k AS (PARTITION BY conv_id, turn_idx ORDER BY w)
+),
+changes AS (
+  SELECT conv_id, turn_idx, w, img,
+    CASE WHEN present THEN 'open' ELSE 'del' END AS kind
+  FROM ev
+  WHERE (present AND (NOT p_prev OR img IS DISTINCT FROM img_prev))
+     OR (NOT present AND p_prev)
+),
+vers AS (
+  SELECT *, LEAD(w) OVER k2 AS next_w, LEAD(kind) OVER k2 AS next_kind
+  FROM changes WINDOW k2 AS (PARTITION BY conv_id, turn_idx ORDER BY w)
+)
+SELECT conv_id, turn_idx,
+  img.role AS role, img.text AS text, img.tool AS tool, img.ts AS ts,
+  w AS valid_from_lsn, next_w AS valid_to_lsn,
+  COALESCE(next_kind = 'del', FALSE) AS closed_by_delete,
+  next_w IS NULL AS is_current
+FROM vers WHERE kind = 'open'
+"""
+
+
 def cdc_log_gap_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-log continuity audit under the hard oracle: the derived
     log is deterministically corrupted — every lsn % 97 == 0 segment
@@ -6631,6 +6722,10 @@ QUERIES: dict[str, tuple] = {
     "cdc_log_gap_audit": (cdc_log_gap_audit_q, ORACLE_LOG_GAP_AUDIT),
     "cdc_bootstrap_then_tail": (cdc_bootstrap_then_tail_q, ORACLE_REPLAY),
     "cdc_snapshot_ingest": (cdc_snapshot_ingest_q, ORACLE_REPLAY),
+    "cdc_scd2_from_snapshots": (
+        cdc_scd2_from_snapshots_q,
+        ORACLE_SCD2_FROM_SNAPSHOTS,
+    ),
     "cdc_quarantine_reprocess": (
         cdc_quarantine_reprocess_q,
         ORACLE_QUARANTINE_REPROCESS,

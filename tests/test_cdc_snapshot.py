@@ -314,3 +314,48 @@ def test_cli_ingest_snapshot_feed(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["ingest-snapshot", "--table", tdir, "--feed", str(feed),
               "--snapshot", "x", "--watermark", "9"])
+
+
+def test_apply_snapshot_scd2_intervals(spark, tmp_table_dir):
+    """SCD2 from a snapshot feed: change opens a new version, absence
+    closes with closed_by_delete, reappearance opens fresh, unchanged
+    images stay open across deliveries."""
+    from dexspark.cdc.scd2 import scd2_schema
+    from dexspark.cdc.snapshot import apply_snapshot_scd2
+
+    h = LakeTable.create(
+        spark, tmp_table_dir, scd2_schema(SCHEMA), "conv_id", num_buckets=4
+    )
+    apply_snapshot_scd2(
+        h, _snap(spark, [("c1", 0, "user", "a"), ("c2", 0, "user", "b")]),
+        snapshot_lsn=10, cfg=CFG,
+    )
+    apply_snapshot_scd2(
+        h, _snap(spark, [("c1", 0, "user", "a2")]), snapshot_lsn=20, cfg=CFG
+    )
+    res = apply_snapshot_scd2(
+        h,
+        _snap(spark, [("c1", 0, "user", "a2"), ("c2", 0, "user", "b3")]),
+        snapshot_lsn=30,
+        cfg=CFG,
+    )
+    got = {
+        (r.conv_id, r.text): (
+            r.valid_from_lsn, r.valid_to_lsn, r.closed_by_delete, r.is_current
+        )
+        for r in h.read().collect()
+    }
+    assert got == {
+        ("c1", "a"): (10, 20, False, False),
+        ("c1", "a2"): (20, None, False, True),
+        ("c2", "b"): (10, 20, True, False),
+        ("c2", "b3"): (30, None, False, True),
+    }
+    # redelivery no-op; out-of-order refused
+    assert apply_snapshot_scd2(
+        h, _snap(spark, []), snapshot_lsn=30, cfg=CFG
+    )["skipped"]
+    with pytest.raises(ValueError, match="out-of-order"):
+        apply_snapshot_scd2(
+            h, _snap(spark, []), snapshot_lsn=25, batch_id="x", cfg=CFG
+        )
