@@ -635,3 +635,62 @@ def quantized_topk(
             "score",
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    threshold_x1e6: int,
+    n_centroids: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with the coarse quantizer
+    and removing near-duplicates WITHIN each cluster — the pass that
+    catches paraphrases and template rewrites exact/MinHash dedup
+    cannot (different tokens, same meaning), at O(n²/k) pair cost
+    instead of all-pairs.
+
+    Deterministic keep rule: a vector is dropped iff some LOWER-id
+    vector in its cell has cosine ≥ threshold with it (the paper keeps
+    one representative per ε-ball; lowest-id-wins makes the choice
+    engine-independent and oracle-checkable). Returns
+    ``(id_col, cell:int, is_kept:boolean)`` for every input row.
+
+    Scale shape: cell assignment is one Arrow batch pass (the same
+    quantizer the IVF index uses — ivf_assign_cells); candidates are a
+    self equi-join ON THE CELL (never all-pairs), verified by exact
+    in-row cosine; the drop set is one distinct + left-anti join. At
+    10^9 vectors raise ``n_centroids`` so cells stay bounded (the
+    paper uses k ~ sqrt(n)); a pathological hot cell responds to AQE
+    skew handling like any hot join key."""
+    cells = ivf_assign_cells(
+        corpus, dim, n_centroids, seed, id_col, vec_col
+    )
+    a = cells.select(
+        F.col("_nid").alias("_ida"), F.col("_nvec").alias("_va"), "_cell"
+    )
+    b = cells.select(
+        F.col("_nid").alias("_idb"), F.col("_nvec").alias("_vb"), "_cell"
+    )
+    dropped = (
+        a.join(b, "_cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            F.round(cosine(F.col("_va"), F.col("_vb")) * 1e6).cast("long")
+            >= F.lit(int(threshold_x1e6))
+        )
+        .select(F.col("_idb").alias("_nid"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        cells.join(dropped, "_nid", "left")
+        .select(
+            F.col("_nid").alias(id_col),
+            F.col("_cell").alias("cell"),
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_kept"),
+        )
+    )

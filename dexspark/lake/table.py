@@ -2732,12 +2732,23 @@ class LakeTable:
                     os.rmdir(dirpath)
                 except OSError:
                     pass
+        # manifest file-list shards orphaned by lost commit races (a
+        # loser writes its shards before its root link fails) — same
+        # mtime grace protects in-flight commits
+        removed_segments = (
+            []
+            if dry_run
+            else mf.gc_segments(
+                self.table_dir, grace_seconds=older_than_seconds
+            )
+        )
         return {
             "operation": "vacuum_orphans",
             "scanned_files": scanned,
             "removed_files": len(removed),
             "removed": sorted(removed),
             "removed_sidecars": sorted(removed_sidecars),
+            "removed_segments": len(removed_segments),
             **({"dry_run": True} if dry_run else {}),
         }
 

@@ -5434,7 +5434,10 @@ def emb_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle_sql() -> str:
+def _ivf_score_parts():
+    """Shared SQL fragments reproducing the arithmetic quantizer —
+    used by the IVF top-k oracle AND the SemDeDup oracle so the cell
+    assignment is one definition."""
     from dexspark.functions.similarity import _centroid_weight_int, centroid_norm
 
     def score(c: int) -> str:
@@ -5450,6 +5453,11 @@ def _ivf_oracle_sql() -> str:
     whens = " ".join(
         f"WHEN s_{c} = m THEN {c}" for c in range(IVF_CENTROIDS)
     )
+    return s_exprs, s_names, whens
+
+
+def _ivf_oracle_sql() -> str:
+    s_exprs, s_names, whens = _ivf_score_parts()
     expanded = " UNION ALL ".join(
         f"SELECT vec_id, v, {c} AS c, s_{c} AS s FROM cs WHERE vec_id < 8"
         for c in range(IVF_CENTROIDS)
@@ -5682,6 +5690,43 @@ WITH v AS (
 )
 SELECT p.user_id, p.event_id, v.view_event
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def emb_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (functions/similarity.py::semantic_dedup): quantizer
+    cells + within-cell cosine near-dup removal, lowest-id
+    representative kept. The oracle reproduces the arithmetic
+    quantizer (shared CTE with the IVF oracle) and the pairwise
+    drop rule in SQL."""
+    from dexspark.functions.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, dim=EMB_DIM, threshold_x1e6=400_000,
+        n_centroids=IVF_CENTROIDS,
+    )
+
+
+def _semdedup_oracle_sql() -> str:
+    s_exprs, s_names, whens = _ivf_score_parts()
+    return f"""
+WITH cs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {s_exprs} FROM embeddings
+), assigned AS (
+  SELECT vec_id, v, CASE {whens} END AS cell
+  FROM (SELECT *, greatest({s_names}) AS m FROM cs)
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST(round(list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+    * 1e6) AS BIGINT) >= 400000
+)
+SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+       d.vec_id IS NULL AS is_kept
+FROM assigned a LEFT JOIN dropped d USING (vec_id)
 """
 
 
@@ -6705,6 +6750,7 @@ QUERIES: dict[str, tuple] = {
     "emb_ivf_topk": (emb_ivf_topk_q, _ivf_oracle_sql()),
     "emb_ivf_incremental_topk": (emb_ivf_incremental_topk_q, _ivf_oracle_sql()),
     "emb_cosine_near_dups": (emb_cosine_near_dups_q, ORACLE_EMB_NEAR_DUPS),
+    "emb_semantic_dedup": (emb_semantic_dedup_q, _semdedup_oracle_sql()),
     "media_feature_stats": (media_feature_stats_q, ORACLE_MEDIA),
     "doc_gzip_unpack_roundtrip": (doc_gzip_unpack_roundtrip_q, ORACLE_GZIP_UNPACK),
     "cdc_dedup_latest": (cdc_dedup_latest_q, ORACLE_DEDUP),

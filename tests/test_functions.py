@@ -462,3 +462,24 @@ def test_corpus_familiarity_exact(spark):
         "d3": (0, 0, 0),
         "d4": (0, 0, 0),
     }
+
+
+def test_semantic_dedup_rule(spark):
+    """Identical vectors in one cell: lowest id kept, rest dropped;
+    an orthogonal vector survives regardless of cell."""
+    from dexspark.functions.similarity import semantic_dedup
+
+    dim = 4
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(1, v), (2, v), (3, v), (10, w)],
+        "vec_id int, embedding array<float>",
+    )
+    got = {
+        r.vec_id: r.is_kept
+        for r in semantic_dedup(
+            emb, dim=dim, threshold_x1e6=990_000, n_centroids=4
+        ).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 10: True}
