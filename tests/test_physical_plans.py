@@ -60,6 +60,8 @@ AUDITED = [
     "q12_priority_class",
     "q20_dominant_suppliers",
     "q21_waiting_supplier",
+    "emb_semantic_dedup",  # cell equi-join, never all-pairs
+    "doc_familiarity",  # count-table hash join, not broadcast
 ]
 
 
