@@ -375,7 +375,10 @@ def read_manifest(table_dir: str, version: int) -> Manifest:
         m.files = files
         m.segment_names = {int(b): n for b, n in d["segments"].items()}
     while len(_READ_CACHE) >= _READ_CACHE_MAX:
-        _READ_CACHE.pop(next(iter(_READ_CACHE)))
+        try:  # concurrent writers may race the eviction — best effort
+            _READ_CACHE.pop(next(iter(_READ_CACHE)), None)
+        except (StopIteration, RuntimeError):
+            break
     _READ_CACHE[key] = (sig, m)
     return m
 
@@ -467,7 +470,10 @@ def commit_manifest(
     # re-read its own head — serve the object it already holds
     st = os.stat(final)
     while len(_READ_CACHE) >= _READ_CACHE_MAX:
-        _READ_CACHE.pop(next(iter(_READ_CACHE)))
+        try:  # concurrent writers may race the eviction — best effort
+            _READ_CACHE.pop(next(iter(_READ_CACHE)), None)
+        except (StopIteration, RuntimeError):
+            break
     _READ_CACHE[(os.path.abspath(table_dir), m.version)] = (
         (st.st_mtime_ns, st.st_size),
         m,

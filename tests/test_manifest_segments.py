@@ -129,3 +129,68 @@ def test_identical_content_converges(tmp_path):
     n2 = mf._write_segment(d, c)
     assert n1 == n2
     assert os.listdir(mf.segment_dir(d)) == [n1]
+
+
+def test_concurrent_merge_vs_compact_segmented(spark, tmp_table_dir, seg_always):
+    """The commit-race guarantees hold under format 2: a stream of
+    LSN-gated merges racing a compaction loop, every batch exactly
+    once, final state = serial replay, with every commit going through
+    shard write/reuse and the read cache."""
+    import threading
+
+    from dexspark.lake.table import CommitConflict
+
+    t = LakeTable.create(
+        spark, tmp_table_dir, SCHEMA, bucket_key="k", num_buckets=4
+    )
+    t.append(
+        spark.createDataFrame([(f"k{i}", 0, "v0") for i in range(20)], SCHEMA)
+    )
+    n_batches, errors = 6, []
+    done = threading.Event()
+
+    def merger():
+        try:
+            for b in range(n_batches):
+                rows = [
+                    (f"k{i}", b + 1, f"v{b + 1}", "U", b * 100 + i)
+                    for i in range(20)
+                ]
+                t.merge(
+                    spark.createDataFrame(
+                        rows,
+                        "k string, seq int, v string, op string, lsn long",
+                    ),
+                    key_cols=["k"],
+                    summary={"batch_id": f"mb{b}"},
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+        finally:
+            done.set()
+
+    def maintainer():
+        while not done.is_set():
+            try:
+                t.compact(min_files_per_bucket=1)
+            except CommitConflict:
+                pass
+            done.wait(1.0)
+
+    threads = [
+        threading.Thread(target=merger), threading.Thread(target=maintainer)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert not errors, errors
+    ids = {
+        m.summary.get("batch_id")
+        for m in t.history()
+        if str(m.summary.get("batch_id", "")).startswith("mb")
+    }
+    assert ids == {f"mb{b}" for b in range(n_batches)}
+    got = {(r.k, r.seq, r.v) for r in t.read().collect()}
+    assert got == {(f"k{i}", n_batches, f"v{n_batches}") for i in range(20)}
+    assert _root(t)["format_version"] == 2
