@@ -714,6 +714,8 @@ def cmd_status(args) -> int:
                 "rows_from_metadata_files": counts["metadata_files"],
                 "rows_scanned_files": counts["scanned_files"],
                 "files": len(m.files),
+                "manifest_format": 2 if m.segment_names else 1,
+                "manifest_segments": len(m.segment_names),
                 "delta_files": sum(1 for f in m.files if f.kind == "delta"),
                 "dv_positions": sum(f.dv_count for f in m.files),
                 "bloom_cols": sorted(
