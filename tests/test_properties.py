@@ -413,3 +413,80 @@ def test_log_audit_matches_reference_model(spark, data):
         if b > a + 1:
             expect.add(("gap", a + 1, b - 1, b - a - 1))
     assert got == expect
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events_strategy,
+    st.lists(
+        st.integers(min_value=0, max_value=50),
+        min_size=1, max_size=3, unique=True,
+    ),
+)
+def test_snapshot_ingest_converges_to_direct_replay(
+    spark, tmp_path_factory, evs, raw_cuts
+):
+    """Delivering the feed as full snapshots at ARBITRARY cut points,
+    then tailing the rest of the log, equals a direct replay of the
+    whole log — the cdc/snapshot.py derivation (I/U/D from state
+    diffs, absence→delete) composes with the LSN gate at any cut
+    placement."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from dexspark.cdc.apply import apply_changes
+    from dexspark.cdc.snapshot import apply_snapshot
+    from dexspark.cdc.validate import ValidationConfig
+    from dexspark.lake.table import LakeTable
+
+    seen = {}
+    uniq = {}
+    for conv, turn, lsn, op in evs:
+        op = seen.setdefault((conv, turn, lsn), op)
+        uniq[(conv, turn, lsn)] = (conv, turn, lsn, op)
+    ordered = sorted(uniq.values(), key=lambda e: e[2])
+    cuts = sorted(raw_cuts)
+    cfg = ValidationConfig()
+
+    def model_state(upto):
+        m = {}
+        for conv, turn, lsn, op in ordered:
+            if lsn <= upto:
+                k = (f"c{conv}", turn)
+                if k not in m or lsn >= m[k][0]:
+                    m[k] = (lsn, op)
+        return {k for k, (lsn, op) in m.items() if op != "D"}
+
+    d = tmp_path_factory.mktemp("prop_snap_tbl")
+    payload = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    table = LakeTable.create(
+        spark, str(d), _parse_datatype_string(payload), "conv_id",
+        num_buckets=4,
+    )
+    # deliver each cut as a full snapshot of the true state at the cut
+    for w in cuts:
+        keys = model_state(w)
+        img = {}
+        for conv, turn, lsn, op in ordered:
+            if lsn <= w and (f"c{conv}", turn) in keys:
+                k = (f"c{conv}", turn)
+                if k not in img or lsn >= img[k][0]:
+                    img[k] = (lsn, (conv, turn, lsn, op))
+        rows = _rows([e for _, e in img.values()])
+        snap = spark.createDataFrame(rows, SCHEMA).select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        )
+        apply_snapshot(table, snap, snapshot_lsn=w, cfg=cfg)
+    # tail: everything past the last cut
+    tail = [e for e in ordered if e[2] > cuts[-1]]
+    if tail:
+        apply_changes(
+            table,
+            spark.createDataFrame(_rows(tail), SCHEMA),
+            batch_id="tail",
+            cfg=cfg,
+        )
+    got = {(r.conv_id, r.turn_idx) for r in table.read().collect()}
+    assert got == model_state(50)
