@@ -589,7 +589,12 @@ def cmd_ingest_snapshot(args) -> int:
     per delivered snapshot, in feed order (out-of-order deliveries are
     refused), or point --feed at a snapshot-<lsn>/ drop zone to catch
     up on every pending delivery. Creates the table on first use."""
-    from dexspark.cdc.snapshot import apply_snapshot, ingest_snapshot_feed
+    from dexspark.cdc.scd2 import scd2_schema
+    from dexspark.cdc.snapshot import (
+        apply_snapshot,
+        apply_snapshot_scd2,
+        ingest_snapshot_feed,
+    )
 
     if (args.feed is None) == (args.snapshot is None):
         raise SystemExit(
@@ -603,7 +608,8 @@ def cmd_ingest_snapshot(args) -> int:
         table = LakeTable(spark, args.table)
     else:
         table = LakeTable.create(
-            spark, args.table, schema,
+            spark, args.table,
+            scd2_schema(schema) if args.scd2 else schema,
             bucket_key=args.bucket_key, num_buckets=args.buckets,
         )
     quarantine = (
@@ -613,6 +619,7 @@ def cmd_ingest_snapshot(args) -> int:
         info = ingest_snapshot_feed(
             table, args.feed, fmt=args.format,
             quarantine=quarantine, strategy=args.strategy,
+            scd2=args.scd2,
         )
     else:
         reader = spark.read.schema(schema)
@@ -621,12 +628,14 @@ def cmd_ingest_snapshot(args) -> int:
             if args.format == "parquet"
             else reader.json(args.snapshot)
         )
-        info = apply_snapshot(
+        fn = apply_snapshot_scd2 if args.scd2 else apply_snapshot
+        kw = {} if args.scd2 else {"strategy": args.strategy}
+        info = fn(
             table, snapshot,
             snapshot_lsn=args.watermark,
             batch_id=args.batch_id,
             quarantine=quarantine,
-            strategy=args.strategy,
+            **kw,
         )
     print(json.dumps(info, default=str))
     return 0
@@ -1101,6 +1110,11 @@ def main(argv: list[str] | None = None) -> int:
     isnap.add_argument("--batch-id", default=None)
     isnap.add_argument("--quarantine", default=None)
     isnap.add_argument("--strategy", choices=["cow", "mor"], default="cow")
+    isnap.add_argument(
+        "--scd2", action="store_true",
+        help="materialize the feed as a full SCD2 history "
+             "(creates the table with scd2_schema on first use)",
+    )
     isnap.set_defaults(fn=cmd_ingest_snapshot)
 
     au = sub.add_parser(

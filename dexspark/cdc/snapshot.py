@@ -218,6 +218,7 @@ def ingest_snapshot_feed(
     cfg: ValidationConfig | None = None,
     quarantine: LakeTable | None = None,
     strategy: str = "cow",
+    scd2: bool = False,
 ) -> list[dict[str, Any]]:
     """Catch up on a DIRECTORY of delivered snapshots — the poll loop a
     snapshot-shaped source actually needs (≙ the reference's
@@ -235,7 +236,12 @@ def ingest_snapshot_feed(
 
     Listing is driver-side O(deliveries) directory names — never data;
     a malformed entry name is an error (a typo'd delivery silently
-    skipped would diverge the mirror forever)."""
+    skipped would diverge the mirror forever).
+
+    ``scd2=True`` materializes the feed as a FULL SCD2 history via
+    ``apply_snapshot_scd2`` (``table`` must have been created with
+    ``scd2_schema``; JSON deliveries are read under the PAYLOAD schema
+    — the history columns are engine-owned)."""
     import os as _os
     import re as _re
 
@@ -262,13 +268,29 @@ def ingest_snapshot_feed(
             # them (schema evolution flows through apply_snapshot)
             snap = table.spark.read.parquet(path)
         else:
-            snap = table.spark.read.schema(table.schema()).json(path)
-        results.append(
-            apply_snapshot(
-                table, snap, lsn,
-                cfg=cfg, quarantine=quarantine, strategy=strategy,
+            json_schema = table.schema()
+            if scd2:
+                from dexspark.cdc.scd2 import SCD2_COLS
+
+                from pyspark.sql.types import StructType as _St
+
+                json_schema = _St(
+                    [f for f in json_schema.fields if f.name not in SCD2_COLS]
+                )
+            snap = table.spark.read.schema(json_schema).json(path)
+        if scd2:
+            results.append(
+                apply_snapshot_scd2(
+                    table, snap, lsn, cfg=cfg, quarantine=quarantine
+                )
             )
-        )
+        else:
+            results.append(
+                apply_snapshot(
+                    table, snap, lsn,
+                    cfg=cfg, quarantine=quarantine, strategy=strategy,
+                )
+            )
     return results
 
 

@@ -359,3 +359,34 @@ def test_apply_snapshot_scd2_intervals(spark, tmp_table_dir):
         apply_snapshot_scd2(
             h, _snap(spark, []), snapshot_lsn=25, batch_id="x", cfg=CFG
         )
+
+
+def test_cli_ingest_snapshot_feed_scd2(spark, tmp_path, capsys):
+    """--scd2 feed mode: creates the history table, two deliveries
+    produce interval rows."""
+    import json as _json
+
+    from dexspark.__main__ import main
+
+    ddl = "conv_id string, turn_idx int, role string, text string"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _snap(spark, [("c1", 0, "user", "a")]).write.parquet(
+        str(feed / "snapshot-5")
+    )
+    _snap(spark, [("c1", 0, "user", "a2")]).write.parquet(
+        str(feed / "snapshot-9")
+    )
+    tdir = str(tmp_path / "h")
+    assert main(
+        ["ingest-snapshot", "--table", tdir, "--payload-schema", ddl,
+         "--buckets", "4", "--feed", str(feed), "--scd2"]
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [r["snapshot_lsn"] for r in out] == [5, 9]
+    h = LakeTable(spark, tdir)
+    got = {
+        (r.text, r.valid_from_lsn, r.valid_to_lsn, r.is_current)
+        for r in h.read().collect()
+    }
+    assert got == {("a", 5, 9, False), ("a2", 9, None, True)}
