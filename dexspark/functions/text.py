@@ -312,3 +312,49 @@ def corpus_familiarity(
             ).cast("long").alias("fam_avg_x1000"),
         )
     )
+
+
+def c4_line_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleanup (Raffel et al. 2020 §2.2, the rules
+    behind the C4 corpus, minus the English-specific blocklist): keep
+    only lines that (a) end in terminal punctuation (. ! ? ")
+    and (b) carry at least ``min_words_per_line`` words and (c) do not
+    contain source-code braces; a document survives only if at least
+    ``min_lines`` lines remain. The within-doc pass exact/near-dup and
+    boilerplate removal do not do: junk LINES inside good documents
+    (nav menus, cookie notices, code fragments).
+
+    Returns ``(id_col, text_clean, n_lines_kept:long,
+    n_lines_dropped:long, is_kept:boolean)`` for every input doc
+    (docs below ``min_lines`` keep their counts, ``is_kept`` false,
+    ``text_clean`` empty). Pure codegen array expressions — lines
+    never become rows, no shuffle, no UDF: the pass is embarrassingly
+    parallel at any corpus size."""
+    lines = F.split(F.col(text_col), r"\n")
+    kept = F.filter(
+        lines,
+        lambda ln: (
+            ln.rlike(r'[.!?"]\s*$')
+            & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words_per_line)
+            & ~ln.contains("{")
+            & ~ln.contains("}")
+        ),
+    )
+    n_kept = F.size(kept).cast("long")
+    n_total = F.size(lines).cast("long")
+    is_kept = n_kept >= min_lines
+    return df.select(
+        F.col(id_col),
+        F.when(is_kept, F.concat_ws("\n", kept))
+        .otherwise(F.lit(""))
+        .alias("text_clean"),
+        n_kept.alias("n_lines_kept"),
+        (n_total - n_kept).alias("n_lines_dropped"),
+        is_kept.alias("is_kept"),
+    )

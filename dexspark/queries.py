@@ -4806,6 +4806,73 @@ FROM documents d LEFT JOIN fam USING (doc_id)
 """
 
 
+def doc_c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleanup (functions/text.py::c4_line_clean).
+    Documents are deterministically seeded with junk lines (a short
+    nav fragment, a code fragment with braces) and good lines (proper
+    sentences) so every rule fires; the original text is its own line
+    and qualifies or not on its own merits, making is_kept a real mix.
+    Shuffle-free: lines never become rows."""
+    from dexspark.functions.text import c4_line_clean
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    seeded = docs.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("Nav Home About"),
+            F.concat(
+                F.lit("This document number "), did,
+                F.lit(" has a proper sentence."),
+            ),
+            F.lit("if (x) { return; }"),
+            F.when(
+                F.pmod(F.col("doc_id"), 2) == 0,
+                F.concat(
+                    F.lit("Another good line for doc "), did,
+                    F.lit(" right here."),
+                ),
+            ).otherwise(F.lit("short line.")),
+        ),
+    )
+    return c4_line_clean(seeded)
+
+
+ORACLE_C4_CLEAN = """
+WITH seeded AS (
+  SELECT doc_id,
+    text || chr(10) || 'Nav Home About' || chr(10)
+      || 'This document number ' || CAST(doc_id AS VARCHAR)
+      || ' has a proper sentence.' || chr(10)
+      || 'if (x) { return; }' || chr(10)
+      || CASE WHEN doc_id % 2 = 0
+              THEN 'Another good line for doc ' || CAST(doc_id AS VARCHAR)
+                   || ' right here.'
+              ELSE 'short line.' END AS text
+  FROM documents
+), split AS (
+  SELECT doc_id,
+    list_filter(
+      string_split(text, chr(10)),
+      ln -> regexp_matches(ln, '[.!?"]\\s*$')
+            AND len(string_split_regex(trim(ln), '\\s+')) >= 5
+            AND NOT contains(ln, '{') AND NOT contains(ln, '}')
+    ) AS kept,
+    len(string_split(text, chr(10))) AS n_total
+  FROM seeded
+)
+SELECT doc_id,
+  CASE WHEN len(kept) >= 3 THEN array_to_string(kept, chr(10))
+       ELSE '' END AS text_clean,
+  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+  CAST(n_total - len(kept) AS BIGINT) AS n_lines_dropped,
+  len(kept) >= 3 AS is_kept
+FROM split
+"""
+
+
 def doc_repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (duplicate-bigram fraction, Gopher-
     style quality signal). Expression-only — the n-gram array never
@@ -6741,6 +6808,7 @@ QUERIES: dict[str, tuple] = {
     "doc_pii_redact": (doc_pii_redact_q, _pii_oracle_sql()),
     "doc_repetition_stats": (doc_repetition_stats_q, ORACLE_REPETITION),
     "doc_familiarity": (doc_familiarity_q, ORACLE_FAMILIARITY),
+    "doc_c4_clean": (doc_c4_clean_q, ORACLE_C4_CLEAN),
     "doc_decontaminate": (doc_decontaminate_q, ORACLE_DECONTAMINATE),
     "doc_fingerprint_groups": (doc_fingerprint_groups_q, ORACLE_FP_GROUPS),
     "emb_cosine_topk": (emb_cosine_topk_q, ORACLE_COSINE_TOPK),

@@ -483,3 +483,22 @@ def test_semantic_dedup_rule(spark):
         ).collect()
     }
     assert got == {1: True, 2: False, 3: False, 10: True}
+
+
+def test_c4_line_clean_rules(spark):
+    """Each C4 rule pinned: terminal punctuation, min words, braces,
+    and the doc-level min-lines gate."""
+    from dexspark.functions.text import c4_line_clean
+
+    good = "Here is a perfectly reasonable sentence."
+    doc1 = "\n".join([good, "Nav Home", "x = { y }", good, good])
+    doc2 = "\n".join([good, "too short."])  # only 1 qualifying line
+    df = spark.createDataFrame(
+        [("d1", doc1), ("d2", doc2)], "doc_id string, text string"
+    )
+    got = {
+        r.doc_id: (r.text_clean, r.n_lines_kept, r.n_lines_dropped, r.is_kept)
+        for r in c4_line_clean(df).collect()
+    }
+    assert got["d1"] == ("\n".join([good] * 3), 3, 2, True)
+    assert got["d2"] == ("", 1, 1, False)
