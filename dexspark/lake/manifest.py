@@ -47,8 +47,9 @@ DATA_DIR = "data"
 
 # inline the file list below this many files (format 1: one readable
 # JSON, no indirection); segment per bucket at or above it. Module
-# level so tests/benches can tune it.
-SEGMENT_THRESHOLD = 512
+# level so tests/benches can tune it; the env var lets a deployment
+# (or a bench) force either format without code changes.
+SEGMENT_THRESHOLD = int(os.environ.get("DEXSPARK_SEGMENT_THRESHOLD", "512"))
 
 
 @dataclass
