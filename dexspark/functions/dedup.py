@@ -559,3 +559,72 @@ def dedup_spans(
         F.size(kept).cast("long").alias("n_tokens_kept"),
         (F.size("_ts") - F.size(kept)).cast("long").alias("n_tokens_dropped"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold_x1000: int = 800,
+    max_doc_freq: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Asymmetric near-containment detection: ordered pairs (A, B)
+    where A's shingle set is (mostly) INSIDE B's — the quote/embed/
+    superset case symmetric Jaccard misses by construction (a page
+    quoting a whole short document scores low Jaccard because B's
+    extra text inflates the union, but A's containment is ~1.0).
+    Standard curation use: drop the contained duplicate, keep the
+    container (Lee et al. 2021 report these as a major residual class
+    after exact + near dedup).
+
+    containment(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|,
+    reported x1000 in exact integer arithmetic. Shingles appearing in
+    more than ``max_doc_freq`` documents are excluded from the
+    NUMERATOR (boilerplate would otherwise pair everything with
+    everything — the same Zipf-head cap the boilerplate pass uses);
+    the denominator stays the full set, so the score only
+    under-counts: a reported containment is real.
+
+    Scale shape: one explode, one map-combined doc-frequency count,
+    one self equi-join ON THE SHINGLE restricted to cold shingles
+    (bounded fan-out ≤ max_doc_freq² per shingle — never all-pairs),
+    one (A,B) count aggregate. No UDF.
+
+    Returns (id_contained, id_container, n_shared, n_shingles,
+    containment_x1000) for ordered pairs over the threshold."""
+    ex = (
+        df.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(shingles(text_col, shingle_n)).alias("_g"),
+        )
+        .persist()
+    )
+    sizes = ex.groupBy("_doc").agg(F.count(F.lit(1)).alias("_n"))
+    dfreq = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    cold = ex.join(
+        dfreq.filter(F.col("_df") <= max_doc_freq), "_g"
+    ).select("_doc", "_g")
+    a = cold.select(F.col("_doc").alias("_ida"), "_g")
+    b = cold.select(F.col("_doc").alias("_idb"), "_g")
+    shared = (
+        a.join(b, "_g")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .groupBy("_ida", "_idb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes, F.col("_ida") == F.col("_doc"))
+        .filter(
+            F.col("n_shared") * 1000 >= F.col("_n") * F.lit(int(threshold_x1000))
+        )
+        .select(
+            F.col("_ida").alias("id_contained"),
+            F.col("_idb").alias("id_container"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("_n").cast("long").alias("n_shingles"),
+            F.expr("n_shared * 1000 div _n").cast("long").alias(
+                "containment_x1000"
+            ),
+        )
+    )

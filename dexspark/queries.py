@@ -4355,6 +4355,76 @@ sh AS (
         FROM documents)
 )"""
 
+def doc_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment pairs (functions/dedup.py::
+    containment_pairs) — the quote/superset duplicate class symmetric
+    Jaccard misses. Seeded: every doc_id % 10 == 7 document is
+    replaced with a PREFIX of its % 10 == 6 neighbor's text, so real
+    containment pairs exist at every sf."""
+    from dexspark.functions.dedup import containment_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    donor = F.concat_ws(
+        " ",
+        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12),
+    )
+    seeded = docs.join(
+        docs.select(
+            (F.col("doc_id") + 1).alias("doc_id"), donor.alias("_donor")
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.when(
+            (F.pmod(F.col("doc_id"), 10) == 7) & F.col("_donor").isNotNull(),
+            F.col("_donor"),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return containment_pairs(seeded, threshold_x1000=800, max_doc_freq=16)
+
+
+ORACLE_CONTAINMENT = """
+WITH donors AS (
+  SELECT doc_id + 1 AS doc_id,
+         array_to_string(
+           string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')[1:12],
+           ' ') AS donor
+  FROM documents
+), seeded AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 7 AND o.donor IS NOT NULL
+              THEN o.donor ELSE d.text END AS text
+  FROM documents d LEFT JOIN donors o USING (doc_id)
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i+1:i+3], ' ')
+                        for i in range(0, len(words)-2)]) AS s
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+        FROM seeded)
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), dfreq AS (
+  SELECT g, COUNT(*) AS df FROM ex GROUP BY g
+), sizes AS (
+  SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM ex a
+  JOIN dfreq d ON d.g = a.g AND d.df <= 16
+  JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.id_a AS id_contained, s.id_b AS id_container,
+  CAST(s.n_shared AS BIGINT) AS n_shared,
+  z.n AS n_shingles,
+  CAST(s.n_shared * 1000 // z.n AS BIGINT) AS containment_x1000
+FROM shared s JOIN sizes z ON z.doc_id = s.id_a
+WHERE s.n_shared * 1000 >= z.n * 800
+"""
+
+
 ORACLE_NEAR_DUP = f"""
 WITH {_SHINGLES_CTE}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -6796,6 +6866,7 @@ QUERIES: dict[str, tuple] = {
     "doc_near_dup_pairs": (doc_near_dup_pairs_q, ORACLE_NEAR_DUP),
     "doc_dedup_groups": (doc_dedup_groups_q, ORACLE_DEDUP_GROUPS),
     "doc_span_dedup": (doc_span_dedup_q, ORACLE_SPAN_DEDUP),
+    "doc_containment_pairs": (doc_containment_pairs_q, ORACLE_CONTAINMENT),
     "doc_boilerplate_removal": (
         doc_boilerplate_removal_q,
         ORACLE_BOILERPLATE,

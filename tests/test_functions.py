@@ -502,3 +502,23 @@ def test_c4_line_clean_rules(spark):
     }
     assert got["d1"] == ("\n".join([good] * 3), 3, 2, True)
     assert got["d2"] == ("", 1, 1, False)
+
+
+def test_containment_pairs_asymmetry(spark):
+    """A prefix-contained doc is flagged A-in-B but not B-in-A; the
+    boilerplate cap excludes hot shingles from the numerator."""
+    from dexspark.functions.dedup import containment_pairs
+
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    small = "alpha beta gamma delta epsilon"  # pure prefix of big
+    other = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, big), (2, small), (3, other)], "doc_id int, text string"
+    )
+    got = {
+        (r.id_contained, r.id_container): r.containment_x1000
+        for r in containment_pairs(df, threshold_x1000=800).collect()
+    }
+    assert (2, 1) in got and got[(2, 1)] == 1000
+    assert (1, 2) not in got  # big is NOT contained in small
+    assert all(3 not in k for k in got)
