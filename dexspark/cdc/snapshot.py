@@ -64,10 +64,11 @@ SUMMARY_KEY = "snapshot_lsn"
 
 def last_snapshot_lsn(table: LakeTable) -> int | None:
     """Watermark of the latest applied snapshot on the live lineage
-    (rollbacks rewind it with everything else) — metadata-only."""
+    (rollbacks rewind it with everything else) — a root-only metadata
+    walk, O(retained versions) small reads."""
     best = None
-    for m in table.live_manifests():
-        v = m.summary.get(SUMMARY_KEY)
+    for _v, summary in table.live_summaries():
+        v = summary.get(SUMMARY_KEY)
         if v is not None and (best is None or int(v) > best):
             best = int(v)
     return best

@@ -351,6 +351,36 @@ _READ_CACHE: dict[tuple[str, int], tuple[tuple[int, int], Manifest]] = {}
 _READ_CACHE_MAX = 8
 
 
+# root-only reads for metadata walks (ledger, lineage, watermarks):
+# a format-2 root is a few KB however many files the snapshot holds,
+# so walking the whole retained history stays O(versions), never
+# O(versions × files). Roots are immutable → cached like manifests.
+_ROOT_CACHE: dict[tuple[str, int], tuple[tuple[int, int], dict]] = {}
+_ROOT_CACHE_MAX = 512
+
+
+def read_root(table_dir: str, version: int) -> dict:
+    """The manifest's root JSON as a dict — summary/parent/version/
+    properties WITHOUT materializing the file list (format-2 shards
+    are not read; a format-1 root inlines its files, which is fine:
+    format 1 exists only below SEGMENT_THRESHOLD)."""
+    key = (os.path.abspath(table_dir), version)
+    st = os.stat(manifest_path(table_dir, version))  # FileNotFoundError
+    sig = (st.st_mtime_ns, st.st_size)
+    hit = _ROOT_CACHE.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    with open(manifest_path(table_dir, version)) as fh:
+        d = json.load(fh)
+    while len(_ROOT_CACHE) >= _ROOT_CACHE_MAX:
+        try:
+            _ROOT_CACHE.pop(next(iter(_ROOT_CACHE)), None)
+        except (StopIteration, RuntimeError):
+            break
+    _ROOT_CACHE[key] = (sig, d)
+    return d
+
+
 def read_manifest(table_dir: str, version: int) -> Manifest:
     key = (os.path.abspath(table_dir), version)
     st = os.stat(manifest_path(table_dir, version))  # FileNotFoundError

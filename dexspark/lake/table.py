@@ -256,17 +256,53 @@ class LakeTable:
             except FileNotFoundError:
                 return
 
+    def _read_root(self, version: int) -> dict:
+        """Root JSON with the same branch fall-back rule as
+        ``manifest()`` — no file-list materialization."""
+        try:
+            return mf.read_root(self.meta_dir, version)
+        except FileNotFoundError:
+            if self.branch is not None and version < self._branch_base():
+                return mf.read_root(self.table_dir, version)
+            raise
+
+    def live_summaries(self):
+        """(version, summary) pairs on the LIVE lineage, head → root —
+        the ``live_manifests`` walk from ROOT JSONs only: under
+        segmented manifests a ledger/watermark check over the whole
+        retained history reads O(versions) small roots, never
+        O(versions × files) shards. Same rollback-jump and
+        expiry-stop semantics."""
+        try:
+            d = self._read_root(self.current_version())
+        except FileNotFoundError:
+            return
+        while True:
+            summary = d.get("summary", {})
+            yield int(d["version"]), summary
+            if summary.get("operation") == "rollback":
+                nxt = summary.get("restored_version")
+            else:
+                nxt = d.get("parent")
+            if nxt is None:
+                return
+            try:
+                d = self._read_root(int(nxt))
+            except FileNotFoundError:
+                return
+
     def committed_batch_ids(self) -> set[Any]:
         """Batch ids on the LIVE lineage — the exactly-once ledger
-        (see ``live_manifests`` for the walk semantics)."""
+        (see ``live_manifests`` for the walk semantics; reads only
+        manifest roots)."""
         ids: set[Any] = set()
-        for m in self.live_manifests():
-            if "batch_id" in m.summary:
-                ids.add(m.summary["batch_id"])
+        for _v, summary in self.live_summaries():
+            if "batch_id" in summary:
+                ids.add(summary["batch_id"])
             # a publish_branch commit carries the batch ids of every
             # branch-local commit it folded in — they join the ledger
             # exactly as if applied to main directly
-            ids.update(m.summary.get("published_batch_ids", []))
+            ids.update(summary.get("published_batch_ids", []))
         return ids
 
     def lineage_df(self) -> DataFrame:
