@@ -202,8 +202,7 @@ def lineage_continuity_audit(table: "LakeTable") -> DataFrame:
     carries lineage). O(commits) driver work, zero data I/O; findings
     are returned as a DataFrame for a uniform audit surface."""
     spans: dict[str, list[int]] = {}
-    for m in table.live_manifests():
-        s = m.summary
+    for _v, s in table.live_summaries():  # roots only — O(commits)
         bid = s.get("batch_id")
         if bid is None:
             continue

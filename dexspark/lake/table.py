@@ -312,12 +312,12 @@ class LakeTable:
         so it can never disagree with table contents.
         """
         rows = []
-        for m in self.history():
-            s = m.summary
+        for v in mf.available_versions(self.meta_dir):
+            s = self._read_root(v).get("summary", {})  # roots only
             for part in s.get("partitions", []):
                 rows.append(
                     (
-                        m.version,
+                        v,
                         s.get("batch_id"),
                         int(part["bucket"]),
                         part.get("start_lsn"),

@@ -124,7 +124,12 @@ def _fake_table(spark, batches):
         )
         for bid, spans in batches
     ]
-    return SimpleNamespace(spark=spark, live_manifests=lambda: iter(manifests))
+    return SimpleNamespace(
+        spark=spark,
+        live_summaries=lambda: iter(
+            (i, m.summary) for i, m in enumerate(manifests)
+        ),
+    )
 
 
 def _lrows(df):
