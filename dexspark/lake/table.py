@@ -553,8 +553,8 @@ class LakeTable:
             epoch = float(ts)
         best: int | None = None
         for v in mf.available_versions(self.meta_dir):
-            m = self.manifest(v)
-            if m.committed_at is not None and m.committed_at <= epoch:
+            stamp = self._read_root(v).get("committed_at")  # root-only
+            if stamp is not None and stamp <= epoch:
                 if best is None or v > best:
                     best = v
         if best is None:
