@@ -4839,6 +4839,35 @@ FROM seeded
 """
 
 
+def user_count_kmv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (functions/sketches.py) over the
+    event stream's user ids — the reproducible cardinality estimator
+    (HLL's registers are engine-private; KMV over md5 is exact integer
+    algebra any engine replays). k=256 so the estimator path (not the
+    exact small-set path) is exercised at every sf."""
+    from dexspark.functions.sketches import kmv_distinct
+
+    ev = load(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", k=256)
+
+
+ORACLE_KMV = """
+WITH h AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS UBIGINT)::BIGINT AS hv
+  FROM events
+), mins AS (
+  SELECT hv FROM h ORDER BY hv LIMIT 256
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hashes,
+  CAST(MAX(hv) AS BIGINT) AS kth_min,
+  CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+            ELSE (255 * 281474976710656) // MAX(hv) END AS BIGINT)
+    AS distinct_est
+FROM mins
+"""
+
+
 def doc_familiarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-familiarity scoring (functions/text.py::corpus_
     familiarity) — the integer-exact cousin of CCNet's LM-perplexity
@@ -6880,6 +6909,7 @@ QUERIES: dict[str, tuple] = {
     "doc_repetition_stats": (doc_repetition_stats_q, ORACLE_REPETITION),
     "doc_familiarity": (doc_familiarity_q, ORACLE_FAMILIARITY),
     "doc_c4_clean": (doc_c4_clean_q, ORACLE_C4_CLEAN),
+    "user_count_kmv": (user_count_kmv_q, ORACLE_KMV),
     "doc_decontaminate": (doc_decontaminate_q, ORACLE_DECONTAMINATE),
     "doc_fingerprint_groups": (doc_fingerprint_groups_q, ORACLE_FP_GROUPS),
     "emb_cosine_topk": (emb_cosine_topk_q, ORACLE_COSINE_TOPK),

@@ -522,3 +522,23 @@ def test_containment_pairs_asymmetry(spark):
     assert (2, 1) in got and got[(2, 1)] == 1000
     assert (1, 2) not in got  # big is NOT contained in small
     assert all(3 not in k for k in got)
+
+
+def test_kmv_distinct_accuracy_and_exact_path(spark):
+    """Small sets are EXACT (n < k); larger sets estimate within the
+    ~1/sqrt(k) bound."""
+    from dexspark.functions.sketches import kmv_distinct
+
+    small = spark.range(0, 50).selectExpr("id % 7 AS v")
+    r = kmv_distinct(small, "v", k=64).first()
+    assert (r.n_hashes, r.distinct_est) == (7, 7)
+
+    big = spark.range(0, 40_000).selectExpr("id % 10000 AS v")
+    r = kmv_distinct(big, "v", k=1024).first()
+    assert r.n_hashes == 1024
+    assert abs(r.distinct_est - 10000) < 10000 * 0.15  # ~5 sigma
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmv_distinct(big, "v", k=1)
