@@ -40,6 +40,12 @@ Semantics:
   (deletes are exempt per the standard contract).
 - Exactly-once on ``batch_id`` (default ``snapshot-<lsn>``): a
   redelivered snapshot file skips before the diff is even planned.
+- ONE consumer per feed: deliveries are applied sequentially (the
+  drop-zone loop is serial by construction). The guards make
+  REDELIVERY safe, not concurrent ingestion of two different
+  deliveries — a diff computed before a sibling delivery lands would
+  miss deriving deletes for the keys that sibling added. Run one
+  catch-up loop per table, like any CDC tail.
 
 Scale shape: one full-outer join of two bucket-read states per
 snapshot (both sides hash-partition on the key; the table side is

@@ -48,8 +48,12 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
     Standard error ~ 1/sqrt(k) (~3% at k=1024)."""
     if not 1 < k <= 1_000_000:
         raise ValueError(f"k must be in (1, 1e6], got {k}")
+    # NULLs are excluded explicitly (a NULL hashes to NULL, and the
+    # engines disagree on NULL sort placement — Spark first, most SQL
+    # engines last): the sketch counts distinct NON-NULL values
     mins = (
         df.select(kmv_hash(F.col(col)).alias("_h"))
+        .where(F.col("_h").isNotNull())
         .distinct()
         .orderBy("_h")
         .limit(k)

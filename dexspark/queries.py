@@ -4855,7 +4855,7 @@ ORACLE_KMV = """
 WITH h AS (
   SELECT DISTINCT
     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS UBIGINT)::BIGINT AS hv
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ), mins AS (
   SELECT hv FROM h ORDER BY hv LIMIT 256
 )
