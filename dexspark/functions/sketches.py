@@ -68,3 +68,68 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
         .cast("long")
         .alias("distinct_est"),
     )
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col_a: str,
+    col_b: str | None = None,
+    k: int = 1024,
+) -> DataFrame:
+    """Corpus-overlap estimation from KMV sketches — "how much does
+    crawl B repeat crawl A" WITHOUT joining them row-by-row (the
+    screening question before a full decontamination pass; at 100 TB
+    an exact distinct-intersection is a massive shuffle, this is two
+    sketch scans + k rows on the driver).
+
+    Standard KMV set algebra (Beyer et al. 2007): take the k smallest
+    distinct hashes of A ∪ B; the fraction of them present in BOTH
+    sides estimates Jaccard, and scaled by the union estimate gives
+    the intersection size. Returns one row:
+    ``(k_used, n_both, union_est, inter_est, jaccard_x1000)`` — all
+    exact int64 arithmetic over md5-derived hashes, so the estimator
+    is engine-reproducible like ``kmv_distinct``."""
+    if not 1 < k <= 1_000_000:
+        raise ValueError(f"k must be in (1, 1e6], got {k}")
+    col_b = col_b or col_a
+    ha = (
+        df_a.select(kmv_hash(F.col(col_a)).alias("_h"))
+        .where(F.col("_h").isNotNull())
+        .distinct()
+        .withColumn("_a", F.lit(1))
+        .withColumn("_b", F.lit(0))
+    )
+    hb = (
+        df_b.select(kmv_hash(F.col(col_b)).alias("_h"))
+        .where(F.col("_h").isNotNull())
+        .distinct()
+        .withColumn("_a", F.lit(0))
+        .withColumn("_b", F.lit(1))
+    )
+    union_mins = (
+        ha.unionByName(hb)
+        .groupBy("_h")
+        .agg(F.max("_a").alias("_ina"), F.max("_b").alias("_inb"))
+        .orderBy("_h")
+        .limit(k)
+    )
+    n = F.count(F.lit(1)).cast("long")
+    hk = F.max("_h")
+    union_est = F.when(n < k, n).otherwise(
+        F.expr(f"{(k - 1) * DOMAIN}L div max(_h)")
+    ).cast("long")
+    n_both = F.sum(
+        F.when((F.col("_ina") == 1) & (F.col("_inb") == 1), 1).otherwise(0)
+    ).cast("long")
+    return union_mins.agg(
+        n.alias("k_used"),
+        n_both.alias("n_both"),
+        union_est.alias("union_est"),
+    ).select(
+        "k_used",
+        "n_both",
+        "union_est",
+        F.expr("n_both * union_est div k_used").cast("long").alias("inter_est"),
+        F.expr("n_both * 1000 div k_used").cast("long").alias("jaccard_x1000"),
+    )

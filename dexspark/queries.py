@@ -4868,6 +4868,55 @@ FROM mins
 """
 
 
+def user_overlap_kmv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra (functions/sketches.py::kmv_overlap): estimate
+    the overlap between two user populations — the event stream's
+    first and second halves by event_id — without an exact distinct
+    intersection (the pre-decontamination screening shape). k=256 so
+    the estimator path is exercised."""
+    from dexspark.functions.sketches import kmv_overlap
+
+    ev = load(spark, sf_dir, "events")
+    m = int(ev.agg(F.max("event_id")).first()[0])
+    a = ev.filter(F.col("event_id") < m // 2)
+    b = ev.filter(F.col("event_id") >= m // 2)
+    return kmv_overlap(a, b, "user_id", k=256)
+
+
+ORACLE_KMV_OVERLAP = """
+WITH mx AS (SELECT MAX(event_id) // 2 AS half FROM events),
+a AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS UBIGINT)::BIGINT AS hv
+  FROM events, mx WHERE event_id < half AND user_id IS NOT NULL
+), b AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS UBIGINT)::BIGINT AS hv
+  FROM events, mx WHERE event_id >= half AND user_id IS NOT NULL
+), u AS (
+  SELECT hv, MAX(ina) AS ina, MAX(inb) AS inb
+  FROM (
+    SELECT hv, 1 AS ina, 0 AS inb FROM a
+    UNION ALL
+    SELECT hv, 0 AS ina, 1 AS inb FROM b
+  )
+  GROUP BY hv ORDER BY hv LIMIT 256
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+    CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_both,
+    CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+              ELSE (255 * 281474976710656) // MAX(hv) END AS BIGINT)
+      AS union_est
+  FROM u
+)
+SELECT k_used, n_both, union_est,
+  CAST(n_both * union_est // k_used AS BIGINT) AS inter_est,
+  CAST(n_both * 1000 // k_used AS BIGINT) AS jaccard_x1000
+FROM agg
+"""
+
+
 def doc_familiarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-familiarity scoring (functions/text.py::corpus_
     familiarity) — the integer-exact cousin of CCNet's LM-perplexity
@@ -6910,6 +6959,7 @@ QUERIES: dict[str, tuple] = {
     "doc_familiarity": (doc_familiarity_q, ORACLE_FAMILIARITY),
     "doc_c4_clean": (doc_c4_clean_q, ORACLE_C4_CLEAN),
     "user_count_kmv": (user_count_kmv_q, ORACLE_KMV),
+    "user_overlap_kmv": (user_overlap_kmv_q, ORACLE_KMV_OVERLAP),
     "doc_decontaminate": (doc_decontaminate_q, ORACLE_DECONTAMINATE),
     "doc_fingerprint_groups": (doc_fingerprint_groups_q, ORACLE_FP_GROUPS),
     "emb_cosine_topk": (emb_cosine_topk_q, ORACLE_COSINE_TOPK),

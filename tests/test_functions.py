@@ -542,3 +542,15 @@ def test_kmv_distinct_accuracy_and_exact_path(spark):
 
     with _pytest.raises(ValueError):
         kmv_distinct(big, "v", k=1)
+
+
+def test_kmv_overlap_exact_small_sets(spark):
+    """Below k the sketch is exact: known overlap recovered exactly."""
+    from dexspark.functions.sketches import kmv_overlap
+
+    a = spark.range(0, 100).selectExpr("id AS v")        # 0..99
+    b = spark.range(50, 200).selectExpr("id AS v")       # 50..199
+    r = kmv_overlap(a, b, "v", k=1024).first()
+    assert r.k_used == 200 and r.union_est == 200
+    assert r.n_both == 50 and r.inter_est == 50
+    assert r.jaccard_x1000 == 250
