@@ -701,6 +701,35 @@ def cmd_constraint(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Column profile for a lake table: per-column KMV distinct
+    estimate (functions/sketches.py — reproducible, unlike HLL) plus
+    null count, and the table's metadata-provable row count. One
+    distinct-hash shuffle per profiled column — the scheduled
+    data-profiling job, not a per-batch path."""
+    from dexspark.functions.sketches import kmv_distinct
+
+    spark = _spark(args)
+    t = LakeTable(spark, args.table)
+    df = t.read()
+    cols = args.columns.split(",") if args.columns else df.columns
+    import pyspark.sql.functions as F
+
+    nulls = df.agg(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols]
+    ).first()
+    out = {"table": args.table, "rows": t.count_rows(), "columns": {}}
+    for c in cols:
+        r = kmv_distinct(df, c, k=args.k).first()
+        out["columns"][c] = {
+            "distinct_est": int(r.distinct_est),
+            "exact": bool(r.n_hashes < args.k),
+            "nulls": int(nulls[c] or 0),
+        }
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_status(args) -> int:
     spark = _spark(args)
     t = LakeTable(spark, args.table)
@@ -1146,6 +1175,17 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("status", help="print table status")
     s.add_argument("--table", required=True)
     s.set_defaults(fn=cmd_status)
+
+    pf = sub.add_parser(
+        "profile",
+        help="per-column distinct estimates (KMV sketch) + null counts",
+    )
+    pf.add_argument("--table", required=True)
+    pf.add_argument(
+        "--columns", default=None, help="comma-separated (default: all)"
+    )
+    pf.add_argument("--k", type=int, default=1024)
+    pf.set_defaults(fn=cmd_profile)
 
     args = p.parse_args(argv)
     return args.fn(args)

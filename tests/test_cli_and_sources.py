@@ -645,3 +645,24 @@ def test_cli_constraint_lifecycle(spark, tmp_table_dir, capsys):
     assert main(["status", "--table", d]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "k_nn" in out["constraints"]
+
+
+def test_cli_profile(spark, tmp_table_dir, capsys):
+    """`dexspark profile`: exact distinct counts below k, null counts."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    d = os.path.join(tmp_table_dir, "pf")
+    schema = StructType(
+        [StructField("k", StringType()), StructField("n", IntegerType())]
+    )
+    t = LakeTable.create(spark, d, schema, bucket_key="k", num_buckets=2)
+    t.append(
+        spark.createDataFrame(
+            [("a", 1), ("b", 1), ("c", None), ("a", 2)], schema
+        )
+    )
+    assert main(["profile", "--table", d]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 4
+    assert out["columns"]["k"] == {"distinct_est": 3, "exact": True, "nulls": 0}
+    assert out["columns"]["n"] == {"distinct_est": 2, "exact": True, "nulls": 1}
