@@ -45,9 +45,11 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
     the column's distinct count is below k and ``distinct_est`` is
     EXACT); ``kth_min`` = the k-th smallest distinct hash;
     ``distinct_est`` = (k-1)·M div kth_min, exact int64 arithmetic.
-    Standard error ~ 1/sqrt(k) (~3% at k=1024)."""
-    if not 1 < k <= 1_000_000:
-        raise ValueError(f"k must be in (1, 1e6], got {k}")
+    Standard error ~ 1/sqrt(k) (~3% at k=1024). k is capped at 2^15 so
+    (k-1)·M provably fits int64 ((2^15)·2^48 = 2^63) — silent int64
+    wraparound would be a wrong answer, not an error."""
+    if not 1 < k <= 32768:
+        raise ValueError(f"k must be in (1, 32768], got {k}")
     # NULLs are excluded explicitly (a NULL hashes to NULL, and the
     # engines disagree on NULL sort placement — Spark first, most SQL
     # engines last): the sketch counts distinct NON-NULL values
@@ -89,9 +91,12 @@ def kmv_overlap(
     the intersection size. Returns one row:
     ``(k_used, n_both, union_est, inter_est, jaccard_x1000)`` — all
     exact int64 arithmetic over md5-derived hashes, so the estimator
-    is engine-reproducible like ``kmv_distinct``."""
-    if not 1 < k <= 1_000_000:
-        raise ValueError(f"k must be in (1, 1e6], got {k}")
+    is engine-reproducible like ``kmv_distinct``. ``inter_est`` is
+    computed as n_both·(U div k) + (n_both·(U mod k)) div k — the
+    exact same floor(n_both·U/k) value (integer identity) without the
+    n_both·U product, which could silently wrap int64 at large k·U."""
+    if not 1 < k <= 32768:
+        raise ValueError(f"k must be in (1, 32768], got {k}")
     col_b = col_b or col_a
     ha = (
         df_a.select(kmv_hash(F.col(col_a)).alias("_h"))
@@ -130,6 +135,9 @@ def kmv_overlap(
         "k_used",
         "n_both",
         "union_est",
-        F.expr("n_both * union_est div k_used").cast("long").alias("inter_est"),
+        F.expr(
+            "n_both * (union_est div k_used) + "
+            "(n_both * (union_est % k_used)) div k_used"
+        ).cast("long").alias("inter_est"),
         F.expr("n_both * 1000 div k_used").cast("long").alias("jaccard_x1000"),
     )
