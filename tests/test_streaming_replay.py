@@ -417,3 +417,41 @@ def test_stream_replay_maintain_policy(spark, tmp_table_dir):
             _parse_datatype_string(LOG_SCHEMA),
             compact_every=2, maintain_policy={},
         )
+
+
+def test_stream_replay_enforces_table_constraints(spark, tmp_table_dir):
+    """Table-declared CHECK constraints bind to the STREAMING ingest
+    too (the foreachBatch body is apply_changes): a drop-mode
+    expectation quarantines violating rows per micro-batch; the final
+    state contains no turn past the cap."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    log = gen_change_log(spark, 2000, n_convs=40, n_batches=2)
+    table, log_dir, _ = _setup(spark, tmp_table_dir)
+    table.add_constraint("turn_cap", "turn_idx < 8", on_violation="drop")
+    q = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "quarantine"),
+        StructType(
+            list(_parse_datatype_string(LOG_SCHEMA).fields)
+            + [
+                StructField("reject_reason", StringType()),
+                StructField("batch_id", StringType()),
+            ]
+        ),
+        "conv_id", 2,
+    )
+    log.coalesce(2).write.parquet(log_dir, mode="append")
+    replay = CdcStreamReplay(
+        spark, table, log_dir,
+        os.path.join(tmp_table_dir, "checkpoint"),
+        _parse_datatype_string(LOG_SCHEMA),
+        quarantine=q,
+    )
+    replay.run_available()
+    assert table.read().agg(F.max("turn_idx")).first()[0] < 8
+    reasons = {
+        r.reject_reason for r in q.read().select("reject_reason").distinct().collect()
+    }
+    assert "constraint:turn_cap" in reasons
+    rejected = sum(r.get("rejected", 0) for r in replay.results if not r.get("skipped"))
+    assert rejected == q.read().count() > 0
