@@ -390,3 +390,20 @@ def test_cli_ingest_snapshot_feed_scd2(spark, tmp_path, capsys):
         for r in h.read().collect()
     }
     assert got == {("a", 5, 9, False), ("a2", 9, None, True)}
+
+
+def test_apply_snapshot_mor_strategy(spark, tmp_table_dir):
+    """Snapshot ingest over the merge-on-read write path: state equals
+    the COW result across deliveries and a compaction."""
+    t = _mk(spark, tmp_table_dir)
+    apply_snapshot(
+        t, _snap(spark, [("c1", 0, "user", "a"), ("c2", 0, "user", "b")]),
+        snapshot_lsn=10, cfg=CFG, strategy="mor",
+    )
+    apply_snapshot(
+        t, _snap(spark, [("c1", 0, "user", "a2")]),
+        snapshot_lsn=20, cfg=CFG, strategy="mor",
+    )
+    assert _state(t) == {("c1", 0): ("user", "a2")}
+    t.compact()
+    assert _state(t) == {("c1", 0): ("user", "a2")}
