@@ -6876,8 +6876,81 @@ WHERE hv < CASE WHEN n <= {_CAP} THEN 16777216
 
 
 QUERIES: dict[str, tuple] = {
+    # ------------------------------------------------------------------
+    # Driver evidence window. The driver checks the FIRST 50 entries of
+    # queries() each round (CORRECTNESS_r{N}.json caps at 50). Rounds 1-4
+    # banked hard rows for 84 queries; the 48 below had only the local
+    # type-exact gate (tools/check_oracles.py), so round 5 rotates them
+    # into the window per VERDICT r4 item #1. The carried-green queries
+    # that leave the window stay protected by tests/test_query_oracles.py
+    # and the full local gate.
+    # ------------------------------------------------------------------
+    "stream_sliding_window": (stream_sliding_window_q, ORACLE_SLIDING_WINDOW),
+    "stream_interval_join": (stream_interval_join_q, ORACLE_INTERVAL_JOIN),
+    "stream_interval_join_outer": (
+        stream_interval_join_outer_q,
+        ORACLE_INTERVAL_JOIN_OUTER,
+    ),
+    "stream_dedup_deliveries": (stream_dedup_deliveries_q, ORACLE_STREAM_DEDUP),
+    "cdc_snapshot_ingest": (cdc_snapshot_ingest_q, ORACLE_REPLAY),
+    "cdc_bootstrap_then_tail": (cdc_bootstrap_then_tail_q, ORACLE_REPLAY),
+    "q2_min_cost_supplier": (q2_min_cost_supplier_q, ORACLE_Q2),
+    "q7_trade_pairs": (q7_trade_pairs_q, ORACLE_Q7),
+    "q8_market_share": (q8_market_share_q, ORACLE_Q8),
+    "q9_product_type_profit": (q9_product_type_profit_q, ORACLE_Q9),
+    "q10_returned_items": (q10_returned_items_q, ORACLE_Q10),
+    "q11_important_parts": (q11_important_parts_q, ORACLE_Q11),
+    "q12_priority_class": (q12_priority_class_q, ORACLE_Q12),
+    "q13_customer_distribution": (q13_customer_distribution_q, ORACLE_Q13),
+    "q14_promo_revenue": (q14_promo_revenue_q, ORACLE_Q14),
+    "q15_top_supplier": (q15_top_supplier_q, ORACLE_Q15),
+    "q16_supplier_part_cnt": (q16_supplier_part_cnt_q, ORACLE_Q16),
+    "q18_large_orders": (q18_large_orders_q, ORACLE_Q18),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue_q, ORACLE_Q19),
+    "q20_dominant_suppliers": (q20_dominant_suppliers_q, ORACLE_Q20),
+    "q21_waiting_supplier": (q21_waiting_supplier_q, ORACLE_Q21),
+    "q22_dormant_customers": (q22_dormant_customers_q, ORACLE_Q22),
+    "cdc_scd2_from_snapshots": (
+        cdc_scd2_from_snapshots_q,
+        ORACLE_SCD2_FROM_SNAPSHOTS,
+    ),
+    "cdc_log_gap_audit": (cdc_log_gap_audit_q, ORACLE_LOG_GAP_AUDIT),
+    "cdc_replay_constrained": (
+        cdc_replay_constrained_q,
+        ORACLE_REPLAY_CONSTRAINED,
+    ),
+    "conv_assembly": (conv_assembly_q, ORACLE_CONV_ASSEMBLY),
+    "doc_boilerplate_removal": (
+        doc_boilerplate_removal_q,
+        ORACLE_BOILERPLATE,
+    ),
+    "corpus_curation_v2": (corpus_curation_v2_q, _oracle_curation_v2()),
+    "doc_near_dup_incremental": (doc_near_dup_incremental_q, ORACLE_NEAR_DUP),
+    "doc_ingest_dedup_gate": (doc_ingest_dedup_gate_q, ORACLE_INGEST_GATE),
+    "corpus_curation_pipeline": (corpus_curation_pipeline_q, ORACLE_CURATION),
+    "doc_pii_redact": (doc_pii_redact_q, _pii_oracle_sql()),
+    "doc_repetition_stats": (doc_repetition_stats_q, ORACLE_REPETITION),
+    "doc_familiarity": (doc_familiarity_q, ORACLE_FAMILIARITY),
+    "doc_c4_clean": (doc_c4_clean_q, ORACLE_C4_CLEAN),
+    "user_count_kmv": (user_count_kmv_q, ORACLE_KMV),
+    "user_overlap_kmv": (user_overlap_kmv_q, ORACLE_KMV_OVERLAP),
+    "doc_decontaminate": (doc_decontaminate_q, ORACLE_DECONTAMINATE),
+    "emb_quantized_topk": (emb_quantized_topk_q, ORACLE_QUANTIZED_TOPK),
+    "emb_ann_multiband_topk": (emb_ann_multiband_topk_q, _ann_multiband_oracle_sql()),
+    "emb_ivf_incremental_topk": (emb_ivf_incremental_topk_q, _ivf_oracle_sql()),
+    "emb_semantic_dedup": (emb_semantic_dedup_q, _semdedup_oracle_sql()),
+    "doc_train_split": (doc_train_split_q, _oracle_train_split()),
+    "doc_stratified_sample": (doc_stratified_sample_q, _oracle_stratified_sample()),
+    "doc_source_cap_sample": (doc_source_cap_sample_q, ORACLE_SOURCE_CAP),
+    "doc_context_chunks": (doc_context_chunks_q, ORACLE_CONTEXT_CHUNKS),
+    "doc_pack_sequences": (doc_pack_sequences_q, ORACLE_PACK_SEQUENCES),
+    "corpus_training_run": (corpus_training_run_q, _oracle_training_run()),
+    # -- slots 49-50: reserved for round-5 additions --
     "pipeline_doc_words": (pipeline_doc_words_q, ORACLE_PIPELINE_WORDS),
     "pipeline_config_doc_words": (pipeline_config_doc_words_q, ORACLE_PIPELINE_WORDS),
+    # ------------------------------------------------------------------
+    # Below this line: driver-green in rounds 1-4 (see CORRECTNESS_r0*).
+    # ------------------------------------------------------------------
     "cdc_replay_final_state": (cdc_replay_final_state, ORACLE_REPLAY),
     "cdc_stream_replay_final_state": (cdc_stream_replay_final_state, ORACLE_REPLAY),
     "cdc_schema_evolution_replay": (cdc_schema_evolution_replay, ORACLE_EVOLUTION),
@@ -6938,59 +7011,27 @@ QUERIES: dict[str, tuple] = {
     "lake_zorder_scan": (lake_zorder_scan_q, ORACLE_ZORDER_SCAN),
     "cdc_change_feed": (cdc_change_feed_q, ORACLE_CHANGE_FEED),
     "conv_progress_stateful": (conv_progress_stateful_q, ORACLE_CONV_PROGRESS),
-    # -- corpus curation / similarity / multimodal --
     "doc_quality_scores": (doc_quality_scores_q, ORACLE_QUALITY),
     "doc_lang_id": (doc_lang_id_q, ORACLE_LANG),
     "doc_near_dup_pairs": (doc_near_dup_pairs_q, ORACLE_NEAR_DUP),
     "doc_dedup_groups": (doc_dedup_groups_q, ORACLE_DEDUP_GROUPS),
     "doc_span_dedup": (doc_span_dedup_q, ORACLE_SPAN_DEDUP),
     "doc_containment_pairs": (doc_containment_pairs_q, ORACLE_CONTAINMENT),
-    "doc_boilerplate_removal": (
-        doc_boilerplate_removal_q,
-        ORACLE_BOILERPLATE,
-    ),
-    "corpus_curation_v2": (corpus_curation_v2_q, _oracle_curation_v2()),
-    "doc_near_dup_incremental": (doc_near_dup_incremental_q, ORACLE_NEAR_DUP),
-    "doc_ingest_dedup_gate": (doc_ingest_dedup_gate_q, ORACLE_INGEST_GATE),
-    "corpus_curation_pipeline": (corpus_curation_pipeline_q, ORACLE_CURATION),
     "doc_simhash_near_dups": (doc_simhash_near_dups_q, ORACLE_SIMHASH),
-    "doc_pii_redact": (doc_pii_redact_q, _pii_oracle_sql()),
-    "doc_repetition_stats": (doc_repetition_stats_q, ORACLE_REPETITION),
-    "doc_familiarity": (doc_familiarity_q, ORACLE_FAMILIARITY),
-    "doc_c4_clean": (doc_c4_clean_q, ORACLE_C4_CLEAN),
-    "user_count_kmv": (user_count_kmv_q, ORACLE_KMV),
-    "user_overlap_kmv": (user_overlap_kmv_q, ORACLE_KMV_OVERLAP),
-    "doc_decontaminate": (doc_decontaminate_q, ORACLE_DECONTAMINATE),
     "doc_fingerprint_groups": (doc_fingerprint_groups_q, ORACLE_FP_GROUPS),
     "emb_cosine_topk": (emb_cosine_topk_q, ORACLE_COSINE_TOPK),
-    "emb_quantized_topk": (emb_quantized_topk_q, ORACLE_QUANTIZED_TOPK),
     "emb_ann_lsh_topk": (emb_ann_lsh_topk_q, ORACLE_ANN_TOPK),
-    "emb_ann_multiband_topk": (emb_ann_multiband_topk_q, _ann_multiband_oracle_sql()),
     "emb_ivf_topk": (emb_ivf_topk_q, _ivf_oracle_sql()),
-    "emb_ivf_incremental_topk": (emb_ivf_incremental_topk_q, _ivf_oracle_sql()),
     "emb_cosine_near_dups": (emb_cosine_near_dups_q, ORACLE_EMB_NEAR_DUPS),
-    "emb_semantic_dedup": (emb_semantic_dedup_q, _semdedup_oracle_sql()),
     "media_feature_stats": (media_feature_stats_q, ORACLE_MEDIA),
     "doc_gzip_unpack_roundtrip": (doc_gzip_unpack_roundtrip_q, ORACLE_GZIP_UNPACK),
     "cdc_dedup_latest": (cdc_dedup_latest_q, ORACLE_DEDUP),
-    "conv_assembly": (conv_assembly_q, ORACLE_CONV_ASSEMBLY),
     "cdc_validate_rejects": (cdc_validate_rejects_q, ORACLE_REJECTS),
-    "cdc_replay_constrained": (
-        cdc_replay_constrained_q,
-        ORACLE_REPLAY_CONSTRAINED,
-    ),
     "cdc_validate_ts_monotonic": (
         cdc_validate_ts_monotonic_q,
         ORACLE_TS_MONOTONIC,
     ),
     "cdc_lineage_batches": (cdc_lineage_batches_q, ORACLE_LINEAGE),
-    "cdc_log_gap_audit": (cdc_log_gap_audit_q, ORACLE_LOG_GAP_AUDIT),
-    "cdc_bootstrap_then_tail": (cdc_bootstrap_then_tail_q, ORACLE_REPLAY),
-    "cdc_snapshot_ingest": (cdc_snapshot_ingest_q, ORACLE_REPLAY),
-    "cdc_scd2_from_snapshots": (
-        cdc_scd2_from_snapshots_q,
-        ORACLE_SCD2_FROM_SNAPSHOTS,
-    ),
     "cdc_quarantine_reprocess": (
         cdc_quarantine_reprocess_q,
         ORACLE_QUARANTINE_REPROCESS,
@@ -6998,13 +7039,6 @@ QUERIES: dict[str, tuple] = {
     "cdc_config_hot_reload": (cdc_config_hot_reload_q, ORACLE_HOT_RELOAD),
     "stream_window_late_data": (stream_window_late_data_q, ORACLE_STREAM_WINDOW),
     "stream_session_windows": (stream_session_windows_q, ORACLE_SESSION_WINDOWS),
-    "stream_sliding_window": (stream_sliding_window_q, ORACLE_SLIDING_WINDOW),
-    "stream_interval_join": (stream_interval_join_q, ORACLE_INTERVAL_JOIN),
-    "stream_interval_join_outer": (
-        stream_interval_join_outer_q,
-        ORACLE_INTERVAL_JOIN_OUTER,
-    ),
-    "stream_dedup_deliveries": (stream_dedup_deliveries_q, ORACLE_STREAM_DEDUP),
     "route_events": (route_events_q, ORACLE_ROUTE),
     "route_events_2key": (route_events_2key_q, ORACLE_ROUTE_2KEY),
     "routed_sink_readback": (routed_sink_readback_q, ORACLE_SINK_READBACK),
@@ -7015,22 +7049,6 @@ QUERIES: dict[str, tuple] = {
     "q6_forecast_revenue": (q6_forecast_revenue_q, ORACLE_Q6),
     "q4_order_priority": (q4_order_priority_q, ORACLE_Q4),
     "q17_small_quantity": (q17_small_quantity_q, ORACLE_Q17),
-    "q13_customer_distribution": (q13_customer_distribution_q, ORACLE_Q13),
-    "q18_large_orders": (q18_large_orders_q, ORACLE_Q18),
-    "q7_trade_pairs": (q7_trade_pairs_q, ORACLE_Q7),
-    "q10_returned_items": (q10_returned_items_q, ORACLE_Q10),
-    "q14_promo_revenue": (q14_promo_revenue_q, ORACLE_Q14),
-    "q16_supplier_part_cnt": (q16_supplier_part_cnt_q, ORACLE_Q16),
-    "q19_disjunctive_revenue": (q19_disjunctive_revenue_q, ORACLE_Q19),
-    "q22_dormant_customers": (q22_dormant_customers_q, ORACLE_Q22),
-    "q2_min_cost_supplier": (q2_min_cost_supplier_q, ORACLE_Q2),
-    "q11_important_parts": (q11_important_parts_q, ORACLE_Q11),
-    "q12_priority_class": (q12_priority_class_q, ORACLE_Q12),
-    "q15_top_supplier": (q15_top_supplier_q, ORACLE_Q15),
-    "q20_dominant_suppliers": (q20_dominant_suppliers_q, ORACLE_Q20),
-    "q21_waiting_supplier": (q21_waiting_supplier_q, ORACLE_Q21),
-    "q8_market_share": (q8_market_share_q, ORACLE_Q8),
-    "q9_product_type_profit": (q9_product_type_profit_q, ORACLE_Q9),
     "churned_buyers": (churned_buyers_q, ORACLE_CHURNED),
     "lang_length_median": (lang_length_median_q, _oracle_lang_median()),
     "top_trigrams": (top_trigrams_q, ORACLE_TRIGRAMS),
@@ -7039,10 +7057,4 @@ QUERIES: dict[str, tuple] = {
     "q5_nation_volume": (q5_nation_volume, ORACLE_Q5),
     "doc_token_stats": (doc_token_stats, ORACLE_TOKENS),
     "doc_exact_dedup": (doc_exact_dedup_q, ORACLE_EXACT_DEDUP),
-    "doc_train_split": (doc_train_split_q, _oracle_train_split()),
-    "doc_stratified_sample": (doc_stratified_sample_q, _oracle_stratified_sample()),
-    "doc_source_cap_sample": (doc_source_cap_sample_q, ORACLE_SOURCE_CAP),
-    "doc_context_chunks": (doc_context_chunks_q, ORACLE_CONTEXT_CHUNKS),
-    "doc_pack_sequences": (doc_pack_sequences_q, ORACLE_PACK_SEQUENCES),
-    "corpus_training_run": (corpus_training_run_q, _oracle_training_run()),
 }
