@@ -622,6 +622,27 @@ def cmd_ingest_snapshot(args) -> int:
             scd2=args.scd2,
         )
     else:
+        # --payload-schema NULL-fills columns absent from the delivery
+        # (both formats), which would defeat snapshot_changes's
+        # partial-snapshot refusal and wipe those columns table-wide —
+        # check the delivery's wire schema against the TABLE payload
+        # first (parquet: footer-only; json: inference pass)
+        from dexspark.cdc.scd2 import SCD2_COLS
+        from dexspark.cdc.snapshot import (
+            delivered_columns,
+            refuse_partial_delivery,
+        )
+
+        required = [
+            f.name
+            for f in table.schema().fields
+            if not (args.scd2 and f.name in SCD2_COLS)
+        ]
+        refuse_partial_delivery(
+            delivered_columns(spark, args.snapshot, fmt=args.format),
+            required,
+            args.snapshot,
+        )
         reader = spark.read.schema(schema)
         snapshot = (
             reader.parquet(args.snapshot)

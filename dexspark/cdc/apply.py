@@ -91,9 +91,10 @@ def apply_changes(
     # table-declared CHECK constraints join the validation stage
     # (lake/constraints.py): "drop"-mode expectations extend the reject
     # reason chain (quarantined + counted like any validation reject);
-    # "fail"-mode invariants ride the same Observation and abort the
-    # batch BEFORE anything commits. merge() skips its own check when
-    # given bucket_stats — this pass is the enforcement point.
+    # "fail"-mode invariants are counted on the post-dedup change set
+    # (see below) and abort the batch BEFORE anything commits. merge()
+    # skips its own check when given bucket_stats — this pass is the
+    # enforcement point.
     defs = table.constraints()
     drop_defs = {n: d for n, d in defs.items() if d["on_violation"] == "drop"}
     fail_defs = {n: d for n, d in defs.items() if d["on_violation"] == "fail"}
@@ -114,9 +115,6 @@ def apply_changes(
                 lake_ct.drop_mode_reason(drop_defs, skip=is_del),
             ),
         )
-    fail_aggs = lake_ct.violation_count_aggs(
-        fail_defs, skip=is_del | F.col(REASON_COL).isNotNull()
-    )
     flagged = (
         flagged.observe(
             obs,
@@ -125,7 +123,6 @@ def apply_changes(
                 F.count(F.when(F.col(REASON_COL) == r, 1)).alias(r)
                 for r in reasons
             ],
-            *fail_aggs,
         )
         .persist()
     )
@@ -134,9 +131,21 @@ def apply_changes(
         rejects = flagged.filter(F.col(REASON_COL).isNotNull())
         valid = flagged.filter(F.col(REASON_COL).isNull()).drop(REASON_COL)
 
+        # fail-mode CHECK invariants are counted on the POST-dedup
+        # change set — the rows the merge would actually write — so a
+        # violating event superseded in the same batch by a newer valid
+        # image does not poison the batch (Delta CHECK semantics:
+        # constraints bind to rows written, not events observed). Rides
+        # the lineage job via a second Observation, still zero extra
+        # jobs.
+        fail_aggs = lake_ct.violation_count_aggs(fail_defs, skip=is_del)
+        obs_fail = Observation()
         deduped = dedupe_latest(
             valid, list(cfg.key_cols), cfg.lsn_col, salt_buckets=salt_buckets
-        ).persist()
+        )
+        if fail_defs:
+            deduped = deduped.observe(obs_fail, *fail_aggs)
+        deduped = deduped.persist()
 
         # per-bucket lineage (≙ ActivityParams per-branch lineage,
         # ActivityDtos.kt:20-25): offset range + applied count per bucket.
@@ -164,9 +173,6 @@ def apply_changes(
             rejected_by_reason = {
                 r: int(metrics[r]) for r in reasons if metrics[r]
             }
-            fail_counts = {
-                n: int(metrics["_cviol_" + n] or 0) for n in fail_defs
-            }
         except Exception:
             # all-invalid batch: AQE's empty-relation propagation
             # replaces the (empty) valid subtree at runtime and the
@@ -179,14 +185,22 @@ def apply_changes(
             }
             n_rejected = sum(counts.values())
             rejected_by_reason = counts
-            fail_counts = {}
-            if fail_defs:
-                row = flagged.filter(
-                    ~(is_del | F.col(REASON_COL).isNotNull())
-                ).agg(*fail_aggs).first()
+        fail_counts = {}
+        if fail_defs:
+            try:
+                fmetrics = obs_fail.get
                 fail_counts = {
-                    n: int(row["_cviol_" + n] or 0) for n in fail_defs
+                    n: int(fmetrics["_cviol_" + n] or 0) for n in fail_defs
                 }
+            except Exception:
+                # same AQE empty-relation hazard when the deduped
+                # change set is empty — recount over the cache
+                row = deduped.filter(~is_del).agg(*fail_aggs).first()
+                fail_counts = (
+                    {n: int(row["_cviol_" + n] or 0) for n in fail_defs}
+                    if row is not None
+                    else {n: 0 for n in fail_defs}
+                )
         # a "fail"-mode invariant violation aborts the whole batch
         # atomically — before the quarantine append, before the merge
         # (the orchestrator's retry redelivers it; ≙ the reference's

@@ -231,7 +231,30 @@ def apply_changes_scd2(
         f.name for f in history.schema().fields if f.name not in SCD2_COLS
     ]
 
-    flagged = flag_events(events, cfg).persist()
+    # drop-mode expectations bind to the SCD2 ingest path exactly like
+    # apply_changes: a violating NEW image is quarantined with reason
+    # constraint:<name> instead of opening a history version (deletes
+    # exempt per the standard contract). Fail-mode invariants are
+    # enforced by merge's stats pass over the rebuilt rows — the rows
+    # actually written.
+    from dexspark.lake import constraints as lake_ct
+
+    drop_defs = {
+        n: d
+        for n, d in history.constraints().items()
+        if d["on_violation"] == "drop"
+    }
+    flagged = flag_events(events, cfg)
+    if drop_defs:
+        is_del = F.col(cfg.op_col) == F.lit(cfg.delete_op)
+        flagged = flagged.withColumn(
+            REASON_COL,
+            F.coalesce(
+                F.col(REASON_COL),
+                lake_ct.drop_mode_reason(drop_defs, skip=is_del),
+            ),
+        )
+    flagged = flagged.persist()
     new_ev = None
     try:
         rejects = flagged.filter(F.col(REASON_COL).isNotNull())

@@ -68,6 +68,43 @@ from dexspark.lake.table import LakeTable
 SUMMARY_KEY = "snapshot_lsn"
 
 
+def delivered_columns(spark, path: str, fmt: str = "parquet") -> list[str]:
+    """Columns ACTUALLY present in a delivery, independent of any read
+    schema the consumer imposes: parquet is self-describing (footer
+    schema, no data read); JSON lines are schema-inferred (one extra
+    pass over the delivery — snapshot-sized, the same order as the
+    diff's O(table) read, and the price of a wire format that carries
+    no schema).
+
+    Exists because a schema-imposed read NULL-fills absent columns, so
+    ``snapshot_changes``'s partial-snapshot refusal — which compares
+    the *DataFrame's* columns — would never fire, and the derived U
+    events would silently wipe that column table-wide: exactly the
+    corruption the guard promises to refuse loudly."""
+    if fmt == "parquet":
+        return [f.name for f in spark.read.parquet(path).schema.fields]
+    return [f.name for f in spark.read.json(path).schema.fields]
+
+
+def refuse_partial_delivery(
+    present: Iterable[str], required: Iterable[str], path: str
+) -> None:
+    """Refuse a delivery whose on-wire columns do not cover the table
+    payload (see ``delivered_columns``). ``required`` is the TABLE's
+    payload — not the read schema — so a delivery that predates a
+    table column is caught even when the consumer's configured schema
+    matches the delivery."""
+    present = set(present)
+    missing = [c for c in required if c not in present]
+    if missing:
+        raise ValueError(
+            f"snapshot delivery {path!r} lacks table columns {missing}: "
+            "a schema-imposed read would NULL-fill them and the derived "
+            "U events would wipe the column on every changed row — fix "
+            "the producer, or drop the columns from the table first"
+        )
+
+
 def last_snapshot_lsn(table: LakeTable) -> int | None:
     """Watermark of the latest applied snapshot on the live lineage
     (rollbacks rewind it with everything else) — a root-only metadata
@@ -272,7 +309,8 @@ def ingest_snapshot_feed(
             continue
         if fmt == "parquet":
             # self-describing: a delivery carrying NEW columns keeps
-            # them (schema evolution flows through apply_snapshot)
+            # them (schema evolution flows through apply_snapshot), and
+            # one MISSING a column trips snapshot_changes's guard
             snap = table.spark.read.parquet(path)
         else:
             json_schema = table.schema()
@@ -284,6 +322,15 @@ def ingest_snapshot_feed(
                 json_schema = _St(
                     [f for f in json_schema.fields if f.name not in SCD2_COLS]
                 )
+            # the imposed schema NULL-fills absent columns, which would
+            # sail past snapshot_changes's partial-snapshot refusal —
+            # check the wire schema first (inference pass; see
+            # delivered_columns)
+            refuse_partial_delivery(
+                delivered_columns(table.spark, path, fmt="json"),
+                [f.name for f in json_schema.fields],
+                path,
+            )
             snap = table.spark.read.schema(json_schema).json(path)
         if scd2:
             results.append(

@@ -593,6 +593,11 @@ def containment_pairs(
 
     Returns (id_contained, id_container, n_shared, n_shingles,
     containment_x1000) for ordered pairs over the threshold."""
+    # persisted: the exploded frame feeds the size count, the doc-freq
+    # count, AND the cold-shingle join; lifetime is left to Spark's LRU
+    # eviction — the same rule as the near-dup signature and
+    # familiarity bigram persists (an unpersist here would fire before
+    # the caller materializes the lazily-returned result)
     ex = (
         df.select(
             F.col(id_col).alias("_doc"),

@@ -666,9 +666,15 @@ def semantic_dedup(
     10^9 vectors raise ``n_centroids`` so cells stay bounded (the
     paper uses k ~ sqrt(n)); a pathological hot cell responds to AQE
     skew handling like any hot join key."""
+    # persisted: `cells` feeds the self-join's BOTH sides and the final
+    # join-back, so without this the Arrow centroid-scoring pass runs
+    # three times per call (lifetime left to Spark's LRU eviction, the
+    # same rule as the near-dup signature persist)
+    from pyspark import StorageLevel
+
     cells = ivf_assign_cells(
         corpus, dim, n_centroids, seed, id_col, vec_col
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = cells.select(
         F.col("_nid").alias("_ida"), F.col("_nvec").alias("_va"), "_cell"
     )

@@ -407,3 +407,70 @@ def test_apply_snapshot_mor_strategy(spark, tmp_table_dir):
     assert _state(t) == {("c1", 0): ("user", "a2")}
     t.compact()
     assert _state(t) == {("c1", 0): ("user", "a2")}
+
+
+def test_json_feed_partial_delivery_refused(spark, tmp_table_dir, tmp_path):
+    """ADVICE r4 (medium): the JSON feed branch reads under the table
+    schema, which NULL-fills columns the delivery never carried — the
+    wire-schema check must refuse the delivery BEFORE the diff would
+    derive U events wiping that column table-wide."""
+    import json as _json
+
+    from dexspark.cdc.snapshot import ingest_snapshot_feed
+
+    t = _mk(spark, tmp_table_dir)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    d1 = feed / "snapshot-10"
+    d1.mkdir()
+    (d1 / "part-0.json").write_text(
+        _json.dumps(
+            {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "a"}
+        )
+        + "\n"
+    )
+    res = ingest_snapshot_feed(t, str(feed), fmt="json", cfg=CFG)
+    assert [r["snapshot_lsn"] for r in res] == [10]
+    assert _state(t) == {("c1", 0): ("user", "a")}
+
+    # second delivery silently drops the `text` column — refused, and
+    # the table keeps its state
+    d2 = feed / "snapshot-20"
+    d2.mkdir()
+    (d2 / "part-0.json").write_text(
+        _json.dumps({"conv_id": "c1", "turn_idx": 0, "role": "user"}) + "\n"
+    )
+    with pytest.raises(ValueError, match=r"lacks table columns \['text'\]"):
+        ingest_snapshot_feed(t, str(feed), fmt="json", cfg=CFG)
+    assert _state(t) == {("c1", 0): ("user", "a")}
+
+
+def test_cli_schema_imposed_partial_snapshot_refused(spark, tmp_path, capsys):
+    """ADVICE r4 (medium), CLI variant: --payload-schema imposes the
+    read schema on parquet too, so a delivery written before the table
+    gained a column must be refused by the footer-schema check, not
+    NULL-filled through the diff."""
+    import json as _json
+
+    from dexspark.__main__ import main
+
+    ddl = "conv_id string, turn_idx int, role string, text string"
+    tdir = str(tmp_path / "t")
+    s1 = str(tmp_path / "s1")
+    _snap(spark, [("c1", 0, "user", "a")]).write.parquet(s1)
+    base = ["ingest-snapshot", "--table", tdir, "--payload-schema", ddl,
+            "--buckets", "4"]
+    assert main(base + ["--snapshot", s1, "--watermark", "10"]) == 0
+    capsys.readouterr()
+
+    # delivery lacking `text` on the wire, read schema still names it
+    narrow = StructType(
+        [f for f in SCHEMA.fields if f.name != "text"]
+    )
+    s2 = str(tmp_path / "s2")
+    spark.createDataFrame([("c1", 0, "assistant")], narrow).write.parquet(s2)
+    with pytest.raises(ValueError, match=r"lacks table columns \['text'\]"):
+        main(base + ["--snapshot", s2, "--watermark", "20"])
+    t = LakeTable(spark, tdir)
+    assert _state(t) == {("c1", 0): ("user", "a")}

@@ -200,3 +200,40 @@ def test_apply_changes_fail_mode_aborts_batch(spark, tmp_table_dir):
         cfg=CFG,
     )
     assert res["applied"] == 2
+
+
+def test_fail_mode_binds_to_rows_written_not_events(spark, tmp_table_dir):
+    """ADVICE r4: fail-mode CHECKs enforce on the post-dedup change set
+    (Delta CHECK semantics — rows actually written). A violating event
+    superseded in the same batch by a newer valid image for the same
+    key must NOT abort; an unsuperseded violation still must."""
+    t = _mk(spark, tmp_table_dir)
+    t.add_constraint("seq_cap", "seq < 100", on_violation="fail")
+    res = apply_changes(
+        t,
+        _chg(
+            spark,
+            [
+                ("a", 500, "bad", "I", 1),  # violates, superseded by lsn 2
+                ("a", 5, "good", "U", 2),
+                ("b", 1, "y", "I", 3),
+            ],
+        ),
+        batch_id="b0",
+        cfg=CFG,
+    )
+    assert res["applied"] == 2
+    assert {(r.k, r.seq) for r in t.read().collect()} == {("a", 5), ("b", 1)}
+
+    # redelivering the same batch stays a no-op (the old events-level
+    # enforcement made this a deterministic poison pill)
+    assert apply_changes(
+        t, _chg(spark, [("a", 500, "bad", "I", 1)]), batch_id="b0", cfg=CFG
+    )["skipped"]
+
+    # a violation that survives dedup still aborts atomically
+    with pytest.raises(ConstraintViolation):
+        apply_changes(
+            t, _chg(spark, [("c", 900, "z", "I", 10)]), batch_id="b1", cfg=CFG
+        )
+    assert t.read().filter(F.col("k") == "c").count() == 0

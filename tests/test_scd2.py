@@ -272,3 +272,61 @@ def test_scd2_temporal_join_interval_semantics(spark):
 
     with pytest.raises(ValueError, match="inner|left"):
         scd2_temporal_join(facts, hist, ["k"], how="full")
+
+
+def test_scd2_drop_mode_expectation_quarantines(spark, tmp_table_dir):
+    """ADVICE r4: drop-mode CHECK expectations bind to the SCD2 ingest
+    path too — a violating new image is quarantined with
+    constraint:<name> instead of opening a version; deletes are
+    exempt; fail-mode still aborts via merge's stats pass."""
+    from dexspark.cdc.validate import REASON_COL
+    from dexspark.lake.constraints import ConstraintViolation
+
+    h = _mk_history(spark, tmp_table_dir)
+    h.add_constraint(
+        "short_text", "length(text) <= 4", on_violation="drop"
+    )
+    q = LakeTable.create(
+        spark,
+        os.path.join(tmp_table_dir, "quar"),
+        _parse_datatype_string(
+            "lsn long, op string, conv_id string, turn_idx int, role string,"
+            " text string, tool string, ts timestamp, "
+            f"{REASON_COL} string, batch_id string"
+        ),
+        "conv_id",
+        2,
+    )
+    res = apply_changes_scd2(
+        h,
+        _events(
+            spark,
+            [
+                (10, "I", "c1", 0, "ok"),
+                (20, "U", "c1", 0, "waytoolong"),  # expectation violation
+                (30, "D", "c1", 0, None),  # delete exempt
+            ],
+        ),
+        batch_id="b0",
+        cfg=ValidationConfig(check_ts_monotonic=False),
+        quarantine=q,
+    )
+    assert res["rejected"] == 1
+    got = _versions(h)
+    # the violating U never opened a version: v1 runs 10→30, closed by D
+    assert got == {("c1", 0, 10): (30, True, False, "ok")}
+    qrows = q.read().collect()
+    assert [(r.conv_id, r[REASON_COL]) for r in qrows] == [
+        ("c1", "constraint:short_text")
+    ]
+
+    # fail-mode invariant aborts the batch before anything commits
+    h.add_constraint("idx_cap", "turn_idx < 100", on_violation="fail")
+    with pytest.raises(ConstraintViolation):
+        apply_changes_scd2(
+            h,
+            _events(spark, [(40, "I", "c9", 500, "x")]),
+            batch_id="b1",
+            cfg=ValidationConfig(check_ts_monotonic=False),
+        )
+    assert "b1" not in h.committed_batch_ids()
