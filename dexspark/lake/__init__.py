@@ -5,8 +5,11 @@ engine carries its own (deliberately small) lake-table layer with the
 four properties the CDC engine needs:
 
 1. **Atomic commits** — a table version is a single JSON manifest file
-   created with O_EXCL; readers see either the old or the new snapshot,
-   never a partial write (same idea as Iceberg's metadata pointer swap).
+   published create-if-absent through the pluggable CommitStore
+   (lake/commitstore.py: POSIX link(2) by default, an object-store
+   staged-PUT + CAS-pointer protocol for S3/GCS); readers see either
+   the old or the new snapshot, never a partial write (same idea as
+   Iceberg's metadata pointer swap).
 2. **Bucketed copy-on-write MERGE** — data files are hash-bucketed by
    key; a merge rewrites only the buckets its batch touches, so merge
    cost scales with batch locality, not table size (≙ Iceberg partition

@@ -102,7 +102,10 @@ class Catalog:
             fh.flush()
             os.fsync(fh.fileno())
         try:
-            os.link(tmp, _cat_path(self.cat_dir, version))  # create-if-absent
+            # create-if-absent via the active CommitStore
+            from dexspark.lake.commitstore import get_store
+
+            get_store().publish(tmp, _cat_path(self.cat_dir, version))
         finally:
             os.unlink(tmp)
 

@@ -8,9 +8,13 @@ Layout on disk::
       data/<commit-token>/_bucket=<i>/part-*.parquet
 
 A manifest is immutable once committed. Commit protocol: write the JSON
-to a temp name, then ``os.link`` it to its final ``v{N}.json`` name —
-link(2) fails with EEXIST if another writer won the race, giving
-optimistic-concurrency semantics with no external lock service.
+to a temp name, then publish it to its final ``v{N}.json`` name via the
+active CommitStore (lake/commitstore.py) — create-if-absent, raising
+FileExistsError if another writer won the race, giving
+optimistic-concurrency semantics. The default store is POSIX link(2)
+(no external lock service); ``DEXSPARK_COMMIT_STORE=catalog`` selects
+the object-store protocol (staged PUT + external-CAS pointer swap) for
+deployments without atomic create-if-absent.
 
 Format 2 — segmented file lists (≙ Iceberg's manifest-list → manifest
 indirection): a snapshot of a 100 TB table references ~10^6 data
@@ -40,6 +44,8 @@ import os
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
+
+from dexspark.lake import commitstore
 
 MANIFEST_DIR = "_manifests"
 SEGMENT_DIR = "segments"  # under MANIFEST_DIR
@@ -224,24 +230,11 @@ def _segment_content(files: list[DataFile]) -> bytes:
 def _write_segment(table_dir: str, content: bytes) -> str:
     """Publish one content-addressed shard; returns its file name.
     Idempotent: an existing shard with this content is reused as-is
-    (same bytes by construction — sha1 names the content)."""
+    (same bytes by construction — sha1 names the content). Publish
+    protocol delegated to the active CommitStore (lake/commitstore.py)."""
     name = f"seg-{hashlib.sha1(content).hexdigest()}.json"
-    sdir = segment_dir(table_dir)
-    final = os.path.join(sdir, name)
-    if os.path.exists(final):
-        return name
-    os.makedirs(sdir, exist_ok=True)
-    tmp = os.path.join(sdir, f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "wb") as fh:
-        fh.write(content)
-        fh.flush()
-        os.fsync(fh.fileno())
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        pass  # concurrent writer published identical content
-    finally:
-        os.unlink(tmp)
+    final = os.path.join(segment_dir(table_dir), name)
+    commitstore.get_store().publish_content(content, final)
     return name
 
 
@@ -494,7 +487,9 @@ def commit_manifest(
         os.fsync(fh.fileno())
     final = manifest_path(table_dir, m.version)
     try:
-        os.link(tmp, final)  # atomic create-if-absent
+        # atomic create-if-absent via the active CommitStore — POSIX
+        # link(2) by default, catalog-swap CAS for object stores
+        commitstore.get_store().publish(tmp, final)
     finally:
         os.unlink(tmp)
     # seed the read cache: the committer (a streaming loop) is about to

@@ -2345,13 +2345,16 @@ class LakeTable:
             fh.write(_json.dumps({"base": head}))
             fh.flush()
             os.fsync(fh.fileno())
+        from dexspark.lake.commitstore import get_store
+
+        store = get_store()
         try:
-            os.link(tmp, os.path.join(bdir, BRANCH_META))
+            store.publish(tmp, os.path.join(bdir, BRANCH_META))
         except FileExistsError:
             raise ValueError(f"branch {name!r} already exists") from None
         finally:
             os.unlink(tmp)
-        os.link(
+        store.mirror(
             mf.manifest_path(self.table_dir, head),
             mf.manifest_path(bdir, head),
         )
@@ -2363,13 +2366,10 @@ class LakeTable:
         if seg_names:
             os.makedirs(mf.segment_dir(bdir), exist_ok=True)
             for s in seg_names:
-                try:
-                    os.link(
-                        os.path.join(mf.segment_dir(self.table_dir), s),
-                        os.path.join(mf.segment_dir(bdir), s),
-                    )
-                except FileExistsError:
-                    pass
+                store.mirror(
+                    os.path.join(mf.segment_dir(self.table_dir), s),
+                    os.path.join(mf.segment_dir(bdir), s),
+                )
         return LakeTable(self.spark, self.table_dir, branch=name)
 
     def branch_table(self, name: str) -> "LakeTable":
@@ -2521,7 +2521,9 @@ class LakeTable:
             fh.flush()
             os.fsync(fh.fileno())
         try:
-            os.link(tmp, os.path.join(tdir, f"{name}.json"))
+            from dexspark.lake.commitstore import get_store
+
+            get_store().publish(tmp, os.path.join(tdir, f"{name}.json"))
         except FileExistsError:
             raise ValueError(f"tag {name!r} already exists") from None
         finally:
