@@ -4785,6 +4785,84 @@ FROM s1 WHERE doc_id NOT IN (SELECT id FROM noncanon)
 """
 
 
+def corpus_curation_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-generation curation: the SAME pipeline semantics as
+    ``corpus_curation_v2`` (boilerplate removal → exact dedup →
+    near-dup closure → split assignment), but with near-dup candidates
+    served from the incrementally-maintained signature index
+    (lake/sigindex.py) instead of shingling the corpus from scratch —
+    the round-4 verdict's "unify the two near-dup stacks" item. The
+    cleaned corpus lands in a lake table across TWO CDC merges, the
+    index refreshes after each (second refresh touches only the second
+    batch's rows — plan/merge-size asserted by
+    tests/test_physical_plans.py), and candidate generation band-
+    explodes the STORED signature arrays. Because the index stores
+    exactly the signatures the batch path computes, the output is
+    value-identical to v2 — pinned by sharing v2's oracle verbatim."""
+    from dexspark.functions.dedup import near_dup_groups
+    from dexspark.functions.sampling import split_assign
+    from dexspark.functions.text import remove_boilerplate
+    from dexspark.lake.sigindex import (
+        create_signature_index,
+        near_dup_pairs_via_index,
+        refresh_signature_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    nl2 = "\n\n"
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(
+                F.pmod(did, 5) == 0,
+                F.lit("Cookie notice: we use cookies" + nl2),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.pmod(did, 3) != 0,
+                F.lit(nl2 + "Subscribe to our newsletter today"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    clean = remove_boilerplate(seeded, max_repeats=4).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    keepers = clean.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    s1 = clean.join(keepers.select("doc_id"), "doc_id")
+
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    src = LakeTable.create(
+        spark, os.path.join(d, "clean_lake"),
+        _parse_datatype_string("doc_id bigint, text string"),
+        "doc_id", num_buckets=8,
+    )
+    idx = create_signature_index(spark, os.path.join(d, "clean_sigidx"), src)
+    for i, half in enumerate((s1.filter(F.pmod(did, 2) == 0),
+                              s1.filter(F.pmod(did, 2) == 1))):
+        src.merge(
+            half.withColumn("op", F.lit("I")).withColumn(
+                "lsn", F.lit(i + 1).cast("long")
+            ),
+            key_cols=["doc_id"],
+            summary={"batch_id": f"clean-b{i}"},
+        )
+        refresh_signature_index(src, idx)
+    stored = src.read()
+    pairs = near_dup_pairs_via_index(
+        idx, stored, num_hashes=64, bands=32
+    ).select("id_a", "id_b")
+    noncanon = near_dup_groups(stored, pairs).filter(
+        ~F.col("is_canonical")
+    ).select("doc_id")
+    s2 = stored.join(noncanon, "doc_id", "left_anti")
+    return split_assign(s2, "doc_id", _SPLIT_FRACTIONS).select(
+        "doc_id",
+        F.length("text").cast("long").alias("clean_chars"),
+        "split",
+    )
+
+
 def doc_pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over the corpus: emails/phones are deterministically
     SEEDED from doc_id (2 of every 3 docs) so the redaction regexes
@@ -6945,7 +7023,8 @@ QUERIES: dict[str, tuple] = {
     "doc_context_chunks": (doc_context_chunks_q, ORACLE_CONTEXT_CHUNKS),
     "doc_pack_sequences": (doc_pack_sequences_q, ORACLE_PACK_SEQUENCES),
     "corpus_training_run": (corpus_training_run_q, _oracle_training_run()),
-    # -- slots 49-50: reserved for round-5 additions --
+    # -- slots 49-50: round-5 additions --
+    "corpus_curation_v3": (corpus_curation_v3_q, _oracle_curation_v2()),
     "pipeline_doc_words": (pipeline_doc_words_q, ORACLE_PIPELINE_WORDS),
     "pipeline_config_doc_words": (pipeline_config_doc_words_q, ORACLE_PIPELINE_WORDS),
     # ------------------------------------------------------------------

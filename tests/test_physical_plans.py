@@ -248,3 +248,61 @@ def test_quantized_topk_single_exchange_of_topk_rows(spark):
     plan = plan_of(spark, "emb_quantized_topk")
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+@needs_data
+def test_curation_v3_reads_stored_signatures(spark, tmp_path):
+    """VERDICT r4 #4 done-criterion: the v3 curation pipeline's
+    candidate generation provably reads the STORED signature index —
+    no shingle recomputation of unchanged docs. Asserted two ways:
+    (1) the second index refresh's merge carries only the second
+    batch's rows; (2) the candidate-pair plan scans the index table's
+    parquet and never the documents parquet (texts are only read later,
+    by the verification join)."""
+    import pyspark.sql.functions as F
+
+    from dexspark.lake.sigindex import (
+        create_signature_index,
+        refresh_signature_index,
+    )
+    from dexspark.lake.table import LakeTable
+    from dexspark.functions.dedup import lsh_pairs_from_signatures
+    from pyspark.sql.types import _parse_datatype_string
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    src = LakeTable.create(
+        spark, str(tmp_path / "lake"),
+        _parse_datatype_string("doc_id bigint, text string"),
+        "doc_id", num_buckets=4,
+    )
+    idx = create_signature_index(spark, str(tmp_path / "sigidx"), src)
+    halves = [
+        docs.filter(F.pmod(F.col("doc_id"), 2) == 0),
+        docs.filter(F.pmod(F.col("doc_id"), 2) == 1),
+    ]
+    infos = []
+    for i, half in enumerate(halves):
+        src.merge(
+            half.withColumn("op", F.lit("I")).withColumn(
+                "lsn", F.lit(i + 1).cast("long")
+            ),
+            key_cols=["doc_id"],
+            summary={"batch_id": f"b{i}"},
+        )
+        infos.append(refresh_signature_index(src, idx))
+    n_b2 = halves[1].count()
+    # (1) incremental: second refresh merges exactly batch-2's rows
+    assert infos[1]["change_rows"] == n_b2
+    assert idx.read().count() == docs.count()
+
+    # (2) candidates come from the index scan, not a corpus text scan
+    sigs = idx.read().withColumnRenamed("minhash", "minhash")
+    cand = lsh_pairs_from_signatures(sigs, "doc_id", 64, 32)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    # the scan reads the stored signature arrays...
+    assert "minhash:array<bigint>" in plan
+    # ...and no text column anywhere in the candidate plan: shingling
+    # of unchanged docs is structurally impossible here
+    assert "text:string" not in plan and "documents.parquet" not in plan
