@@ -177,6 +177,133 @@ def apply_routed(
         routed.unpersist()
 
 
+def apply_routed_wap(
+    tables: dict[str, LakeTable],
+    events: DataFrame,
+    routes: DataFrame,
+    batch_id: str,
+    catalog,
+    type_col: str = "stream_id",
+    default_route: str = DEFAULT_ROUTE,
+    cfg: ValidationConfig | None = None,
+    audit=None,
+    salt_buckets: int | None = None,
+    strategy: str = "cow",
+) -> dict[str, Any]:
+    """Catalog-level write-audit-publish over a routed fan-out: stage
+    EVERY destination's slice on a per-table WAP branch, audit them
+    all while main refs and catalog pins are untouched, then publish
+    every branch and advance the catalog pin set — so a poisoned batch
+    is dropped with ZERO movement anywhere, and a good batch becomes
+    visible through the catalog all-at-once.
+
+    Composition of the two existing atomicity tools (VERDICT r4 #7):
+    per-table branches (``create_branch``/``publish_branch``, the
+    single-table WAP) give a staging area that main readers cannot
+    see; the catalog pin-set commit (lake/catalog.py) gives the
+    cross-table visibility edge ``apply_routed(catalog=...)`` already
+    uses. Staging on branches is what plain ``apply_routed`` cannot
+    offer: there, destination MAIN heads advance one by one and only
+    catalog readers are shielded — here even direct per-table readers
+    never see an unaudited batch.
+
+    ``audit(route, branch_table, apply_result) -> bool`` decides per
+    destination (default: reject nothing — always publish). ANY
+    failing destination aborts the whole family: every staged branch
+    is dropped, main refs and pins never moved, and the batch ids are
+    released for the corrected restage under the SAME ``batch_id``.
+
+    Crash/redelivery contract:
+    - crash mid-staging → branches are partial; redelivery drops the
+      stale ``wap-<batch_id>`` branches and restages (staged batch ids
+      live only in branch ledgers, which die with their branch);
+    - crash mid-publish → some mains carry the batch (their ledgers
+      fold the branch ids), pins unchanged; redelivery skips published
+      destinations via their MAIN ledgers, restages + publishes the
+      rest, then advances the pins once the family is whole;
+    - a concurrent main commit between staging and publish surfaces as
+      ``CommitConflict`` from the fast-forward — rerun to restage from
+      the new heads (the same contract as single-table WAP).
+
+    Scale shape: identical to ``apply_routed`` (one broadcast route
+    stamp, one persisted batch, per-destination independent jobs);
+    branches add O(1) metadata per destination, no data copies."""
+    known = {r[ROUTE_COL] for r in routes.select(ROUTE_COL).distinct().collect()}
+    missing = sorted((known | {default_route}) - set(tables))
+    if missing:
+        raise ValueError(f"routes with no destination table: {missing}")
+
+    routed = route_by_config(
+        events, routes, type_col=type_col, default_route=default_route
+    ).persist()
+    bname = f"wap-{batch_id}"
+    try:
+        counts = {
+            r[ROUTE_COL]: int(r["count"])
+            for r in routed.groupBy(ROUTE_COL).count().collect()
+        }
+        order = sorted(tables)
+        results: dict[str, Any] = {"batch_id": batch_id, "routes": {}}
+        staged: dict[str, LakeTable] = {}
+        for route in order:
+            t = tables[route]
+            if batch_id in t.committed_batch_ids():
+                # published by a previous (possibly crashed) delivery
+                results["routes"][route] = {
+                    "skipped": True, "reason": "already_committed",
+                }
+                continue
+            if counts.get(route, 0) == 0:
+                results["routes"][route] = {"routed": 0, "skipped": True}
+                continue
+            if bname in t.list_branches():
+                t.drop_branch(bname)  # stale stage from a failed attempt
+            bt = t.create_branch(bname)
+            dest_cols = {f.name for f in t.schema().fields}
+            drop = [ROUTE_COL] + ([] if type_col in dest_cols else [type_col])
+            slice_df = routed.filter(F.col(ROUTE_COL) == route).drop(*drop)
+            res = apply_changes(
+                bt, slice_df, batch_id=batch_id, cfg=cfg,
+                salt_buckets=salt_buckets, strategy=strategy,
+            )
+            res["routed"] = counts[route]
+            results["routes"][route] = res
+            staged[route] = bt
+
+        failed = [
+            r for r, bt in staged.items()
+            if audit is not None
+            and not audit(r, bt, results["routes"][r])
+        ]
+        if failed:
+            for r in staged:
+                tables[r].drop_branch(bname)
+            results["published"] = False
+            results["failed_audit"] = sorted(failed)
+            return results
+
+        for r in staged:
+            tables[r].publish_branch(
+                bname, summary={"batch_id": batch_id}
+            )
+            tables[r].drop_branch(bname)
+        results["published"] = True
+
+        pins = catalog.pins()
+        moved = any(
+            tables[r].current_version() != pins[r]["version"]
+            for r in order
+            if r in pins
+        )
+        if moved:
+            results["catalog_version"] = catalog.commit_with_retry(
+                {r: None for r in order}
+            )
+        return results
+    finally:
+        routed.unpersist()
+
+
 class RoutedCdcStreamReplay:
     """Streaming demux: tail one ordered change log, route every
     micro-batch by config, deliver to N lake tables — the streaming

@@ -679,6 +679,108 @@ def cdc_routed_atomic_catalog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_routed_wap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-level multi-table write-audit-publish (cdc/router.py
+    ``apply_routed_wap`` — VERDICT r4 #7): every destination's slice
+    is staged on a per-table WAP branch, audited while main refs AND
+    catalog pins are untouched, then published + pinned atomically-
+    together. The query drives the poison path explicitly: batch w1 is
+    first delivered CORRUPTED (texts stamped POISON); the audit reads
+    the staged branches, fails, and the whole family is dropped with
+    ZERO movement — main versions and the catalog version are asserted
+    unchanged, and the batch id is released. The corrected restage
+    under the SAME batch id publishes everywhere and advances the pins
+    once. Final result = union of catalog reads; oracle = the global
+    LWW replay + route CASE (same as the plain fan-out — staging must
+    not change the converged state)."""
+    from dexspark.cdc.router import apply_routed_wap
+    from dexspark.lake.catalog import Catalog
+    from dexspark.operators.routing import routes_df
+
+    log = derive_log(spark, sf_dir)
+    conv_n = F.substring("conv_id", 6, 10).cast("int")
+    log = log.withColumn(
+        "stream_id",
+        F.when(
+            F.pmod(conv_n, 5) == 0,
+            F.concat(F.lit("gamma_"), F.pmod(conv_n, 3).cast("string")),
+        )
+        .when(F.pmod(conv_n, 2) == 0, F.lit("alpha"))
+        .otherwise(F.lit("beta")),
+    )
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    tables = {
+        r: LakeTable.create(
+            spark, os.path.join(d, r),
+            _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=8,
+        )
+        for r in ("alpha", "beta", "misc")
+    }
+    routes = routes_df(
+        spark,
+        [
+            {"route": "alpha", "message_types": ["alpha"]},
+            {"route": "beta", "message_types": ["beta"]},
+        ],
+    )
+    cat = Catalog.create(spark, os.path.join(d, "catalog"), tables)
+
+    def clean_audit(route, bt, res):
+        return bt.read().filter(F.col("text").contains("POISON")).first() is None
+
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    step = max(1, (int(hi) - int(lo) + 3) // 3)
+    cuts = [int(lo) + i * step for i in range(4)]
+    cuts[3] = int(hi) + 1
+
+    def sl(i: int) -> DataFrame:
+        return log.filter(
+            (F.col("lsn") >= cuts[i]) & (F.col("lsn") < cuts[i + 1])
+        )
+
+    r0 = apply_routed_wap(tables, sl(0), routes, batch_id="w0",
+                          catalog=cat, audit=clean_audit)
+    assert r0["published"] and "catalog_version" in r0, r0
+    cat_v = cat.current_version()
+    main_vs = {r: tables[r].current_version() for r in tables}
+
+    # -- poisoned delivery: audited on the branches, dropped whole ----
+    poisoned = sl(1).withColumn(
+        "text",
+        F.when(
+            F.pmod(F.col("lsn"), 3) == 0,
+            F.concat_ws(" ", F.col("text"), F.lit("POISON")),
+        ).otherwise(F.col("text")),
+    )
+    r1 = apply_routed_wap(tables, poisoned, routes, batch_id="w1",
+                          catalog=cat, audit=clean_audit)
+    assert r1["published"] is False and r1["failed_audit"], r1
+    # zero movement anywhere: pins, main heads, branch list
+    assert cat.current_version() == cat_v
+    for r in tables:
+        assert tables[r].current_version() == main_vs[r], r
+        assert tables[r].list_branches() == [], r
+
+    # -- corrected restage under the SAME batch id --------------------
+    r1b = apply_routed_wap(tables, sl(1), routes, batch_id="w1",
+                           catalog=cat, audit=clean_audit)
+    assert r1b["published"] and r1b["catalog_version"] == cat_v + 1, r1b
+    # full redelivery is a no-op (batch ids folded into main ledgers)
+    r1c = apply_routed_wap(tables, sl(1), routes, batch_id="w1",
+                           catalog=cat, audit=clean_audit)
+    assert "catalog_version" not in r1c and r1c["published"], r1c
+    apply_routed_wap(tables, sl(2), routes, batch_id="w2",
+                     catalog=cat, audit=clean_audit)
+
+    out = None
+    for r in sorted(tables):
+        part = cat.read(r).withColumn("destination", F.lit(r))
+        out = part if out is None else out.unionByName(part)
+    return out.select(
+        "destination", "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
 ORACLE_ROUTED_FANOUT = f"""
 WITH {LOG_CTE}, {FLAGGED_CTE},
 latest AS (
@@ -7025,6 +7127,7 @@ QUERIES: dict[str, tuple] = {
     "corpus_training_run": (corpus_training_run_q, _oracle_training_run()),
     # -- slots 49-50: round-5 additions --
     "corpus_curation_v3": (corpus_curation_v3_q, _oracle_curation_v2()),
+    "cdc_routed_wap": (cdc_routed_wap_q, ORACLE_ROUTED_FANOUT),
     "pipeline_doc_words": (pipeline_doc_words_q, ORACLE_PIPELINE_WORDS),
     "pipeline_config_doc_words": (pipeline_config_doc_words_q, ORACLE_PIPELINE_WORDS),
     # ------------------------------------------------------------------

@@ -357,3 +357,106 @@ def test_catalog_pins_are_batch_atomic(spark, tmp_table_dir):
     r2 = apply_routed(tables, b1, routes, batch_id="b1", catalog=cat)
     assert "catalog_version" not in r2
     assert cat.current_version() == 2
+
+
+def test_routed_wap_poison_drops_family_good_publishes(spark, tmp_table_dir):
+    """Catalog-level multi-table WAP (apply_routed_wap): a failing
+    audit drops EVERY staged branch with zero movement of main refs or
+    pins; the corrected restage under the same batch id publishes
+    everywhere and advances the pins once; mid-publish crash recovery
+    rides the main ledgers."""
+    import os
+
+    from dexspark.cdc.router import apply_routed_wap
+    from dexspark.lake.catalog import Catalog
+
+    log = _stamped(gen_change_log(spark, 1500, n_convs=40, n_batches=2))
+    tables = _mk_dests(spark, tmp_table_dir)
+    routes = routes_df(spark, ROUTE_CONFIGS)
+    cat = Catalog.create(
+        spark, os.path.join(tmp_table_dir, "cat"), tables
+    )
+
+    def audit(route, bt, res):
+        return bt.read().filter(
+            F.col("text").contains("POISON")
+        ).first() is None
+
+    b0 = log.filter(F.col("batch_seq") == 0)
+    r0 = apply_routed_wap(tables, b0, routes, batch_id="w0",
+                          catalog=cat, audit=audit)
+    assert r0["published"]
+    cat_v = cat.current_version()
+    main_vs = {r: t.current_version() for r, t in tables.items()}
+
+    b1 = log.filter(F.col("batch_seq") == 1)
+    poisoned = b1.withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.lit("POISON"))
+    )
+    r1 = apply_routed_wap(tables, poisoned, routes, batch_id="w1",
+                          catalog=cat, audit=audit)
+    assert r1["published"] is False and r1["failed_audit"]
+    assert cat.current_version() == cat_v
+    for r, t in tables.items():
+        assert t.current_version() == main_vs[r]
+        assert t.list_branches() == []
+
+    # corrected restage, SAME batch id
+    r1b = apply_routed_wap(tables, b1, routes, batch_id="w1",
+                           catalog=cat, audit=audit)
+    assert r1b["published"] and r1b["catalog_version"] == cat_v + 1
+    # final state equals the plain per-route LWW replay
+    for stream in ("s0", "s1", "s2"):
+        route = _route_of(stream)
+        exp = {
+            tuple(r)
+            for r in expected_final_state(
+                log.filter(F.col("stream_id") == stream).drop("stream_id")
+            ).collect()
+        }
+        got = {
+            tuple(r)
+            for r in cat.read(route)
+            .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            .collect()
+        }
+        assert got == exp, f"route {route} diverged"
+
+
+def test_routed_wap_mid_publish_crash_recovers(spark, tmp_table_dir):
+    """Crash after SOME destinations published: their main ledgers
+    carry the batch, pins unchanged. Redelivery skips them, stages +
+    publishes the rest, then advances the pins once."""
+    import os
+
+    from dexspark.cdc.router import apply_routed_wap
+    from dexspark.lake.catalog import Catalog
+    from dexspark.operators.routing import ROUTE_COL, route_by_config
+
+    log = _stamped(gen_change_log(spark, 1200, n_convs=30, n_batches=1))
+    tables = _mk_dests(spark, tmp_table_dir)
+    routes = routes_df(spark, ROUTE_CONFIGS)
+    cat = Catalog.create(spark, os.path.join(tmp_table_dir, "cat"), tables)
+    cat_v = cat.current_version()
+
+    # simulate: t0 published alone (stage + publish by hand)
+    stamped = route_by_config(log, routes, type_col="stream_id")
+    t0_slice = stamped.filter(F.col(ROUTE_COL) == "t0").drop(
+        ROUTE_COL, "stream_id"
+    )
+    bt = tables["t0"].create_branch("wap-w0")
+    apply_changes(bt, t0_slice, batch_id="w0")
+    tables["t0"].publish_branch("wap-w0", summary={"batch_id": "w0"})
+    tables["t0"].drop_branch("wap-w0")
+    assert cat.current_version() == cat_v  # pins never moved
+
+    res = apply_routed_wap(tables, log, routes, batch_id="w0", catalog=cat)
+    assert res["routes"]["t0"]["reason"] == "already_committed"
+    assert res["published"] and res["catalog_version"] == cat_v + 1
+    # every destination consistent through the catalog
+    for stream in ("s0", "s1", "s2"):
+        route = _route_of(stream)
+        exp = expected_final_state(
+            log.filter(F.col("stream_id") == stream).drop("stream_id")
+        ).count()
+        assert cat.read(route).count() == exp
