@@ -616,11 +616,20 @@ def cmd_ingest_snapshot(args) -> int:
         LakeTable(spark, args.quarantine) if args.quarantine else None
     )
     if args.feed is not None:
-        info = ingest_snapshot_feed(
-            table, args.feed, fmt=args.format,
-            quarantine=quarantine, strategy=args.strategy,
-            scd2=args.scd2,
-        )
+        if getattr(args, "checkpoint", None):
+            from dexspark.cdc.snapshot import SnapshotStreamIngest
+
+            info = SnapshotStreamIngest(
+                spark, table, args.feed, args.checkpoint,
+                fmt=args.format, quarantine=quarantine,
+                strategy=args.strategy, scd2=args.scd2,
+            ).run_available()
+        else:
+            info = ingest_snapshot_feed(
+                table, args.feed, fmt=args.format,
+                quarantine=quarantine, strategy=args.strategy,
+                scd2=args.scd2,
+            )
     else:
         # --payload-schema NULL-fills columns absent from the delivery
         # (both formats), which would defeat snapshot_changes's
@@ -1164,6 +1173,13 @@ def main(argv: list[str] | None = None) -> int:
         "--scd2", action="store_true",
         help="materialize the feed as a full SCD2 history "
              "(creates the table with scd2_schema on first use)",
+    )
+    isnap.add_argument(
+        "--checkpoint", default=None,
+        help="with --feed: consume the drop zone's _ready/ markers on "
+             "the streaming chassis (SnapshotStreamIngest) — same "
+             "checkpoint/restart story as `replay`; resumes at the "
+             "first unprocessed delivery",
     )
     isnap.set_defaults(fn=cmd_ingest_snapshot)
 

@@ -255,6 +255,35 @@ def apply_snapshot(
     return res
 
 
+def _read_delivery(
+    table: LakeTable, path: str, fmt: str, scd2: bool
+) -> DataFrame:
+    """Read one drop-zone delivery. Parquet is self-describing: a
+    delivery carrying NEW columns keeps them (schema evolution flows
+    through apply_snapshot) and one MISSING a column trips
+    snapshot_changes's guard. JSON is read under the table's payload
+    schema, which NULL-fills absent columns and would sail past the
+    partial-snapshot refusal — so the wire schema is checked first
+    (inference pass; see delivered_columns)."""
+    if fmt == "parquet":
+        return table.spark.read.parquet(path)
+    json_schema = table.schema()
+    if scd2:
+        from pyspark.sql.types import StructType as _St
+
+        from dexspark.cdc.scd2 import SCD2_COLS
+
+        json_schema = _St(
+            [f for f in json_schema.fields if f.name not in SCD2_COLS]
+        )
+    refuse_partial_delivery(
+        delivered_columns(table.spark, path, fmt="json"),
+        [f.name for f in json_schema.fields],
+        path,
+    )
+    return table.spark.read.schema(json_schema).json(path)
+
+
 def ingest_snapshot_feed(
     table: LakeTable,
     feed_dir: str,
@@ -307,31 +336,7 @@ def ingest_snapshot_feed(
     for lsn, path in entries:
         if done is not None and lsn <= done:
             continue
-        if fmt == "parquet":
-            # self-describing: a delivery carrying NEW columns keeps
-            # them (schema evolution flows through apply_snapshot), and
-            # one MISSING a column trips snapshot_changes's guard
-            snap = table.spark.read.parquet(path)
-        else:
-            json_schema = table.schema()
-            if scd2:
-                from dexspark.cdc.scd2 import SCD2_COLS
-
-                from pyspark.sql.types import StructType as _St
-
-                json_schema = _St(
-                    [f for f in json_schema.fields if f.name not in SCD2_COLS]
-                )
-            # the imposed schema NULL-fills absent columns, which would
-            # sail past snapshot_changes's partial-snapshot refusal —
-            # check the wire schema first (inference pass; see
-            # delivered_columns)
-            refuse_partial_delivery(
-                delivered_columns(table.spark, path, fmt="json"),
-                [f.name for f in json_schema.fields],
-                path,
-            )
-            snap = table.spark.read.schema(json_schema).json(path)
+        snap = _read_delivery(table, path, fmt, scd2)
         if scd2:
             results.append(
                 apply_snapshot_scd2(
@@ -431,3 +436,146 @@ def apply_snapshot_scd2(
     )
     res["snapshot_lsn"] = int(snapshot_lsn)
     return res
+
+
+READY_DIR = "_ready"
+
+
+def publish_delivery(feed_dir: str, snapshot_lsn: int) -> str:
+    """Producer-side publish marker: after the ``snapshot-<lsn>/``
+    dataset fully lands, drop an atomic one-line JSON marker in
+    ``<feed_dir>/_ready/`` — the streaming consumer discovers
+    DELIVERIES (not data files), so a half-written dataset is never
+    picked up. ≙ the reference's blob-created EVENT following the blob
+    itself (RouteIngestedFile.kt:15-20: the trigger fires on the
+    completed artifact, not on bytes in flight) — and Spark's own
+    ``_SUCCESS`` convention, made content-bearing so the file stream
+    has a row to deliver. Idempotent: re-publishing a marker is a
+    no-op (content-addressed by lsn)."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    rdir = _os.path.join(feed_dir, READY_DIR)
+    _os.makedirs(rdir, exist_ok=True)
+    final = _os.path.join(rdir, f"snapshot-{int(snapshot_lsn)}.json")
+    if _os.path.exists(final):
+        return final
+    tmp = _os.path.join(rdir, f".tmp-{_uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(_json.dumps({"lsn": int(snapshot_lsn)}) + "\n")
+        fh.flush()
+        _os.fsync(fh.fileno())
+    _os.replace(tmp, final)
+    return final
+
+
+class SnapshotStreamIngest:
+    """The snapshot drop zone on the CdcStreamReplay chassis (VERDICT
+    r4 #5): a Structured Streaming file source tails the feed's
+    ``_ready/`` markers, and ``foreachBatch`` applies each newly-
+    delivered snapshot through ``apply_snapshot`` (or the SCD2
+    variant) — so snapshot-shaped feeds get the SAME checkpoint/
+    restart story as the binlog tail instead of a polling batch loop.
+
+    Exactly-once is the same two-mechanism composition as
+    streaming/replay.py: Spark's checkpoint hands each marker to
+    foreachBatch at least once; ``apply_snapshot``'s per-delivery
+    ledger (batch id ``snapshot-<lsn>``) makes a redelivered marker a
+    no-op. A crash between a delivery's merge commit and the
+    checkpoint commit therefore replays the marker batch on restart,
+    hits the ledger, and skips — mid-feed restart is safe at ANY
+    point, including between the deliveries of one marker batch
+    (deliveries apply in lsn order; the crashed prefix skips, the
+    suffix applies).
+
+    The stream carries O(deliveries) marker rows, never data: each
+    delivery's dataset is read per-apply with the same wire-schema
+    guard as the batch loop. Markers below the table's watermark
+    (superseded deliveries — e.g. the feed was partially consumed by
+    the batch loop before switching to streaming) skip without a read.
+    """
+
+    def __init__(
+        self,
+        spark,
+        table: LakeTable,
+        feed_dir: str,
+        checkpoint_dir: str,
+        fmt: str = "parquet",
+        cfg: ValidationConfig | None = None,
+        quarantine: LakeTable | None = None,
+        strategy: str = "cow",
+        scd2: bool = False,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = spark
+        self.table = table
+        self.feed_dir = feed_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.fmt = fmt
+        self.cfg = cfg or ValidationConfig()
+        self.quarantine = quarantine
+        self.strategy = strategy
+        self.scd2 = scd2
+        self.max_files_per_trigger = max_files_per_trigger
+        self.results: list[dict[str, Any]] = []
+
+    def _foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import os as _os
+
+        # O(deliveries-in-trigger) marker rows — driver-side by design
+        lsns = sorted(int(r["lsn"]) for r in batch_df.collect())
+        for lsn in lsns:
+            done = last_snapshot_lsn(self.table)
+            if done is not None and lsn <= done:
+                self.results.append(
+                    {
+                        "batch_id": f"snapshot-{lsn}",
+                        "skipped": True,
+                        "reason": "superseded_watermark",
+                    }
+                )
+                continue
+            path = _os.path.join(self.feed_dir, f"snapshot-{lsn}")
+            snap = _read_delivery(self.table, path, self.fmt, self.scd2)
+            if self.scd2:
+                res = apply_snapshot_scd2(
+                    self.table, snap, lsn,
+                    cfg=self.cfg, quarantine=self.quarantine,
+                )
+            else:
+                res = apply_snapshot(
+                    self.table, snap, lsn,
+                    cfg=self.cfg, quarantine=self.quarantine,
+                    strategy=self.strategy,
+                )
+            res["epoch_id"] = int(epoch_id)
+            self.results.append(res)
+
+    def run_available(self) -> list[dict[str, Any]]:
+        """Process every marker currently in the drop zone, then stop
+        (Trigger.AvailableNow). Re-invoke after new deliveries land —
+        the checkpoint resumes at the first unprocessed marker."""
+        import os as _os
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        rdir = _os.path.join(self.feed_dir, READY_DIR)
+        _os.makedirs(rdir, exist_ok=True)
+        reader = self.spark.readStream.schema(
+            StructType([StructField("lsn", LongType())])
+        )
+        if self.max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", self.max_files_per_trigger
+            )
+        stream = reader.json(rdir)
+        q = (
+            stream.writeStream.foreachBatch(self._foreach_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return self.results

@@ -6846,6 +6846,89 @@ def cdc_snapshot_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+def cdc_snapshot_stream_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-feed-restart variant of cdc_snapshot_ingest (VERDICT r4 #5):
+    the snapshot drop zone consumed by the STREAMING chassis
+    (cdc/snapshot.py::SnapshotStreamIngest) — a file source tails the
+    feed's _ready/ markers and foreachBatch applies each delivery
+    exactly-once, same checkpoint/restart story as the binlog tail.
+    Driven through every restart shape: run 1 ingests deliveries 1-2
+    and stops; delivery 3 is then applied OUT-OF-BAND (the crash window
+    between a delivery's merge commit and the checkpoint commit: table
+    ledger has it, checkpoint does not); a FRESH consumer on the same
+    checkpoint resumes, re-discovers delivery 3's marker, and must skip
+    it via the ledger ('already_committed'); delivery 4 then applies
+    normally and the remaining log tails in as ordinary batches. Final
+    state must equal a full from-scratch replay (ORACLE_REPLAY)."""
+    from dexspark.cdc.dedup import dedupe_latest
+    from dexspark.cdc.snapshot import (
+        SnapshotStreamIngest,
+        apply_snapshot,
+        publish_delivery,
+    )
+    from dexspark.cdc.validate import REASON_COL, flag_events
+
+    log = derive_log(spark, sf_dir)
+    batches = batch_range(log)
+    n = len(batches)
+    keys = ["conv_id", "turn_idx"]
+    payload = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=16,
+    )
+    feed = os.path.join(d, "feed")
+    cuts = sorted({max(1, n // 5), max(1, 2 * n // 5),
+                   max(1, 3 * n // 5), max(1, 4 * n // 5)})
+    watermarks = []
+    for cut_b in cuts:
+        w = cut_b * BATCH - 1
+        if w in watermarks:
+            continue
+        watermarks.append(w)
+        pre = flag_events(log.filter(F.col("lsn") <= w))
+        latest = dedupe_latest(pre.filter(F.col(REASON_COL).isNull()), keys)
+        latest.filter(F.col("op") != "D").select(*payload).write.parquet(
+            os.path.join(feed, f"snapshot-{w}")
+        )
+
+    cp = os.path.join(d, "cp")
+    # run 1: only the first two deliveries are published
+    for w in watermarks[:2]:
+        publish_delivery(feed, w)
+    r1 = SnapshotStreamIngest(spark, table, feed, cp).run_available()
+    assert [r["snapshot_lsn"] for r in r1] == watermarks[:2], r1
+
+    # crash window: delivery 3 committed to the TABLE but its marker
+    # is unseen by the checkpoint
+    if len(watermarks) > 2:
+        w3 = watermarks[2]
+        snap3 = spark.read.parquet(os.path.join(feed, f"snapshot-{w3}"))
+        apply_snapshot(table, snap3, snapshot_lsn=w3)
+        publish_delivery(feed, w3)
+        for w in watermarks[3:]:
+            publish_delivery(feed, w)
+        # fresh consumer, same checkpoint: redelivered marker skips
+        r2 = SnapshotStreamIngest(spark, table, feed, cp).run_available()
+        assert r2 and r2[0]["skipped"] and (
+            r2[0]["reason"] in ("already_committed", "superseded_watermark")
+        ), r2
+        assert [x["snapshot_lsn"] for x in r2 if not x.get("skipped")] == (
+            watermarks[3:]
+        ), r2
+
+    # the remaining log tails in as ordinary batches
+    last_w = watermarks[-1]
+    for b in batches:
+        if b * BATCH > last_w:
+            apply_changes(
+                table, log.filter(F.col("batch_seq") == b), batch_id=f"b{b}"
+            )
+    return table.read()
+
+
 def cdc_scd2_from_snapshots_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history from a snapshot feed (DLT's APPLY CHANGES FROM
     SNAPSHOT ... STORED AS SCD TYPE 2 — cdc/snapshot.py::
@@ -7104,7 +7187,7 @@ QUERIES: dict[str, tuple] = {
         doc_boilerplate_removal_q,
         ORACLE_BOILERPLATE,
     ),
-    "corpus_curation_v2": (corpus_curation_v2_q, _oracle_curation_v2()),
+    "cdc_snapshot_stream_ingest": (cdc_snapshot_stream_ingest_q, ORACLE_REPLAY),
     "doc_near_dup_incremental": (doc_near_dup_incremental_q, ORACLE_NEAR_DUP),
     "doc_ingest_dedup_gate": (doc_ingest_dedup_gate_q, ORACLE_INGEST_GATE),
     "corpus_curation_pipeline": (corpus_curation_pipeline_q, ORACLE_CURATION),
@@ -7133,6 +7216,10 @@ QUERIES: dict[str, tuple] = {
     # ------------------------------------------------------------------
     # Below this line: driver-green in rounds 1-4 (see CORRECTNESS_r0*).
     # ------------------------------------------------------------------
+    # corpus_curation_v2: rotated out for v3 + the round-5 additions; it
+    # was independently re-verified by the r4 judge (VERDICT 12/12 sample)
+    # and stays under the local gate + pytest oracle subset.
+    "corpus_curation_v2": (corpus_curation_v2_q, _oracle_curation_v2()),
     "cdc_replay_final_state": (cdc_replay_final_state, ORACLE_REPLAY),
     "cdc_stream_replay_final_state": (cdc_stream_replay_final_state, ORACLE_REPLAY),
     "cdc_schema_evolution_replay": (cdc_schema_evolution_replay, ORACLE_EVOLUTION),

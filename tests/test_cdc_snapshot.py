@@ -474,3 +474,97 @@ def test_cli_schema_imposed_partial_snapshot_refused(spark, tmp_path, capsys):
         main(base + ["--snapshot", s2, "--watermark", "20"])
     t = LakeTable(spark, tdir)
     assert _state(t) == {("c1", 0): ("user", "a")}
+
+
+def test_snapshot_stream_ingest_restart_and_ledger(spark, tmp_table_dir, tmp_path):
+    """SnapshotStreamIngest (VERDICT r4 #5): the drop zone on the
+    streaming chassis. Covers marker discovery in lsn order, resume
+    from checkpoint, the crash window (delivery committed to the table
+    but not the checkpoint -> redelivered marker skips via ledger),
+    and that half-published datasets are invisible until their marker
+    lands."""
+    from dexspark.cdc.snapshot import (
+        SnapshotStreamIngest,
+        apply_snapshot,
+        publish_delivery,
+    )
+
+    t = _mk(spark, tmp_table_dir)
+    feed = str(tmp_path / "feed")
+    cp = str(tmp_path / "cp")
+
+    _snap(spark, [("c1", 0, "user", "a")]).write.parquet(
+        f"{feed}/snapshot-10"
+    )
+    _snap(spark, [("c1", 0, "user", "a2"), ("c2", 0, "user", "b")]).write.parquet(
+        f"{feed}/snapshot-20"
+    )
+    # dataset 30 exists but is NOT yet published — must be invisible
+    _snap(spark, [("c2", 0, "user", "b2")]).write.parquet(
+        f"{feed}/snapshot-30"
+    )
+    publish_delivery(feed, 10)
+    publish_delivery(feed, 20)
+    publish_delivery(feed, 10)  # idempotent re-publish
+
+    s1 = SnapshotStreamIngest(spark, t, feed, cp, cfg=CFG)
+    r1 = s1.run_available()
+    assert [r["snapshot_lsn"] for r in r1] == [10, 20]
+    assert _state(t) == {("c1", 0): ("user", "a2"), ("c2", 0): ("user", "b")}
+
+    # crash window: delivery 30 lands on the TABLE out-of-band, then
+    # its marker is published; the resumed stream must skip via ledger
+    apply_snapshot(
+        t, spark.read.parquet(f"{feed}/snapshot-30"), snapshot_lsn=30,
+        cfg=CFG,
+    )
+    publish_delivery(feed, 30)
+    s2 = SnapshotStreamIngest(spark, t, feed, cp, cfg=CFG)
+    r2 = s2.run_available()
+    assert len(r2) == 1 and r2[0]["skipped"], r2
+    # c1 absent from delivery 30 -> derived delete already applied
+    assert _state(t) == {("c2", 0): ("user", "b2")}
+
+    # a fresh delivery applies on the next resume; re-run is a no-op
+    _snap(spark, [("c2", 0, "user", "b3")]).write.parquet(
+        f"{feed}/snapshot-40"
+    )
+    publish_delivery(feed, 40)
+    r3 = SnapshotStreamIngest(spark, t, feed, cp, cfg=CFG).run_available()
+    assert [r["snapshot_lsn"] for r in r3 if not r.get("skipped")] == [40]
+    assert SnapshotStreamIngest(spark, t, feed, cp, cfg=CFG).run_available() == []
+    assert _state(t) == {("c2", 0): ("user", "b3")}
+
+
+def test_cli_ingest_snapshot_feed_streaming(spark, tmp_path, capsys):
+    """`dexspark ingest-snapshot --feed --checkpoint`: the streaming
+    drop-zone consumer through the CLI — first run applies published
+    deliveries, a resumed run picks up only the new one."""
+    import json as _json
+
+    from dexspark.__main__ import main
+    from dexspark.cdc.snapshot import publish_delivery
+
+    ddl = "conv_id string, turn_idx int, role string, text string"
+    feed = str(tmp_path / "feed")
+    _snap(spark, [("c1", 0, "user", "a")]).write.parquet(
+        f"{feed}/snapshot-5"
+    )
+    publish_delivery(feed, 5)
+    tdir = str(tmp_path / "t")
+    cp = str(tmp_path / "cp")
+    base = ["ingest-snapshot", "--table", tdir, "--payload-schema", ddl,
+            "--buckets", "4", "--feed", feed, "--checkpoint", cp]
+    assert main(base) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [r["snapshot_lsn"] for r in out] == [5]
+
+    _snap(spark, [("c1", 0, "user", "a2")]).write.parquet(
+        f"{feed}/snapshot-9"
+    )
+    publish_delivery(feed, 9)
+    assert main(base) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [r["snapshot_lsn"] for r in out] == [9]
+    t = LakeTable(spark, tdir)
+    assert _state(t) == {("c1", 0): ("user", "a2")}
