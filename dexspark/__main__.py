@@ -274,6 +274,7 @@ def cmd_maintain(args) -> int:
                 cluster_by=cluster,
                 zorder=args.zorder,
                 files_per_bucket=args.files_per_bucket,
+                bloom_uncovered_files=args.bloom_uncovered_files,
             ),
             default=str,
         )
@@ -789,6 +790,7 @@ def cmd_status(args) -> int:
                 "bloom_cols": sorted(
                     {c for f in m.files for c in f.bloom_cols}
                 ),
+                "bloom_coverage": t.bloom_coverage(),
                 "num_buckets": m.num_buckets,
                 "bucket_key": m.bucket_key,
                 "schema": t.schema().simpleString(),
@@ -977,6 +979,12 @@ def main(argv: list[str] | None = None) -> int:
         "--dv-ratio", type=float, default=0.05,
         help="compact a bucket once deletion-vector positions exceed "
              "this fraction of its physical rows",
+    )
+    mt.add_argument(
+        "--bloom-uncovered-files", type=int, default=1,
+        help="rebuild a build_blooms-indexed column's sidecars once "
+             "this many files lack coverage (0/negative never fires; "
+             "keeps point-predicate pruning current after ingest)",
     )
     mt.add_argument(
         "--expire-keep-last", type=int, default=None,

@@ -102,6 +102,10 @@ class CommitConflict(Exception):
 # need a sustained faster writer on the SAME buckets
 MAX_COMMIT_RETRIES = 8
 
+# table property marking a column as secondary-bloom-indexed
+# (set-once by build_blooms; maintain() keeps coverage current)
+BLOOM_INDEXED_PREFIX = "bloom.indexed."
+
 
 def _drop_stale_partitions(summary: dict[str, Any] | None) -> dict[str, Any] | None:
     """Strip per-bucket lineage whose bucket ids were computed under a
@@ -507,7 +511,27 @@ class LakeTable:
                         bloom_cols=f.bloom_cols + [column],
                     )
                 )
+            # record the column as INDEXED in table properties (set-
+            # once, per column) so maintain() keeps coverage current as
+            # new files land — the policy trigger for auto-rebuilds
+            prop_key = f"{BLOOM_INDEXED_PREFIX}{column}"
+            prop_updates = (
+                {prop_key: "1"} if prop_key not in m.properties else None
+            )
             if not updated:
+                if prop_updates:
+                    # metadata-only commit: everything is covered (or
+                    # the table is empty) but the intent to keep this
+                    # column indexed must still be recorded
+                    self._commit_delta(
+                        m, set(), [],
+                        {
+                            "operation": "build_blooms",
+                            "column": column,
+                            "files_indexed": 0,
+                        },
+                        prop_updates=prop_updates,
+                    )
                 return {
                     "operation": "build_blooms",
                     "column": column,
@@ -525,6 +549,7 @@ class LakeTable:
                     {f.path for f in updated},
                     updated,
                     info,
+                    prop_updates=prop_updates,
                     affected_buckets={f.bucket for f in updated},
                     surgical=True,
                 )
@@ -2148,6 +2173,38 @@ class LakeTable:
                 _conflict_backoff(attempt)
         raise AssertionError("unreachable")
 
+    def bloom_indexed_columns(self, version: int | None = None) -> list[str]:
+        """Columns declared secondary-bloom-indexed (``build_blooms``
+        records each under a set-once table property), name-sorted."""
+        props = self.manifest(version).properties
+        n = len(BLOOM_INDEXED_PREFIX)
+        return sorted(
+            k[n:] for k in props if k.startswith(BLOOM_INDEXED_PREFIX)
+        )
+
+    def bloom_coverage(self, version: int | None = None) -> dict[str, dict[str, int]]:
+        """Per indexed column: how many data files carry its bloom
+        sidecar vs how many applicable files lack it (files whose
+        writer schema never had the column are excluded — they cannot
+        hold matching rows and never need a sidecar). Manifest-only,
+        zero data I/O; feeds ``maintain``'s auto-rebuild trigger and
+        the CLI ``status`` report."""
+        m = self.manifest(version)
+        out: dict[str, dict[str, int]] = {}
+        for column in self.bloom_indexed_columns(version):
+            fid = m.field_ids.get(m.current_schema_id, {}).get(column)
+            covered = uncovered = 0
+            for f in m.files:
+                if column in f.bloom_cols:
+                    covered += 1
+                    continue
+                if fid is not None and f.schema_id in m.field_ids:
+                    if fid not in m.field_ids[f.schema_id].values():
+                        continue  # column absent from that writer schema
+                uncovered += 1
+            out[column] = {"covered": covered, "uncovered": uncovered}
+        return out
+
     def maintain(
         self,
         compact_min_files: int = 4,
@@ -2159,6 +2216,7 @@ class LakeTable:
         cluster_by: list[str] | None = None,
         zorder: bool = False,
         files_per_bucket: int = 4,
+        bloom_uncovered_files: int | None = 1,
     ) -> dict[str, Any]:
         """One-call, metadata-driven maintenance — the scheduled
         OPTIMIZE job a long-running ingest needs, with every decision
@@ -2179,6 +2237,12 @@ class LakeTable:
         - **vacuum** orphans older than ``vacuum_grace_seconds``
           (skipped when None — vacuum needs the grace period sized to
           the slowest plausible in-flight writer, so it is opt-in).
+        - **rebuild secondary blooms** for any ``build_blooms``-indexed
+          column whose uncovered-file count reaches
+          ``bloom_uncovered_files`` (new files land uncovered until
+          indexed; this keeps point-predicate pruning current without
+          a manual re-run — None disables). Runs AFTER compaction so a
+          just-folded bucket is indexed once, not twice.
 
         Safe to run concurrently with the data plane: compaction
         commits are content-preserving replacements that rebase or
@@ -2220,6 +2284,13 @@ class LakeTable:
                 files_per_bucket=files_per_bucket,
                 summary={"maintain": True},
             )
+        if bloom_uncovered_files is not None and bloom_uncovered_files > 0:
+            blooms: dict[str, Any] = {}
+            for column, cov in self.bloom_coverage().items():
+                if cov["uncovered"] >= bloom_uncovered_files:
+                    blooms[column] = self.build_blooms(column)
+            if blooms:
+                out["blooms"] = blooms
         if expire_keep_last is not None:
             out["expire"] = self.expire_snapshots(
                 keep_last=expire_keep_last, keep_versions=keep_versions
