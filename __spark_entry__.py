@@ -2,8 +2,9 @@
 
 entry()    — flagship CDC replay on sf0.001
 queries()  — implemented operators (SURVEY.md §2 + pipeline functions)
-oracle_sql() — exact DuckDB equivalents (see dexspark/queries.py for
-the cross-engine determinism rules)
+oracle_sql() — exact DuckDB equivalents (see dexspark/queries/ for
+the cross-engine determinism rules; the registry in its __init__
+preserves the driver-window order)
 """
 
 from __future__ import annotations
