@@ -8,9 +8,14 @@ Two runs on fresh single-use sessions (Spark pins memory config at
 JVM start, so a shared session cannot A/B this):
 
 - baseline: the bench defaults (8g driver, spark.memory.fraction 0.6);
-- starved:  2g driver heap and spark.memory.fraction=0.1 — execution
-  memory per task = 2g x 0.1 / 32 threads ~ 6 MB, far below the
-  per-partition dedup/merge working set at 16M events.
+- starved:  2g driver heap and spark.memory.fraction=0.3 — execution
+  memory per task = 2g x 0.3 / 32 threads ~ 19 MB, well below the
+  per-partition dedup/merge working set at 16M events, so the hash
+  aggregates and sorts must spill to finish. (Starving further —
+  e.g. fraction 0.1 ~ 6 MB/task — drops below Spark's per-task
+  minimum page reservation and fails with UNABLE_TO_ACQUIRE_MEMORY
+  before any operator can spill; that is the floor of the memory
+  manager, not a spill scenario, measured here on 4.1.2.)
 
 Spill bytes come from Spark's status REST API (UI re-enabled for the
 run): sum of memoryBytesSpilled/diskBytesSpilled over all stages.
@@ -78,7 +83,7 @@ def one_run(tag: str, n_events: int, driver_mem: str, mem_fraction: str):
 def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
     base = one_run("baseline", n_events, "8g", "0.6")
-    starved = one_run("starved", n_events, "2g", "0.1")
+    starved = one_run("starved", n_events, "2g", "0.3")
     assert starved["applied"] == base["applied"], "divergent results!"
     print(
         json.dumps(
