@@ -35,19 +35,45 @@ def changed_buckets(
     buckets can contain changed rows. Compaction/bin-packing also
     rewrites files, which conservatively marks its buckets changed —
     harmless: their unchanged rows are dropped by the null-safe struct
-    comparison downstream."""
+    comparison downstream.
+
+    Returned ids are under the TO-version's current layout. Files are
+    diffed per placement group (layout, bucket) — after an
+    ``evolve_layout`` between the versions the same bucket id can mean
+    two different key-spaces — and the result is CLOSED over both
+    versions' file sets (lake/layout.py), so reading both snapshots
+    with it (``buckets_layout=`` the to-version layout) yields the
+    same key-space on each side: no unchanged key can appear on one
+    side only and fake an I or D. An evolve_layout commit alone moves
+    no files, so it diffs to the empty set."""
+    import math
+
+    from dexspark.lake import layout as lake_layout
+
     mo = table.manifest(from_version)
     mn = table.manifest(to_version)
 
-    def by_bucket(m) -> dict[int, frozenset[str]]:
-        d: dict[int, set[str]] = {}
+    def by_group(m) -> dict[tuple[int, int], frozenset[str]]:
+        d: dict[tuple[int, int], set[str]] = {}
         for f in m.files:
-            d.setdefault(f.bucket, set()).add(f.path)
-        return {b: frozenset(s) for b, s in d.items()}
-    o, n = by_bucket(mo), by_bucket(mn)
-    return {
-        b for b in set(o) | set(n) if o.get(b, frozenset()) != n.get(b, frozenset())
+            d.setdefault((f.layout, f.bucket), set()).add(f.path)
+        return {k: frozenset(s) for k, s in d.items()}
+
+    o, n = by_group(mo), by_group(mn)
+    changed = {
+        k
+        for k in set(o) | set(n)
+        if o.get(k, frozenset()) != n.get(k, frozenset())
     }
+    n_ref = mn.num_buckets
+    seeds: set[int] = set()
+    for layout_n, b in changed:
+        g = math.gcd(layout_n, n_ref)
+        seeds.update(range(b % g, n_ref, g))
+    closed, _ = lake_layout.close_buckets(
+        seeds, list(mo.files) + list(mn.files), n_ref
+    )
+    return closed
 
 
 def last_done_version(consumer: LakeTable, batch_id_prefix: str) -> int | None:
@@ -186,8 +212,15 @@ def table_changes(
     # diffs the same logical column instead of NULLing it
     m_to = table.manifest(to_version)
     m_from = table.manifest(from_version)
+    # both reads interpret the pruned set under the TO-version's
+    # layout (changed_buckets' contract) — significant only when an
+    # evolve_layout landed between the versions
     old = _align(
-        table.read(version=from_version, buckets=buckets),
+        table.read(
+            version=from_version,
+            buckets=buckets,
+            buckets_layout=m_to.num_buckets if buckets is not None else None,
+        ),
         new_schema,
         src_ids=m_to.field_ids.get(m_from.current_schema_id),
         tgt_ids=m_to.field_ids.get(m_to.current_schema_id),

@@ -91,6 +91,16 @@ class DataFile:
     # and DV-hidden rows); -1 in pre-upgrade manifests = unknown.
     # Powers metadata-only count_rows() and maintenance policy.
     rows: int = -1
+    # the bucket count this file was WRITTEN under — ``bucket`` is
+    # pmod(xxhash64(key), layout). Equal to the manifest's
+    # ``num_buckets`` for every file until an ``evolve_layout()``
+    # (metadata-only layout evolution, ≙ Iceberg partition-spec
+    # evolution) leaves old files behind under their old layout; from
+    # then on readers interpret each file's bucket id under the
+    # file's OWN layout (lake/layout.py). -1 / absent in pre-upgrade
+    # manifests → normalized to the manifest's num_buckets at load
+    # (format-compatible: a table that never evolved has one layout).
+    layout: int = -1
 
     def to_json(self) -> dict[str, Any]:
         d = {"path": self.path, "bucket": self.bucket, "schema_id": self.schema_id}
@@ -107,6 +117,8 @@ class DataFile:
             d["rows"] = self.rows
         if self.bloom_cols:
             d["bloom_cols"] = self.bloom_cols
+        if self.layout >= 0:
+            d["layout"] = self.layout
         return d
 
     @staticmethod
@@ -122,6 +134,7 @@ class DataFile:
             dv_count=int(d.get("dv_count", 0)),
             rows=int(d.get("rows", -1)),
             bloom_cols=list(d.get("bloom_cols", [])),
+            layout=int(d.get("layout", -1)),
         )
 
 
@@ -188,6 +201,16 @@ class Manifest:
             indent=1,
         )
 
+    def _normalize_layouts(self) -> "Manifest":
+        """Fill pre-upgrade entries' implicit layout: a file written
+        before per-file layouts existed was bucketed under its
+        manifest's (single) num_buckets. Runs at parse time on fresh
+        objects, before the read cache shares them."""
+        for f in self.files:
+            if f.layout < 0:
+                f.layout = self.num_buckets
+        return self
+
     @staticmethod
     def from_json(s: str) -> "Manifest":
         d = json.loads(s)
@@ -206,7 +229,7 @@ class Manifest:
                 int(k): {n: int(i) for n, i in v.items()}
                 for k, v in d.get("field_ids", {}).items()
             },
-        )
+        )._normalize_layouts()
 
 
 def manifest_path(table_dir: str, version: int) -> str:
@@ -397,6 +420,7 @@ def read_manifest(table_dir: str, version: int) -> Manifest:
         d["files"] = []
         m = Manifest.from_json(json.dumps(d))
         m.files = files
+        m._normalize_layouts()  # shard entries may predate per-file layouts
         m.segment_names = {int(b): n for b, n in d["segments"].items()}
     while len(_READ_CACHE) >= _READ_CACHE_MAX:
         try:  # concurrent writers may race the eviction — best effort

@@ -143,9 +143,17 @@ def _attempt(table, source, key_cols, wm, wnm, wnmbs, lsn, summary):
     }
     if wnmbs:
         # NOT MATCHED BY SOURCE inspects every stored row
-        affected = src_buckets | {f.bucket for f in m.files}
+        affected = src_buckets | set(range(m.num_buckets))
     else:
         affected = src_buckets
+    # closure-expand under mixed layouts (identity otherwise): the
+    # rewrite must replace whole key-space classes so old-layout files
+    # sharing keys with the source migrate with it (lake/layout.py)
+    from dexspark.lake import layout as lake_layout
+
+    affected, members = lake_layout.close_buckets(
+        affected, m.files, m.num_buckets
+    )
     if not affected:
         info = {"operation": "merge_into", "affected_buckets": [],
                 "change_rows": 0, **(summary or {})}
@@ -249,7 +257,7 @@ def _attempt(table, source, key_cols, wm, wnm, wnmbs, lsn, summary):
         + [StructField(SYS_LSN, LongType(), True),
            StructField(SYS_DELETED, BooleanType(), True)]
     )
-    removed = {f.path for f in m.files if f.bucket in affected}
+    removed = {f.path for f in members}
     new_files = table._write_data(
         _align(kept, current_sys), m, n_buckets_hint=len(affected),
         build_blooms=False,
@@ -257,6 +265,7 @@ def _attempt(table, source, key_cols, wm, wnm, wnmbs, lsn, summary):
     info = {
         "operation": "merge_into",
         "affected_buckets": sorted(affected),
+        "affected_layout": m.num_buckets,
         "clauses": {
             "matched": len(wm), "not_matched": len(wnm),
             "not_matched_by_source": len(wnmbs),

@@ -26,6 +26,7 @@ batch whose batch_id is already in a committed summary is a no-op.
 from __future__ import annotations
 
 import json
+import math
 import os
 from typing import Any, Iterable
 
@@ -43,6 +44,7 @@ from pyspark.sql.types import (
 from dexspark.lake import bloom as lake_bloom
 from dexspark.lake import constraints as lake_ct
 from dexspark.lake import dv as lake_dv
+from dexspark.lake import layout as lake_layout
 from dexspark.lake import manifest as mf
 from dexspark.lake import stats as lake_stats
 from dexspark.lake import zorder as lake_zorder
@@ -352,13 +354,20 @@ class LakeTable:
 
     def _buckets_for_keys(
         self, m: mf.Manifest, key_vals: list[Any]
-    ) -> set[int] | None:
-        """The only buckets that can hold rows satisfying the key-``=``
-        conjuncts, or None when no key predicate restricts the scan.
-        Bucket placement is pmod(xxhash64(key), n) — evaluated by a
-        one-row Spark job so the Python side never re-implements
-        Spark's xxhash64. Two DIFFERENT required key values make the
-        conjunction unsatisfiable → empty set (scan nothing)."""
+    ) -> dict[int, int] | None:
+        """Per-LAYOUT bucket of the required key value: ``{layout:
+        bucket}`` for every layout live in the manifest (after
+        ``evolve_layout`` a table can hold files under several), or
+        None when no key predicate restricts the scan. A file is
+        prunable iff ``f.bucket != result[f.layout]`` — exact under
+        the file's OWN layout, which is what makes point lookups keep
+        pruning mid-migration. Bucket placement is
+        pmod(xxhash64(key), n): the raw hash comes from a one-row
+        Spark job (the Python side never re-implements xxhash64) and
+        the per-layout residue is plain ``%`` (Python ``%`` and Spark
+        ``pmod`` agree for positive moduli). Two DIFFERENT required
+        key values make the conjunction unsatisfiable → {} (scan
+        nothing)."""
         vals = [v for v in key_vals if v is not None]
         if not vals:
             return None
@@ -375,20 +384,44 @@ class LakeTable:
             return a == b or (a != a and b != b)
 
         if any(not _same(v, vals[0]) for v in vals[1:]):
-            return set()  # x = 'a' AND x = 'b'
+            return {}  # x = 'a' AND x = 'b'
         row = (
             self.spark.range(1)
             .select(
-                F.pmod(
-                    F.xxhash64(F.lit(vals[0]).cast(ktype)),
-                    F.lit(m.num_buckets),
-                )
-                .cast("int")
-                .alias("b")
+                F.xxhash64(F.lit(vals[0]).cast(ktype)).alias("h")
             )
             .first()
         )
-        return {int(row["b"])}
+        h = int(row["h"])
+        layouts = {f.layout for f in m.files} | {m.num_buckets}
+        return {n: h % n for n in layouts}
+
+    def _mor_partition(
+        self, files: list[mf.DataFile], m: mf.Manifest
+    ) -> tuple[list[mf.DataFile], list[mf.DataFile]]:
+        """Split ``files`` into ``(res_files, clean_files)``: res =
+        every file whose key-space intersects an outstanding MOR delta
+        (transitively — after ``evolve_layout`` an old coarse base
+        file can share keys with a new-layout delta, and the max-LSN
+        resolve must see every version of every key it collapses),
+        clean = the rest. Single-layout fast path: res = files of the
+        delta buckets, exactly the pre-evolution behavior."""
+        deltas = [f for f in files if f.kind == "delta"]
+        if not deltas:
+            return [], list(files)
+        if not lake_layout.is_mixed(files, m.num_buckets):
+            db = {f.bucket for f in deltas}
+            return (
+                [f for f in files if f.bucket in db],
+                [f for f in files if f.bucket not in db],
+            )
+        seeds = set()
+        for f in deltas:
+            g = math.gcd(f.layout, m.num_buckets)
+            seeds.update(range(f.bucket % g, m.num_buckets, g))
+        _s, members = lake_layout.close_buckets(seeds, files, m.num_buckets)
+        mem = {id(f) for f in members}
+        return members, [f for f in files if id(f) not in mem]
 
     def buckets_for_values(self, values: list[Any]) -> set[int]:
         """Buckets that can hold rows whose bucket key equals ANY of
@@ -497,19 +530,10 @@ class LakeTable:
                 if not ok:
                     continue
                 built += 1
+                import dataclasses as _dc
+
                 updated.append(
-                    mf.DataFile(
-                        path=f.path,
-                        bucket=f.bucket,
-                        schema_id=f.schema_id,
-                        kind=f.kind,
-                        stats=f.stats,
-                        bloom=f.bloom,
-                        dv=f.dv,
-                        dv_count=f.dv_count,
-                        rows=f.rows,
-                        bloom_cols=f.bloom_cols + [column],
-                    )
+                    _dc.replace(f, bloom_cols=f.bloom_cols + [column])
                 )
             # record the column as INDEXED in table properties (set-
             # once, per column) so maintain() keeps coverage current as
@@ -597,6 +621,7 @@ class LakeTable:
         columns: list[str] | None = None,
         tag: str | None = None,
         as_of: Any = None,
+        buckets_layout: int | None = None,
     ) -> DataFrame:
         """Current (or time-travel) state of the table.
 
@@ -629,6 +654,16 @@ class LakeTable:
         ``as_of`` — the newest snapshot committed at or before a
         timestamp (``resolve_as_of``). ``version``/``tag``/``as_of``
         are mutually exclusive.
+
+        ``buckets`` are interpreted under ``buckets_layout`` (default:
+        this snapshot's current layout) and are CLOSED to whole
+        key-space classes when the table holds files under several
+        layouts (``evolve_layout`` mid-migration, lake/layout.py) —
+        the result is then exactly the rows whose keys hash into the
+        closed class; with a single layout this is exactly the rows
+        of the requested buckets, as before. ``buckets_layout`` lets
+        a cross-version consumer (the change feed) express one bucket
+        set against two snapshots whose current layouts differ.
         """
         if sum(x is not None for x in (version, tag, as_of)) > 1:
             raise ValueError("pass at most one of version=, tag=, as_of=")
@@ -665,24 +700,36 @@ class LakeTable:
         current_sys = StructType(list(current.fields) + sys_fields)
         files = m.files
         if buckets is not None:
-            bset = set(buckets)
-            files = [f for f in files if f.bucket in bset]
+            # closed to whole key-space classes first (identity while
+            # the table has one layout): after evolve_layout an old
+            # coarse file spans several current buckets, and an
+            # UNCLOSED selection could include one version of a key
+            # while excluding a newer one in a differently-pruned file
+            # — closing makes the selection key-exact, so MOR
+            # resolution inside it stays sound (lake/layout.py).
+            bset, files = lake_layout.close_buckets(
+                set(buckets),
+                files,
+                buckets_layout or m.num_buckets,
+            )
         key_vals: list[Any] = []
         if filters:
             key_vals = self._key_eq_values(filters, m)
             kb = self._buckets_for_keys(m, key_vals)
             if kb is not None:
-                # a key's rows live in exactly one bucket in EVERY
-                # version of the file set, so this prunes deltas too
-                files = [f for f in files if f.bucket in kb]
+                # a key's rows live in exactly one bucket PER LAYOUT
+                # in every version of the file set, so this prunes
+                # deltas too — and keeps every file (under any
+                # layout) that could hold a version of the key
+                files = [
+                    f for f in files if kb.get(f.layout) == f.bucket
+                ]
         # Merge-on-read resolution: a bucket holding delta files needs
         # its rows collapsed to the max-applied-LSN winner per merge
         # key. Buckets WITHOUT deltas skip the resolution entirely, so
         # the extra shuffle is O(delta-touched buckets), not O(table)
         # — compaction folds deltas back into base to bound it.
-        delta_buckets = {f.bucket for f in files if f.kind == "delta"}
-        res_files = [f for f in files if f.bucket in delta_buckets]
-        clean_files = [f for f in files if f.bucket not in delta_buckets]
+        res_files, clean_files = self._mor_partition(files, m)
         if filters:
             clean_files = [
                 f
@@ -745,19 +792,16 @@ class LakeTable:
                 StructField(SYS_DELETED, BooleanType(), True),
             ]
         )
-        delta_buckets = {f.bucket for f in m.files if f.kind == "delta"}
+        delta_files, non_delta = self._mor_partition(list(m.files), m)
         meta_total = 0
         meta_files = 0
         scan_files: list[mf.DataFile] = []
-        for f in m.files:
-            if f.bucket in delta_buckets:
-                continue  # resolved wholesale below
+        for f in non_delta:
             if f.rows >= 0 and f.stats.get(SYS_DELETED) == [False, False]:
                 meta_total += f.rows - f.dv_count
                 meta_files += 1
             else:
                 scan_files.append(f)
-        delta_files = [f for f in m.files if f.bucket in delta_buckets]
         scanned = 0
         if scan_files or delta_files:
             parts = []
@@ -1009,6 +1053,8 @@ class LakeTable:
                                     fabs, m.bucket_key
                                 ),
                                 rows=frows,
+                                # bucket ids came from _bucket_expr(m)
+                                layout=m.num_buckets,
                             )
                         )
         if persisted is not None:
@@ -1045,6 +1091,26 @@ class LakeTable:
             ) from e
         return nxt
 
+    def _rebucket_between(self, from_version: int, head: mf.Manifest) -> bool:
+        """Did any commit in (from_version, head] physically rewrite
+        the layout (``rebucket``)? Distinguishes it from metadata-only
+        ``evolve_layout`` when both sides changed ``num_buckets`` —
+        root-only walk; a broken chain conservatively counts as a
+        rebucket (abort and recompute, never rebase blind)."""
+        v = head.version
+        while v > from_version:
+            try:
+                root = self._read_root(v)
+            except FileNotFoundError:
+                return True
+            if root.get("summary", {}).get("operation") == "rebucket":
+                return True
+            parent = root.get("parent")
+            if parent is None or parent >= v:
+                return True
+            v = parent
+        return False
+
     def _data_changed_in(
         self, read_from: mf.Manifest, head: mf.Manifest, buckets: set[int]
     ) -> bool:
@@ -1058,6 +1124,7 @@ class LakeTable:
         overwrite, unknown) counts iff its file-level diff against its
         parent touches ``buckets``. A broken chain (expired manifest
         mid-race) conservatively counts as changed."""
+        n_ours = read_from.num_buckets
         v = head
         while v.version > read_from.version:
             op = v.summary.get("operation")
@@ -1066,13 +1133,24 @@ class LakeTable:
                 "evolve_schema",
                 "rename_column",
                 "drop_column",
+                "evolve_layout",
             ):
                 # content-preserving: a bucket's ROWS are identical
                 # before and after (rename/drop are by-id metadata;
-                # the bytes in files do not move)
+                # evolve_layout moves no bytes at all; the bytes in
+                # files do not move)
                 pass
             elif op == "merge" and "affected_buckets" in v.summary:
-                if set(v.summary["affected_buckets"]) & buckets:
+                # their set may be recorded under a different layout
+                # (an evolve_layout between the two commits) — two
+                # sets collide iff some key can live in both
+                # (residue intersection, lake/layout.py)
+                if lake_layout.bucket_sets_intersect(
+                    n_ours,
+                    buckets,
+                    int(v.summary.get("affected_layout", v.num_buckets)),
+                    v.summary["affected_buckets"],
+                ):
                     return True
             else:
                 try:
@@ -1086,15 +1164,12 @@ class LakeTable:
                 # rows)
                 ppaths = {(f.path, f.dv) for f in parent.files}
                 vpaths = {(f.path, f.dv) for f in v.files}
-                if any(
-                    f.bucket in buckets
-                    for f in v.files
-                    if (f.path, f.dv) not in ppaths
-                ) or any(
-                    f.bucket in buckets
-                    for f in parent.files
-                    if (f.path, f.dv) not in vpaths
-                ):
+                diff = [
+                    f for f in v.files if (f.path, f.dv) not in ppaths
+                ] + [
+                    f for f in parent.files if (f.path, f.dv) not in vpaths
+                ]
+                if lake_layout.files_overlapping(diff, buckets, n_ours):
                     return True
             if v.version - 1 == read_from.version:
                 break
@@ -1172,7 +1247,19 @@ class LakeTable:
             if affected_buckets is None or surgical:
                 files = [f for f in base.files if f.path not in removed_paths]
             else:
-                files = [f for f in base.files if f.bucket not in affected_buckets]
+                # per-file-layout overlap, not raw id equality: after
+                # evolve_layout the replaced key-space can span files
+                # under several layouts (read_from's closure included
+                # them all, so they must all drop here)
+                drop = {
+                    id(f)
+                    for f in lake_layout.files_overlapping(
+                        base.files,
+                        affected_buckets,
+                        read_from.num_buckets,
+                    )
+                }
+                files = [f for f in base.files if id(f) not in drop]
             files = files + added
             try:
                 return self._commit_next(
@@ -1185,14 +1272,20 @@ class LakeTable:
                 )
             except CommitConflict:
                 head = self.manifest()
-                if (
-                    head.num_buckets != read_from.num_buckets
-                    or head.bucket_key != read_from.bucket_key
+                if head.bucket_key != read_from.bucket_key:
+                    raise CommitConflict(
+                        "bucket key changed under this commit "
+                        "— recompute from the new head"
+                    ) from None
+                if head.num_buckets != read_from.num_buckets and (
+                    self._rebucket_between(read_from.version, head)
                 ):
-                    # a concurrent rebucket() changed the layout: our
-                    # files carry STALE bucket ids — rebasing them into
-                    # the new-layout manifest would break bucket
-                    # pruning and merge targeting. Recompute from head.
+                    # a concurrent rebucket() REWROTE the table under a
+                    # new layout: our files' content was computed from
+                    # a file set that no longer exists. (A concurrent
+                    # evolve_layout() is fine — it moves no data, and
+                    # our files self-describe their layout, so the
+                    # rebase below stays sound.)
                     raise CommitConflict(
                         "bucket layout changed by a concurrent rebucket "
                         "— recompute from the new head"
@@ -1525,6 +1618,7 @@ class LakeTable:
                 "operation": "merge",
                 "strategy": "mor",
                 "affected_buckets": sorted(affected),
+                "affected_layout": m.num_buckets,
                 "change_rows": n_changes,
                 **(summary or {}),
             }
@@ -1537,7 +1631,16 @@ class LakeTable:
             )
             return info
 
-        removed = {f.path for f in m.files if f.bucket in affected}
+        # closure-expand the touched buckets (identity while the table
+        # has one layout): after evolve_layout, a change hitting a new
+        # bucket must also rewrite the old-layout files sharing its
+        # key-space — the rewrite re-emits their rows under the
+        # CURRENT layout, which is exactly the incremental migration
+        # story: every COW merge moves the groups it touches forward.
+        affected, members = lake_layout.close_buckets(
+            affected, m.files, m.num_buckets
+        )
+        removed = {f.path for f in members}
         target = self.read(version=m.version, buckets=affected, include_system=True)
         if conditional:
             # per-key LSN gate: column-pruned scan of (keys, _lsn)
@@ -1584,6 +1687,7 @@ class LakeTable:
         info = {
             "operation": "merge",
             "affected_buckets": sorted(affected),
+            "affected_layout": m.num_buckets,
             "change_rows": n_changes,
             **(summary or {}),
         }
@@ -1710,29 +1814,48 @@ class LakeTable:
             scoped = (
                 m.files
                 if kb is None
-                else [f for f in m.files if f.bucket in kb]
+                else [f for f in m.files if kb.get(f.layout) == f.bucket]
             )
-            delta_buckets = {f.bucket for f in scoped if f.kind == "delta"}
-            # file-level pruning for clean buckets; bucket-level pruning
-            # for delta buckets (skippable only when NO file of the
-            # bucket may match — no version of any key matches then)
+            # delta fold units: per connected key-space class (one
+            # class per delta bucket in the single-layout case; after
+            # evolve_layout a class spans every file — any layout —
+            # sharing keys with the delta, because the fold rewrites
+            # ALL versions of its keys or none, lake/layout.py). The
+            # class is included when ANY of its scoped files may
+            # match — no version of any key matches otherwise.
+            n_cur = m.num_buckets
+            scoped_match_ids = {
+                id(f)
+                for f in scoped
+                if lake_stats.file_may_match(f.stats, filters, current)
+                and self._bloom_keep(f, key_vals, filters)
+            }
+            fold_ids: set[int] = set()
+            cand_delta: set[int] = set()
+            delta_files: list[mf.DataFile] = []
+            seen_groups: set[lake_layout.Group] = set()
+            for k in sorted(
+                {(f.layout, f.bucket) for f in scoped if f.kind == "delta"}
+            ):
+                if k in seen_groups:
+                    continue
+                g = math.gcd(k[0], n_cur)
+                s_k, mem_k = lake_layout.close_buckets(
+                    set(range(k[1] % g, n_cur, g)), m.files, n_cur
+                )
+                seen_groups |= {(f.layout, f.bucket) for f in mem_k}
+                if any(id(f) in scoped_match_ids for f in mem_k):
+                    cand_delta |= s_k
+                    delta_files.extend(mem_k)
+                    fold_ids |= {id(f) for f in mem_k}
+            # file-level pruning for clean (non-fold) files
             cand_files = [
                 f
                 for f in scoped
-                if f.bucket not in delta_buckets
-                and lake_stats.file_may_match(f.stats, filters, current)
-                and self._bloom_keep(f, key_vals, filters)
+                if id(f) not in fold_ids
+                and f.kind != "delta"
+                and id(f) in scoped_match_ids
             ]
-            cand_delta = {
-                b
-                for b in delta_buckets
-                if any(
-                    lake_stats.file_may_match(f.stats, filters, current)
-                    and self._bloom_keep(f, key_vals, filters)
-                    for f in scoped
-                    if f.bucket == b
-                )
-            }
             if not cand_files and not cand_delta:
                 return {
                     "operation": "delete",
@@ -1741,7 +1864,6 @@ class LakeTable:
                     "skipped": True,
                     **(summary or {}),
                 }
-            delta_files = [f for f in m.files if f.bucket in cand_delta]
             if strategy == "dv":
                 try:
                     return self._delete_dv_attempt(
@@ -1924,18 +2046,14 @@ class LakeTable:
                 dv_rel = lake_dv.write_dv_dir(
                     all_pos, self.table_dir, token
                 )
+                import dataclasses as _dc
+
                 for f in upd:
                     upd_entries.append(
-                        mf.DataFile(
-                            path=f.path,
-                            bucket=f.bucket,
-                            schema_id=f.schema_id,
-                            kind=f.kind,
-                            stats=f.stats,
-                            bloom=f.bloom,
+                        _dc.replace(
+                            f,
                             dv=dv_rel,
                             dv_count=f.dv_count + new_by_path[f.path],
-                            rows=f.rows,
                         )
                     )
                     removed.add(f.path)
@@ -2048,6 +2166,116 @@ class LakeTable:
                 _conflict_backoff(attempt)
         raise AssertionError("unreachable")
 
+    def evolve_layout(
+        self, new_num_buckets: int, summary: dict[str, Any] | None = None
+    ) -> dict[str, Any]:
+        """Change the bucket count as a METADATA-ONLY commit — Iceberg
+        partition-spec evolution for hash buckets (spec-id per file;
+        old data keeps its old spec, new data uses the new one),
+        where ``rebucket()`` is the same evolution realized eagerly as
+        a full rewrite.
+
+        At 100 TB eager is not an option mid-ingest: a table created
+        at 64 buckets that grew 100× needs 1024-way merge parallelism
+        NOW, not after an O(table) rewrite window. This commit flips
+        ``num_buckets`` and touches zero data bytes:
+
+        - **new writes** (appends, MOR deltas, merge rewrites) bucket
+          under the new layout immediately — merge parallelism and
+          write sizing change from the next batch on;
+        - **old files** stay valid under their recorded per-file
+          ``layout`` (manifest.py); reads interpret every file's
+          bucket id under the file's own layout, point-lookup pruning
+          included (lake/layout.py has the algebra);
+        - **migration is incremental**: every COW merge rewrites the
+          closure of what it touches under the current layout (the
+          rows move exactly when they were going to be rewritten
+          anyway), and ``maintain()`` migrates cold stragglers via its
+          ``stale_layout`` trigger — steady state returns to one
+          layout with no dedicated rewrite job;
+        - correctness while mixed: max-LSN last-writer-wins resolution
+          is associative/commutative, so group-at-a-time migration
+          commutes with concurrent ingest — the same argument that
+          makes MOR deltas safe.
+
+        Constraint: the new count must be a multiple or divisor of
+        every live layout (divisibility keeps closure groups at ratio
+        granularity; lake/layout.py). Arbitrary jumps → ``rebucket()``.
+
+        In-flight writers are NOT invalidated (unlike ``rebucket``):
+        their files self-describe their layout and rebase cleanly —
+        see ``_commit_delta``'s layout-drift guard.
+        """
+        for attempt in range(MAX_COMMIT_RETRIES + 1):
+            m = self.manifest()
+            if m.num_buckets == new_num_buckets:
+                return {
+                    "operation": "evolve_layout",
+                    "num_buckets": new_num_buckets,
+                    "skipped": True,
+                }
+            live = {f.layout for f in m.files} | {m.num_buckets}
+            lake_layout.validate_evolution(new_num_buckets, live)
+            import dataclasses
+
+            # fresh entry objects with the layout EXPLICIT: breaks
+            # format-2 shard reuse-by-pointer for this one commit, so
+            # every shard is re-serialized carrying the layout field —
+            # otherwise an old shard (implicit layout) read back under
+            # the new root would normalize to the NEW num_buckets and
+            # misplace every file in it.
+            files = [
+                dataclasses.replace(
+                    f, layout=f.layout if f.layout >= 0 else m.num_buckets
+                )
+                for f in m.files
+            ]
+            info = {
+                "operation": "evolve_layout",
+                "num_buckets_before": m.num_buckets,
+                "num_buckets": new_num_buckets,
+                "files_pending_migration": len(files),
+                **(summary or {}),
+            }
+            nxt = mf.Manifest(
+                version=m.version + 1,
+                current_schema_id=m.current_schema_id,
+                schemas=m.schemas,
+                bucket_key=m.bucket_key,
+                num_buckets=new_num_buckets,
+                files=files,
+                summary=info,
+                parent=m.version,
+                properties=m.properties,
+                field_ids=m.field_ids,
+            )
+            try:
+                mf.commit_manifest(self.meta_dir, nxt)
+                return info
+            except FileExistsError:
+                if attempt == MAX_COMMIT_RETRIES:
+                    raise CommitConflict(
+                        f"evolve_layout lost the commit race "
+                        f"{attempt + 1} times at {self.meta_dir}"
+                    ) from None
+                _conflict_backoff(attempt)
+        raise AssertionError("unreachable")
+
+    def layout_status(self, version: int | None = None) -> dict[str, Any]:
+        """Migration progress: files and rows per layout, and whether
+        the table is fully on its current layout. Manifest-only."""
+        m = self.manifest(version)
+        per: dict[int, dict[str, int]] = {}
+        for f in m.files:
+            st = per.setdefault(f.layout, {"files": 0, "rows": 0})
+            st["files"] += 1
+            st["rows"] += max(f.rows, 0)
+        return {
+            "num_buckets": m.num_buckets,
+            "layouts": {str(n): per[n] for n in sorted(per)},
+            "migrated": all(n == m.num_buckets for n in per),
+        }
+
     # ----------------------------------------------------------- maintenance
     def compact(
         self,
@@ -2090,30 +2318,41 @@ class LakeTable:
             raise ValueError("zorder=True requires cluster_by columns")
         for attempt in range(MAX_COMMIT_RETRIES + 1):
             m = self.manifest()
-            per_bucket: dict[int, int] = {}
-            for f in m.files:
-                per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
-            stale = {
-                f.bucket for f in m.files if f.schema_id != m.current_schema_id
-            }
-            # merge-on-read delta buckets always compact: read() resolves
-            # them (max-LSN winner per key incl. tombstones), so the
-            # rewrite below folds deltas into plain base files and the
-            # read-time resolve cost resets to zero for those buckets
-            deltas = {f.bucket for f in m.files if f.kind == "delta"}
-            # deletion-vector'd buckets always compact too: the read
-            # (which applies the vector) feeds the rewrite, so the
-            # DV'd rows' bytes are PURGED here and the new entries
-            # carry no vector — this is the physical erasure a dv-
-            # strategy delete defers (lake/dv.py)
-            dvs = {f.bucket for f in m.files if f.dv}
-            affected = {
-                b for b, n in per_bucket.items() if n >= min_files_per_bucket
-            } | stale | deltas | dvs
+            n_cur = m.num_buckets
+            # placement groups (layout, bucket) — after evolve_layout
+            # the same bucket id can exist under two layouts, so raw
+            # ids are not a grouping key (lake/layout.py)
+            groups = lake_layout.file_groups(m.files)
+            triggered: set[lake_layout.Group] = set()
+            for k, fs in groups.items():
+                if len(fs) >= min_files_per_bucket:
+                    triggered.add(k)
+                # stale writer schema: physical migration forward
+                elif any(f.schema_id != m.current_schema_id for f in fs):
+                    triggered.add(k)
+                # merge-on-read delta groups always compact: read()
+                # resolves them (max-LSN winner per key incl.
+                # tombstones), so the rewrite folds deltas into plain
+                # base files and the read-time resolve cost resets
+                elif any(f.kind == "delta" for f in fs):
+                    triggered.add(k)
+                # deletion-vector'd groups always compact too: the
+                # read (which applies the vector) feeds the rewrite,
+                # purging the DV'd rows' bytes — the physical erasure
+                # a dv-strategy delete defers (lake/dv.py)
+                elif any(f.dv for f in fs):
+                    triggered.add(k)
             if buckets is not None:
-                # explicit bucket set (maintain()'s policy engine):
-                # bypass the built-in triggers, compact exactly these
-                affected = set(buckets) & set(per_bucket)
+                # explicit CURRENT-layout bucket set (maintain()'s
+                # policy engine): bypass the built-in triggers,
+                # compact exactly the groups overlapping these
+                want = set(buckets)
+                triggered = {
+                    (n, b)
+                    for (n, b) in groups
+                    if (b % math.gcd(n, n_cur))
+                    in {w % math.gcd(n, n_cur) for w in want}
+                }
             if cluster_by:
                 if zorder:
                     lake_zorder.validate_zorder_cols(
@@ -2128,14 +2367,27 @@ class LakeTable:
                 if buckets is None:
                     # clustering rewrites every bucket (that is the
                     # point); an explicit bucket set stays scoped
-                    affected = set(per_bucket)
-            if not affected:
+                    triggered = set(groups)
+            if not triggered:
                 return {
                     "operation": "compact",
                     "affected_buckets": [],
                     "skipped": True,
                 }
-            removed = {f.path for f in m.files if f.bucket in affected}
+            # project triggered groups onto the current layout and
+            # close: the rewrite replaces whole key-space classes, so
+            # an old-layout group compacts TOGETHER with the current-
+            # layout files it shares keys with — and its rows come out
+            # under the current layout (compaction doubles as the
+            # background migration step after evolve_layout)
+            seeds: set[int] = set()
+            for n, b in triggered:
+                g = math.gcd(n, n_cur)
+                seeds.update(range(b % g, n_cur, g))
+            affected, members = lake_layout.close_buckets(
+                seeds, m.files, n_cur
+            )
+            removed = {f.path for f in members}
             # keep the per-row applied-LSN through the rewrite — losing it
             # would let an old redelivered change beat a compacted row
             data = self.read(
@@ -2152,7 +2404,8 @@ class LakeTable:
             info = {
                 "operation": "compact",
                 "affected_buckets": sorted(affected),
-                "files_before": sum(per_bucket[b] for b in affected),
+                "affected_layout": n_cur,
+                "files_before": len(members),
                 "files_after": len(new_files),
                 **({"cluster_by": cluster_by} if cluster_by else {}),
                 **({"zorder": True} if zorder else {}),
@@ -2217,6 +2470,7 @@ class LakeTable:
         zorder: bool = False,
         files_per_bucket: int = 4,
         bloom_uncovered_files: int | None = 1,
+        migrate_layout_groups: int | None = 8,
     ) -> dict[str, Any]:
         """One-call, metadata-driven maintenance — the scheduled
         OPTIMIZE job a long-running ingest needs, with every decision
@@ -2243,24 +2497,32 @@ class LakeTable:
           indexed; this keeps point-predicate pruning current without
           a manual re-run — None disables). Runs AFTER compaction so a
           just-folded bucket is indexed once, not twice.
+        - **migrate layout stragglers**: after ``evolve_layout()``,
+          groups still under an old layout that the data plane has not
+          happened to rewrite are migrated here, up to
+          ``migrate_layout_groups`` per run (None disables) — bounded
+          background migration that converges a mixed-layout table
+          back to one layout without an O(table) rewrite window.
 
         Safe to run concurrently with the data plane: compaction
         commits are content-preserving replacements that rebase or
         recompute under the optimistic-concurrency rules, and a lost
         race surfaces as a retry, never lost data."""
         m = self.manifest()
-        per_bucket: dict[int, dict[str, int]] = {}
+        n_cur = m.num_buckets
+        per_group: dict[lake_layout.Group, dict[str, int]] = {}
         for f in m.files:
-            st = per_bucket.setdefault(
-                f.bucket, {"files": 0, "deltas": 0, "dv": 0, "rows": 0}
+            st = per_group.setdefault(
+                (f.layout, f.bucket),
+                {"files": 0, "deltas": 0, "dv": 0, "rows": 0, "stale": 0},
             )
             st["files"] += 1
             st["deltas"] += 1 if f.kind == "delta" else 0
             st["dv"] += f.dv_count
             st["rows"] += max(f.rows, 0)
-        stale = {f.bucket for f in m.files if f.schema_id != m.current_schema_id}
-        triggered: dict[int, list[str]] = {}
-        for b, st in per_bucket.items():
+            st["stale"] += 1 if f.schema_id != m.current_schema_id else 0
+        triggered: dict[lake_layout.Group, list[str]] = {}
+        for k, st in per_group.items():
             why = []
             if st["files"] >= compact_min_files:
                 why.append("files")
@@ -2268,17 +2530,38 @@ class LakeTable:
                 why.append("delta_depth")
             if st["rows"] > 0 and st["dv"] >= compact_dv_ratio * st["rows"]:
                 why.append("dv_ratio")
-            if b in stale:
+            if st["stale"]:
                 why.append("stale_schema")
             if why:
-                triggered[b] = why
+                triggered[k] = why
+        if migrate_layout_groups is not None and migrate_layout_groups > 0:
+            # bounded straggler migration: oldest (coarsest) layouts
+            # first, capped per run so the maintenance window stays
+            # O(budget) however large the backlog
+            budget = migrate_layout_groups
+            for k in sorted(per_group):
+                if budget <= 0:
+                    break
+                if k[0] != n_cur and k not in triggered:
+                    triggered[k] = ["stale_layout"]
+                    budget -= 1
         out: dict[str, Any] = {
             "operation": "maintain",
-            "buckets_triggered": {str(b): triggered[b] for b in sorted(triggered)},
+            "buckets_triggered": {
+                f"{n}/{b}": triggered[(n, b)]
+                for n, b in sorted(triggered)
+            },
         }
         if triggered:
+            # project triggered groups onto the current layout for
+            # compact()'s bucket-set contract; compact closes the set
+            # and migrates whatever it rewrites
+            seeds: set[int] = set()
+            for n, b in triggered:
+                g = math.gcd(n, n_cur)
+                seeds.update(range(b % g, n_cur, g))
             out["compact"] = self.compact(
-                buckets=set(triggered),
+                buckets=seeds,
                 cluster_by=cluster_by,
                 zorder=zorder,
                 files_per_bucket=files_per_bucket,

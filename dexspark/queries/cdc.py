@@ -280,6 +280,44 @@ def cdc_replay_compacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+def cdc_replay_layout_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only layout evolution under the hard oracle (≙ Iceberg
+    partition-spec evolution, realized for hash buckets): the replay
+    starts on an 8-bucket table, ``evolve_layout(32)`` flips the
+    layout MID-REPLAY as an O(metadata) commit — zero data movement —
+    and the remaining batches ingest into a MIXED-layout table where
+    every COW merge incrementally migrates exactly the key-space
+    closure it touches (lake/layout.py's gcd algebra keeps reads,
+    point-lookup pruning, and LSN-gated merges key-exact throughout).
+    A final ``maintain()`` pass migrates the cold stragglers via its
+    ``stale_layout`` trigger; the converged table must equal the
+    fixed-layout serial-replay oracle bit-for-bit. This is the 100 TB
+    resize story: a table that outgrew its bucket count gets new-write
+    parallelism immediately, with migration amortized into rewrites
+    that were happening anyway."""
+    log = derive_log(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dexspark_q_")
+    table = LakeTable.create(
+        spark, os.path.join(d, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", num_buckets=8,
+    )
+    batches = batch_range(log)
+    thr = (batches.stop + 1) // 3
+    for b in batches:
+        if b == thr:
+            info = table.evolve_layout(32)
+            assert info["num_buckets"] == 32  # metadata-only commit landed
+        apply_changes(table, log.filter(F.col("batch_seq") == b), batch_id=f"L{b}")
+    # converge stragglers (bounded per run — loop like a scheduler would)
+    while not table.layout_status()["migrated"]:
+        table.maintain(
+            compact_min_files=10_000, compact_delta_depth=10_000,
+            migrate_layout_groups=8,
+        )
+    assert all(f.layout == 32 for f in table.manifest().files)
+    return table.read()
+
+
 def cdc_replay_concurrent_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Writer-race hardening under the hard oracle (round-3 verdict
     item #1): the full replay runs while a MAINTENANCE THREAD
