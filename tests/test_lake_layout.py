@@ -416,3 +416,59 @@ def test_delete_across_mixed_layouts(spark, tmp_table_dir):
     info = t.delete_where([("v", "=", "v1")])
     assert not info.get("skipped")
     assert _state(t) == before - {("k1", 77, "dup-key"), ("k1", 1, "v1")}
+
+
+def test_evolve_races_writers(spark, tmp_table_dir):
+    """Appends and merges racing an evolve_layout: unlike rebucket
+    (whose rewrite invalidates in-flight file sets), evolve moves no
+    data — in-flight writers' files self-describe their layout and
+    REBASE cleanly, so every row lands exactly once and the head
+    layout is the evolved one."""
+    import threading
+
+    from dexspark.lake.table import CommitConflict
+
+    t = _mk(spark, tmp_table_dir, n=100, buckets=2)
+    errors = []
+    started = threading.Event()
+
+    def writer():
+        try:
+            for i in range(6):
+                if i == 1:
+                    started.set()
+                t.append(
+                    spark.createDataFrame(
+                        [(f"a{i}_{j}", 1000 + i * 10 + j, "w") for j in range(5)],
+                        SCHEMA,
+                    )
+                )
+                t.merge(
+                    spark.createDataFrame(
+                        [(f"k{i}", i, f"UPD{i}", "U", 5000 + i)], CH_SCHEMA
+                    ),
+                    key_cols=["k"],
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    th = threading.Thread(target=writer)
+    th.start()
+    started.wait(60)
+    try:
+        t.evolve_layout(8)
+    except CommitConflict:
+        pass  # the evolve may yield; writers must survive regardless
+    th.join(timeout=300)
+    assert not errors, errors
+    rows = {(r.k, r.v) for r in t.read().collect()}
+    appended = [r for r in t.read().collect() if r.k.startswith("a")]
+    assert len(appended) == 30 == len({r.k for r in appended})
+    for i in range(6):
+        assert (f"k{i}", f"UPD{i}") in rows
+    assert len(rows) == 130
+    # converge and re-verify: migration preserves the raced state
+    if t.manifest().num_buckets == 8:
+        t.compact(min_files_per_bucket=1)
+        assert t.layout_status()["migrated"] is True
+        assert {(r.k, r.v) for r in t.read().collect()} == rows
