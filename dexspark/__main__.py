@@ -215,6 +215,15 @@ def cmd_rebucket(args) -> int:
     return 0
 
 
+def cmd_evolve_layout(args) -> int:
+    spark = _spark(args)
+    t = LakeTable(spark, args.table)
+    out = t.evolve_layout(args.buckets)
+    out["layout_status"] = t.layout_status()
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_rollback(args) -> int:
     spark = _spark(args)
     print(json.dumps(LakeTable(spark, args.table).rollback(args.to_version)))
@@ -792,6 +801,7 @@ def cmd_status(args) -> int:
                 ),
                 "bloom_coverage": t.bloom_coverage(),
                 "num_buckets": m.num_buckets,
+                "layout_status": t.layout_status(),
                 "bucket_key": m.bucket_key,
                 "schema": t.schema().simpleString(),
                 "constraints": t.constraints(),
@@ -919,6 +929,17 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("--table", required=True)
     rb.add_argument("--buckets", type=int, required=True)
     rb.set_defaults(fn=cmd_rebucket)
+
+    el = sub.add_parser(
+        "evolve-layout",
+        help="change the table's bucket count as a METADATA-ONLY "
+             "commit (zero data movement); old files migrate "
+             "incrementally via merges/compaction/maintain — use "
+             "rebucket for an eager rewrite or a non-chain count",
+    )
+    el.add_argument("--table", required=True)
+    el.add_argument("--buckets", type=int, required=True)
+    el.set_defaults(fn=cmd_evolve_layout)
 
     ro = sub.add_parser(
         "rollback",

@@ -472,3 +472,84 @@ def test_evolve_races_writers(spark, tmp_table_dir):
         t.compact(min_files_per_bucket=1)
         assert t.layout_status()["migrated"] is True
         assert {(r.k, r.v) for r in t.read().collect()} == rows
+
+
+def test_streaming_replay_across_evolution(spark, tmp_table_dir):
+    """Checkpointed streaming replay with an evolve_layout between two
+    run_available() windows: the resumed tail ingests into the evolved
+    (mixed-layout) table and the final state equals the full-log
+    oracle — the mid-flight resize a long-running 100 TB ingest needs."""
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from dexspark.cdc.generator import expected_final_state, gen_change_log
+    from dexspark.streaming.replay import CdcStreamReplay
+
+    PAYLOAD = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    LOG_SCHEMA = "lsn long, op string, batch_seq long, " + PAYLOAD
+    log = gen_change_log(spark, 4000, n_convs=60, n_batches=4)
+    table = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "transcripts"),
+        _parse_datatype_string(PAYLOAD), "conv_id", 4,
+    )
+    log_dir = os.path.join(tmp_table_dir, "log")
+    cp = os.path.join(tmp_table_dir, "cp")
+
+    def replayer():
+        return CdcStreamReplay(
+            spark, table, log_dir, cp, _parse_datatype_string(LOG_SCHEMA)
+        )
+
+    log.filter(F.col("batch_seq") < 2).coalesce(2).write.parquet(
+        log_dir, mode="append"
+    )
+    replayer().run_available()
+
+    table.evolve_layout(16)  # O(metadata), between micro-batch windows
+
+    log.filter(F.col("batch_seq") >= 2).coalesce(2).write.parquet(
+        log_dir, mode="append"
+    )
+    r2 = replayer()
+    r2.run_available()
+    assert all(not r["skipped"] for r in r2.results)
+
+    expected = expected_final_state(log)
+    got = table.read()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    # converge and re-check
+    while not table.layout_status()["migrated"]:
+        table.maintain(
+            compact_min_files=10_000, compact_delta_depth=10_000,
+            migrate_layout_groups=16,
+        )
+    got = table.read()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_cli_evolve_layout_and_status(spark, tmp_table_dir, capsys):
+    """CLI surface: evolve-layout command + layout_status in status."""
+    import json
+
+    from dexspark.__main__ import main
+
+    _mk(spark, tmp_table_dir, n=50)
+    rc = main(
+        ["--master", "local[4]", "evolve-layout",
+         "--table", tmp_table_dir, "--buckets", "16"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["num_buckets"] == 16
+    assert out["layout_status"]["migrated"] is False
+    rc = main(["--master", "local[4]", "status", "--table", tmp_table_dir])
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["layout_status"]["layouts"]["4"]["files"] > 0
