@@ -553,3 +553,37 @@ def test_cli_evolve_layout_and_status(spark, tmp_table_dir, capsys):
     assert rc == 0
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st["layout_status"]["layouts"]["4"]["files"] > 0
+
+
+def test_bloom_coverage_survives_layout_migration(spark, tmp_table_dir):
+    """Composition with secondary indexes: migration rewrites files
+    (fresh, bloom-less entries), and maintain()'s uncovered-file
+    trigger re-indexes them in the SAME call — point-predicate
+    pruning on the indexed column is never lost for longer than one
+    maintenance cycle while the table converges to the new layout."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    sch = _parse_datatype_string("k string, author string, v long")
+    t = LakeTable.create(
+        spark, tmp_table_dir, sch, bucket_key="k", num_buckets=2
+    )
+    for c in range(2):
+        t.append(
+            spark.createDataFrame(
+                [(f"k{c}_{i}", f"author{c}", i) for i in range(40)], sch
+            )
+        )
+    t.build_blooms("author")
+    cov = t.bloom_coverage()["author"]
+    assert cov["uncovered"] == 0 and cov["covered"] > 0
+
+    t.evolve_layout(8)
+    while not t.layout_status()["migrated"]:
+        t.maintain(
+            compact_min_files=10_000, compact_delta_depth=10_000,
+            migrate_layout_groups=2, bloom_uncovered_files=1,
+        )
+    cov = t.bloom_coverage()["author"]
+    assert cov["uncovered"] == 0 and cov["covered"] == len(t.manifest().files)
+    got = {r.k for r in t.read(filters=[("author", "=", "author1")]).collect()}
+    assert got == {f"k1_{i}" for i in range(40)}
