@@ -587,3 +587,65 @@ def test_bloom_coverage_survives_layout_migration(spark, tmp_table_dir):
     assert cov["uncovered"] == 0 and cov["covered"] == len(t.manifest().files)
     got = {r.k for r in t.read(filters=[("author", "=", "author1")]).collect()}
     assert got == {f"k1_{i}" for i in range(40)}
+
+
+def test_scd2_history_across_evolution(spark, tmp_table_dir):
+    """Composition with SCD2: the history's bucket-pruned stored read
+    computes batch buckets under the CURRENT layout; read()'s closure
+    pulls in the old-layout files holding the same keys, so interval
+    chains built across an evolve are identical to the fixed-layout
+    outcome (same batches applied to a never-evolved history)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from dexspark.cdc.scd2 import apply_changes_scd2, scd2_schema, scd2_view
+
+    PAYLOAD = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    TS = dt.datetime(2024, 1, 1)
+
+    def events(rows):
+        return spark.createDataFrame(
+            [(l, o, c, t, "user", x, None, TS) for (l, o, c, t, x) in rows],
+            "lsn long, op string, conv_id string, turn_idx int, "
+            "role string, text string, tool string, ts timestamp",
+        )
+
+    def versions(h):
+        return {
+            (r.conv_id, r.turn_idx, r.valid_from_lsn): (
+                r.valid_to_lsn, r.closed_by_delete, r.is_current, r.text
+            )
+            for r in scd2_view(h.read()).collect()
+        }
+
+    b1 = [(10 + i, "I", f"c{i}", 0, "v1") for i in range(12)]
+    b2 = [(30 + i, "U", f"c{i}", 0, "v2") for i in range(0, 12, 2)]
+    b3 = [(50 + i, "D", f"c{i}", 0, "v2") for i in range(0, 12, 3)]
+
+    def build(d, evolve):
+        h = LakeTable.create(
+            spark, os.path.join(tmp_table_dir, d),
+            scd2_schema(_parse_datatype_string(PAYLOAD)), "conv_id", 2,
+        )
+        apply_changes_scd2(h, events(b1), batch_id="s1")
+        if evolve:
+            h.evolve_layout(8)
+        apply_changes_scd2(h, events(b2), batch_id="s2")
+        apply_changes_scd2(h, events(b3), batch_id="s3")
+        return h
+
+    h_ev = build("ev", evolve=True)
+    h_ref = build("ref", evolve=False)
+    assert versions(h_ev) == versions(h_ref)
+    # and migration convergence preserves the chains
+    while not h_ev.layout_status()["migrated"]:
+        h_ev.maintain(
+            compact_min_files=10_000, compact_delta_depth=10_000,
+            migrate_layout_groups=8,
+        )
+    assert versions(h_ev) == versions(h_ref)
