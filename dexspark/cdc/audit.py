@@ -118,7 +118,13 @@ def log_continuity_audit(
     edges = spanned.groupBy("_span").agg(
         F.min("lsn").alias("_mn"), F.max("lsn").alias("_mx")
     )
-    ew = Window.orderBy(F.col("_span").asc())
+    # the constant partition key silences WindowExec's "No Partition
+    # Defined ... moving all data to a single partition" warning —
+    # single-partition is the POINT here (the stitch is a total order
+    # over O(spans) aggregate rows, asserted data-independent by
+    # tests/test_physical_plans.py), and the constant key states that
+    # on the plan instead of tripping the scary-by-default log line.
+    ew = Window.partitionBy(F.lit(0)).orderBy(F.col("_span").asc())
     boundary = (
         edges.withColumn("_next_mn", F.lead("_mn").over(ew))
         .filter(F.col("_next_mn") > F.col("_mx") + 1)
