@@ -110,8 +110,10 @@ def test_pre_bloom_files_never_pruned(spark, tmp_table_dir):
     # scan must touch every file of k50's bucket (key->bucket pruning
     # still applies — it needs no per-file metadata)
     m2 = t.manifest()
+    # _buckets_for_keys returns {layout: bucket} (per-file-layout exact
+    # since evolve_layout landed); membership mirrors the scan's rule
     kb = t._buckets_for_keys(m2, ["k50"])
-    per_bucket = [f for f in m2.files if f.bucket in kb]
+    per_bucket = [f for f in m2.files if kb.get(f.layout) == f.bucket]
     assert len(t.read(filters=[("k", "=", "k50")]).inputFiles()) == len(
         per_bucket
     )
