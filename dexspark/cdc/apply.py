@@ -115,17 +115,25 @@ def apply_changes(
                 lake_ct.drop_mode_reason(drop_defs, skip=is_del),
             ),
         )
-    flagged = (
-        flagged.observe(
-            obs,
-            F.count(F.col(REASON_COL)).alias("_rejected"),
-            *[
-                F.count(F.when(F.col(REASON_COL) == r, 1)).alias(r)
-                for r in reasons
-            ],
-        )
-        .persist()
+    flagged = flagged.observe(
+        obs,
+        F.count(F.col(REASON_COL)).alias("_rejected"),
+        *[
+            F.count(F.when(F.col(REASON_COL) == r, 1)).alias(r)
+            for r in reasons
+        ],
     )
+    # Cache the full flagged batch ONLY when a quarantine is attached:
+    # that is the one consumer that re-reads it (the rejects append).
+    # Without a quarantine, caching every pre-dedup event row is pure
+    # overhead on the hot path — a multi-GB cache write per batch at
+    # 16M-event scale whose memory pressure taxes the parallel stages —
+    # and the only other reader (the AQE empty-relation fallback count
+    # below, all-invalid batches only) can recompute from the
+    # deterministic source files in that rare path instead.
+    persist_flagged = quarantine is not None
+    if persist_flagged:
+        flagged = flagged.persist()
     deduped = None
     try:
         rejects = flagged.filter(F.col(REASON_COL).isNotNull())
@@ -177,8 +185,10 @@ def apply_changes(
             # all-invalid batch: AQE's empty-relation propagation
             # replaces the (empty) valid subtree at runtime and the
             # CollectMetrics node drops out of the final plan, so the
-            # observation never reports. Count from the cached
-            # `flagged` instead — one small job over the cache.
+            # observation never reports. Count from `flagged` instead
+            # (cached when a quarantine is attached; recomputed from
+            # the deterministic source files otherwise — this path
+            # only fires on an all-invalid batch).
             counts = {
                 row[0]: int(row[1])
                 for row in rejects.groupBy(REASON_COL).count().collect()
@@ -262,7 +272,8 @@ def apply_changes(
         # cached dedup output into a long-running daemon's storage pool
         if deduped is not None:
             deduped.unpersist()
-        flagged.unpersist()
+        if persist_flagged:
+            flagged.unpersist()
 
 
 def fix_from_spec(spec: dict[str, Any]):
