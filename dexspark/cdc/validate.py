@@ -8,10 +8,13 @@ branch and hit a custom/global error function; here, invalid rows are
 split into a rejects DataFrame (with a machine-readable reason) that
 the caller quarantines and counts in lineage.
 
-All checks are vectorized: enum / null checks are pure Catalyst
-expressions (whole-stage-codegen'd); the text well-formedness check is
-an Arrow pandas UDF (batch-vectorized, never per-row Python); the
-ts-monotonicity check is a running-max window per conv_id.
+All checks are vectorized: enum / null / text well-formedness checks
+are pure Catalyst expressions (whole-stage-codegen'd) by default; the
+text check can instead run as an Arrow pandas UDF
+(``ValidationConfig.text_check="arrow"`` — batch-vectorized, never
+per-row Python — the extension seam for checks that genuinely need
+Python); the ts-monotonicity check is a running-max-per-conv_id
+aggregate joined back broadcast-style.
 """
 
 from __future__ import annotations
@@ -55,6 +58,11 @@ class ValidationConfig:
     ts_col: str = "ts"
     check_ts_monotonic: bool = True
     max_text_bytes: int = 1 << 20
+    # "expr" (default): text well-formedness as pure Catalyst
+    # expressions, fused into the codegen span with the other checks.
+    # "arrow": the pandas-UDF variant — same verdicts (pinned by
+    # test), kept as the seam for checks that genuinely need Python.
+    text_check: str = "expr"
     extra: dict = field(default_factory=dict)
 
 
@@ -66,6 +74,37 @@ def _text_wellformed(text: pd.Series) -> pd.Series:
     s = text.fillna("")
     stripped = s.str.strip()
     return (stripped.str.len() > 0) & ~s.str.contains("\x00", regex=False)
+
+
+# every character Python's str.strip() treats as whitespace (the chars
+# for which str.isspace() is True) — so the expression check below
+# agrees with the Arrow UDF character-for-character
+_PY_WHITESPACE = "".join(
+    # U+3000 IDEOGRAPHIC SPACE is the highest whitespace codepoint
+    chr(c) for c in range(0x3001) if chr(c).isspace()
+)
+
+
+def text_wellformed_expr(col: F.Column) -> F.Column:
+    """Pure-Catalyst equivalent of ``_text_wellformed``: non-empty
+    after stripping Python-whitespace, no NUL bytes. NULL text is
+    malformed (returns False), matching the UDF's ``fillna("")``.
+
+    This is the default hot-path check (`ValidationConfig.text_check
+    = "expr"`): it fuses into the same whole-stage-codegen span as the
+    enum/null checks, where the pandas UDF forces an Arrow
+    serialize→Python→deserialize round-trip of the full text column
+    for every batch — measurable at 16M-event scale. The UDF variant
+    (`text_check="arrow"`) remains as the extension seam for checks
+    that genuinely need Python (semantic classifiers, tokenizer
+    round-trips); `tests/test_functions.py` pins the two modes to
+    identical verdicts across the whitespace/NUL edge battery.
+    """
+    stripped_nonempty = F.coalesce(
+        F.length(F.btrim(col, F.lit(_PY_WHITESPACE))), F.lit(0)
+    ) > 0
+    has_nul = F.coalesce(F.contains(col, F.lit("\x00")), F.lit(False))
+    return stripped_nonempty & ~has_nul
 
 
 def validate_events(
@@ -129,12 +168,14 @@ def flag_events(events: DataFrame, cfg: ValidationConfig | None = None) -> DataF
                 "text_too_large",
             )
         )
-        checks.append(
-            (
-                ~is_delete & ~_text_wellformed(F.col(cfg.text_col)),
-                "malformed_text",
-            )
+        if cfg.text_check not in ("expr", "arrow"):
+            raise ValueError(f"unknown text_check mode: {cfg.text_check!r}")
+        wellformed = (
+            text_wellformed_expr(F.col(cfg.text_col))
+            if cfg.text_check == "expr"
+            else _text_wellformed(F.col(cfg.text_col))
         )
+        checks.append((~is_delete & ~wellformed, "malformed_text"))
 
     reason = F.when(checks[0][0], F.lit(checks[0][1]))
     for cond, tag in checks[1:]:

@@ -77,6 +77,44 @@ def test_validate_quarantine_reasons(spark):
     )
 
 
+def test_text_check_modes_agree(spark):
+    """The codegen text check (default) and the Arrow pandas-UDF
+    variant must produce identical verdicts — including NULLs, every
+    Python-whitespace-only string, NUL bytes, and unicode payloads.
+    The expr mode is the hot path; the arrow mode is the Python
+    extension seam; a silent divergence would make the `text_check`
+    flag change replay results."""
+    from dexspark.cdc.validate import _PY_WHITESPACE, flag_events
+
+    edge_texts = (
+        [None, "", " ", "\t\n\r", "a", " a ", "\x00", "hi\x00there",
+         "\u00a0", "\u3000", "ünïcode", "x" * 5000, _PY_WHITESPACE]
+        + [c for c in _PY_WHITESPACE]
+        + [c + "y" for c in _PY_WHITESPACE]
+    )
+    rows = [
+        (i, "I", "c1", i, "user", t, None, "2024-01-01 00:00:00")
+        for i, t in enumerate(edge_texts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "lsn long, op string, conv_id string, turn_idx int, role string,"
+        " text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def verdicts(mode):
+        cfg = ValidationConfig(check_ts_monotonic=False, text_check=mode)
+        return {
+            r["lsn"]: r[REASON_COL]
+            for r in flag_events(df, cfg).select("lsn", REASON_COL).collect()
+        }
+
+    expr, arrow = verdicts("expr"), verdicts("arrow")
+    assert expr == arrow
+    # sanity: the battery actually exercises both verdicts
+    assert "malformed_text" in expr.values() and None in expr.values()
+
+
 def test_validate_required_fields_and_ops(spark):
     df = spark.createDataFrame(
         [
