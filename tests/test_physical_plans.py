@@ -306,3 +306,23 @@ def test_curation_v3_reads_stored_signatures(spark, tmp_path):
     # ...and no text column anywhere in the candidate plan: shingling
     # of unchanged docs is structurally impossible here
     assert "text:string" not in plan and "documents.parquet" not in plan
+
+
+def test_ts_monotonic_check_never_shuffles_events(spark):
+    """The ts-monotonicity watermark joins back onto the event stream
+    as an EXPLICIT broadcast: left to cost estimates it planned a
+    SortMergeJoin that shuffled + sorted every (wide) event row —
+    measured ~16s of a ~27s batch at 16M events. The event side of
+    the validation plan must stay exchange-free; the watermark side
+    (aggregate + window over the distinct-turn set) is the only
+    subtree allowed to exchange."""
+    from pyspark.sql import functions as F
+
+    from dexspark.cdc.generator import gen_change_log
+    from dexspark.cdc.validate import REASON_COL, flag_events
+
+    log = gen_change_log(spark, 20_000, ts_violation_pct=3)
+    valid = flag_events(log).filter(F.col(REASON_COL).isNull())
+    plan = valid._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
