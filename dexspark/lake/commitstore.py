@@ -125,7 +125,13 @@ class CatalogSwapStore:
             return  # malformed/foreign pointer: never touch other files
         staged = os.path.join(os.path.dirname(final_path), staged_name)
         if os.path.exists(staged):
-            os.replace(staged, final_path)  # ≙ uncontended copy-PUT
+            try:
+                os.replace(staged, final_path)  # ≙ copy-PUT
+            except FileNotFoundError:
+                # another helper (or the live winner) completed step 3
+                # between our exists() check and the move — the publish
+                # stands either way
+                pass
 
     def publish(self, tmp_path: str, final_path: str) -> None:
         d, name = os.path.split(final_path)
@@ -157,7 +163,22 @@ class CatalogSwapStore:
             raise FileExistsError(final_path) from None
         finally:
             os.unlink(ptmp)
-        os.replace(staged, final_path)  # step 3: final PUT, uncontended
+        # step 3: final PUT. "Uncontended" by protocol on S3 (a copy,
+        # idempotent) — but the local move-based model CAN be raced by
+        # a helpful loser: a racer that loses the CAS immediately runs
+        # _finish() to heal what looks like a dead winner, and if it
+        # lands between our CAS and this line it moves OUR staged
+        # object to the final name first. The commit stands (the CAS
+        # is the commit point; the bytes are ours); surfacing
+        # FileNotFoundError here reported a WON race as a failure —
+        # sixteen racing threads could all report "lost" with the
+        # commit silently landed (caught by the race matrix under
+        # co-tenant load).
+        try:
+            os.replace(staged, final_path)
+        except FileNotFoundError:
+            if not os.path.exists(final_path):
+                raise  # staged genuinely gone with nothing published
 
     def publish_content(self, content: bytes, final_path: str) -> None:
         if os.path.exists(final_path):

@@ -224,3 +224,40 @@ def test_branch_and_tag_under_catalog_store(spark, tmp_table_dir, catalog_mode):
     with pytest.raises(ValueError, match="already exists"):
         t.create_branch("audit")
     assert {r.k for r in b.read().collect()} == {"a"}
+
+
+def test_catalog_winner_survives_helpful_loser_finishing_first(tmp_path):
+    """The zero-winner race (caught by the 16-thread matrix under
+    co-tenant load): a racer that loses the CAS immediately runs
+    commit recovery, and if it lands between the winner's CAS and the
+    winner's final PUT it moves the winner's staged object to the
+    final name FIRST. The winner's publish must then still return
+    success — the CAS is the commit point and the published bytes are
+    its own — not surface FileNotFoundError and report a won race as
+    a failure. Reproduced deterministically by injecting the helper's
+    _finish() right before the winner's step-3 move."""
+    store = cs.CatalogSwapStore()
+    d = str(tmp_path)
+    final = os.path.join(d, "v00000009.json")
+    t = _tmpfile(d, "winner-bytes")
+    real_replace = os.replace
+    state = {"helped": False}
+
+    def racing_replace(src, dst, *a, **kw):
+        if dst == final and not state["helped"]:
+            state["helped"] = True
+            # the helpful loser heals the "dead" winner first
+            store._finish(store._ptr(final), final)
+        return real_replace(src, dst, *a, **kw)
+
+    from unittest import mock
+
+    with mock.patch.object(cs.os, "replace", racing_replace):
+        store.publish(t, final)  # must NOT raise
+    assert state["helped"]
+    with open(final) as fh:
+        assert fh.read() == "winner-bytes"
+    # and a later racer still loses cleanly
+    t2 = _tmpfile(d, "late")
+    with pytest.raises(FileExistsError):
+        store.publish(t2, final)
